@@ -1,0 +1,126 @@
+"""Ghost-value materialization and velocity BC application.
+
+Replaces the reference's ghost layers + apply_velocity_bc / fused BC kernels
+(reference: src/solver_operators.cpp:43, include/solver_kernels.hpp:44-203,
+src/cuda_kernels/halo_pack.cu:17-60): instead of storing ghosts and launching
+BC kernels, operators call `pad_*` which build the (N+2)-extended array on the
+fly; XLA fuses the concatenation into the consuming stencil.
+
+Ghost rules (2nd order):
+  periodic          -> wrap
+  cell 'neumann'    -> mirror value          (dp/dn = 0)
+  cell 'dirichlet'  -> 2*g - interior        (value g at the wall face)
+  tangential no-slip-> -interior             (u = 0 at the wall)
+  normal face       -> boundary face stored; ghost = 2*f_bnd - f_next (odd)
+  outflow           -> zero-gradient copy
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..config import BCType
+from .grid import Geometry
+
+__all__ = [
+    "sl", "pad_center", "pad_tangential", "pad_normal",
+    "face_pair", "apply_velocity_bc",
+]
+
+
+def sl(f, axis: int, start, stop=None, step=None):
+    """Slice `f` along `axis`."""
+    idx = [slice(None)] * f.ndim
+    idx[axis] = slice(start, stop, step)
+    return f[tuple(idx)]
+
+
+def _cat(parts, axis):
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _flip(f, axis):
+    return jnp.flip(f, axis=axis)
+
+
+def pad_center(f, axis: int, bc: BCType, value: float = 0.0,
+               kind: str = "neumann", ng: int = 1):
+    """Pad a cell-centered field with `ng` ghosts on each side.
+
+    `kind` selects the wall rule: 'neumann' (mirror) or 'dirichlet' (value at
+    the wall face, e.g. k=0). Periodic/outflow follow the BC type directly.
+    """
+    if bc == BCType.PERIODIC:
+        return _cat([sl(f, axis, -ng, None), f, sl(f, axis, 0, ng)], axis)
+    lo = _flip(sl(f, axis, 0, ng), axis)       # mirror: [f_{ng-1} .. f_0]
+    hi = _flip(sl(f, axis, -ng, None), axis)
+    if bc == BCType.OUTFLOW or (bc in (BCType.WALL, BCType.INFLOW) and kind == "neumann"):
+        return _cat([lo, f, hi], axis)
+    # Dirichlet value at the wall face
+    return _cat([2.0 * value - lo, f, 2.0 * value - hi], axis)
+
+
+def pad_tangential(f, axis: int, bc: BCType, ng: int = 1):
+    """Pad a velocity component along an axis it is cell-centered on."""
+    if bc == BCType.PERIODIC:
+        return _cat([sl(f, axis, -ng, None), f, sl(f, axis, 0, ng)], axis)
+    lo = _flip(sl(f, axis, 0, ng), axis)
+    hi = _flip(sl(f, axis, -ng, None), axis)
+    if bc == BCType.WALL:
+        return _cat([-lo, f, -hi], axis)            # no-slip: value 0 at wall
+    # OUTFLOW / INFLOW default: zero-gradient (inlet profile applied by caller)
+    return _cat([lo, f, hi], axis)
+
+
+def pad_normal(f, axis: int, bc: BCType, ng: int = 1):
+    """Pad a velocity component along its own (staggered) axis.
+
+    Periodic: stored faces are 0..N-1, wrap. Wall: faces 0..N stored with the
+    boundary faces in-array; ghosts are odd reflections about the boundary
+    face (2*f_bnd - f_interior) so interpolation/derivatives across the wall
+    see the Dirichlet face value.
+    """
+    if bc == BCType.PERIODIC:
+        return _cat([sl(f, axis, -ng, None), f, sl(f, axis, 0, ng)], axis)
+    b_lo = sl(f, axis, 0, 1)
+    b_hi = sl(f, axis, -1, None)
+    if bc == BCType.OUTFLOW:
+        lo = jnp.concatenate([b_lo] * ng, axis=axis)
+        hi = jnp.concatenate([b_hi] * ng, axis=axis)
+        return _cat([lo, f, hi], axis)
+    lo = 2.0 * b_lo - _flip(sl(f, axis, 1, 1 + ng), axis)
+    hi = 2.0 * b_hi - _flip(sl(f, axis, -1 - ng, -1), axis)
+    return _cat([lo, f, hi], axis)
+
+
+def face_pair(f, axis: int, bc: BCType) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(lo, hi) faces of every cell from a normal-velocity array.
+
+    lo[i] = face i, hi[i] = face i+1 of cell i; N values each.
+    """
+    if bc == BCType.PERIODIC:
+        return f, jnp.roll(f, -1, axis=axis)
+    return sl(f, axis, 0, -1), sl(f, axis, 1, None)
+
+
+def apply_velocity_bc(u, v, w, geom: Geometry):
+    """Re-impose Dirichlet boundary-face values on wall/inflow axes.
+
+    Only normal components store boundary faces; tangential wall conditions
+    are enforced through ghosts at operator time. Mirrors the reference's
+    apply_velocity_bc (src/solver_operators.cpp:43) minus ghost writes.
+    """
+    comps = [u, v, w]
+    for axis in range(3):
+        bc = geom.axes[axis].bc
+        if bc == BCType.WALL:
+            f = comps[axis]
+            idx_lo = [slice(None)] * 3
+            idx_lo[axis] = 0
+            idx_hi = [slice(None)] * 3
+            idx_hi[axis] = -1
+            f = f.at[tuple(idx_lo)].set(0.0).at[tuple(idx_hi)].set(0.0)
+            comps[axis] = f
+    return tuple(comps)

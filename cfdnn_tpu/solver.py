@@ -1,0 +1,256 @@
+"""Fractional-step incompressible Navier-Stokes solver.
+
+TPU-native rebuild of the reference RANSSolver (reference: include/
+solver.hpp:86-1123, src/solver.cpp:1200-2780 step(), src/solver_time.cpp
+SSP-RK2/RK3). The entire step — turbulence update, predictor, BCs, projection
+(direct FDM Poisson), correction, diagnostics — is one jitted pure function
+`state -> state`; XLA compilation subsumes the reference's CUDA-graph
+machinery (SURVEY 2.2) and persistent GPU mapping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (BCType, Config, ConvectiveScheme, PoissonSolverType,
+                     TimeIntegrator, TurbulenceModel)
+from .fields import State, velocity_shapes, zero_state
+from .mesh import Mesh
+from .ops import operators as ops
+from .ops.bc import apply_velocity_bc
+from .ops.grid import Geometry
+from .poisson.fdm import FDMPoissonSolver
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StepDiagnostics:
+    """Per-step scalars returned alongside the new state."""
+
+    residual: jax.Array        # max |u - u_old| (steady convergence)
+    div_linf: jax.Array        # post-projection max |div u|
+    dt: jax.Array
+    ke: jax.Array              # volume-averaged kinetic energy
+    nan_flag: jax.Array
+
+
+class Simulation:
+    """Owns mesh/config/geometry/Poisson operators and the compiled step."""
+
+    def __init__(self, cfg: Config, mesh: Optional[Mesh] = None):
+        cfg = cfg.finalize()
+        self.cfg = cfg
+        self.mesh = mesh or Mesh.from_config(cfg)
+        self.geom = Geometry.make(self.mesh, cfg)
+        self.dtype = jnp.dtype(cfg.dtype)
+        self.poisson = self._make_poisson()
+        self.poisson_selection_reason = self.poisson.name
+        from .turbulence import create_turbulence_model
+        self.turb = create_turbulence_model(cfg, self.mesh, self.geom)
+        self._step_jit = jax.jit(self._step_impl)
+        self._nsteps_jit = jax.jit(self._nsteps_impl, static_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    # Construction helpers
+    # ------------------------------------------------------------------
+
+    def _make_poisson(self):
+        cfg = self.cfg
+        sel = cfg.poisson_solver
+        if sel in (PoissonSolverType.AUTO, PoissonSolverType.FDM,
+                   PoissonSolverType.FFT, PoissonSolverType.FFT2D,
+                   PoissonSolverType.FFT1D):
+            try:
+                return FDMPoissonSolver(self.mesh, cfg)
+            except ValueError:
+                if sel != PoissonSolverType.AUTO:
+                    raise
+        from .poisson.multigrid import MGPoissonSolver
+        return MGPoissonSolver(self.mesh, cfg, self.geom)
+
+    def initial_state(self) -> State:
+        return zero_state(self.cfg)
+
+    # ------------------------------------------------------------------
+    # Physics pieces (all pure, traced under jit)
+    # ------------------------------------------------------------------
+
+    def _body_force(self):
+        """Constant driving force (-dp_dx/rho on u) (reference solver.cpp
+        predictor 1560-1722; force ramp/bulk controller TODO)."""
+        cfg = self.cfg
+        return -cfg.dp_dx / cfg.rho
+
+    def _momentum_rhs(self, comps, nu_t):
+        cfg, geom = self.cfg, self.geom
+        conv = ops.convective(comps, geom, cfg.convective_scheme)
+        if nu_t is None:
+            nu_eff = jnp.asarray(cfg.nu, self.dtype)
+        else:
+            nu_eff = cfg.nu + nu_t
+        diff = ops.diffusive(comps, nu_eff, geom)
+        fx = self._body_force()
+        ru = -conv[0] + diff[0] + fx
+        rv = -conv[1] + diff[1]
+        rw = -conv[2] + diff[2]
+        return ru, rv, rw
+
+    def _project(self, comps, dt):
+        """Divergence -> Poisson -> correction (reference solver.cpp
+        1914-2456; solver_time.cpp:736 project_velocity)."""
+        geom = self.geom
+        div = ops.divergence(comps, geom)
+        rhs = div / dt
+        p_corr = self.poisson.solve(rhs)
+        comps = ops.correct_velocity(comps, p_corr, dt, geom)
+        comps = apply_velocity_bc(*comps, geom)
+        return comps, p_corr
+
+    def _euler_substep(self, comps, nu_t, dt):
+        rhs = self._momentum_rhs(comps, nu_t)
+        star = tuple(c + dt * r for c, r in zip(comps, rhs))
+        return apply_velocity_bc(*star, self.geom)
+
+    def _advance_velocity(self, comps, nu_t, dt, p):
+        """One full time step of the velocity field with per-stage projection."""
+        ti = self.cfg.time_integrator
+        blend = lambda a, ca, b, cb: tuple(
+            ca * x + cb * y for x, y in zip(a, b))
+        if ti == TimeIntegrator.EULER:
+            star = self._euler_substep(comps, nu_t, dt)
+            out, pc = self._project(star, dt)
+            return out, p + pc
+        if ti == TimeIntegrator.RK2:
+            s1 = self._euler_substep(comps, nu_t, dt)
+            s1, pc1 = self._project(s1, dt)
+            s2 = self._euler_substep(s1, nu_t, dt)
+            s2 = blend(comps, 0.5, s2, 0.5)
+            s2 = apply_velocity_bc(*s2, self.geom)
+            s2, pc2 = self._project(s2, dt)
+            return s2, p + pc1 + pc2
+        # SSP-RK3 (reference solver_time.cpp:1303)
+        s1 = self._euler_substep(comps, nu_t, dt)
+        s1, pc1 = self._project(s1, dt)
+        s2 = self._euler_substep(s1, nu_t, dt)
+        s2 = blend(comps, 0.75, s2, 0.25)
+        s2 = apply_velocity_bc(*s2, self.geom)
+        s2, pc2 = self._project(s2, dt)
+        s3 = self._euler_substep(s2, nu_t, dt)
+        s3 = blend(comps, 1.0 / 3.0, s3, 2.0 / 3.0)
+        s3 = apply_velocity_bc(*s3, self.geom)
+        s3, pc3 = self._project(s3, dt)
+        return s3, p + pc1 + pc2 + pc3
+
+    def _adaptive_dt(self, comps, nu_t):
+        """Directional-CFL + diffusion-limit dt (reference solver.cpp:3369)."""
+        cfg, geom = self.cfg, self.geom
+        eps = jnp.asarray(1e-30, self.dtype)
+        dtx = cfg.CFL_xz * geom.x.h / jnp.maximum(jnp.max(jnp.abs(comps[0])), eps)
+        dy_min = jnp.min(geom.y.d)
+        dty = cfg.CFL_max * dy_min / jnp.maximum(jnp.max(jnp.abs(comps[1])), eps)
+        dt = jnp.minimum(dtx, dty)
+        if geom.z.n > 1:
+            dz_min = jnp.min(geom.z.d)
+            dtz = cfg.CFL_xz * dz_min / jnp.maximum(jnp.max(jnp.abs(comps[2])), eps)
+            dt = jnp.minimum(dt, dtz)
+        nu_max = jnp.asarray(cfg.nu, self.dtype)
+        if nu_t is not None:
+            nu_max = nu_max + jnp.max(nu_t)
+        inv_h2 = 1.0 / geom.x.h**2 + 1.0 / jnp.min(geom.y.d) ** 2
+        if geom.z.n > 1:
+            inv_h2 = inv_h2 + 1.0 / jnp.min(geom.z.d) ** 2
+        dt_visc = 0.25 / (nu_max * inv_h2)
+        return cfg.dt_safety * jnp.minimum(dt, dt_visc)
+
+    # ------------------------------------------------------------------
+    # The step
+    # ------------------------------------------------------------------
+
+    def _step_impl(self, state: State) -> Tuple[State, StepDiagnostics]:
+        cfg, geom = self.cfg, self.geom
+        comps = (state.u, state.v, state.w)
+        # turbulence advance + update (reference solver.cpp:1251-1324)
+        state = self.turb.advance(state, self, state.dt_prev)
+        nu_t = self.turb.nu_t(state, self)
+        if cfg.adaptive_dt:
+            dt = self._adaptive_dt(comps, nu_t)
+        else:
+            dt = jnp.asarray(cfg.dt, self.dtype)
+        new_comps, p = self._advance_velocity(comps, nu_t, dt, state.p)
+        div = ops.divergence(new_comps, geom)
+        res = jnp.max(jnp.abs(new_comps[0] - comps[0]))
+        ke = 0.5 * (jnp.mean(new_comps[0] ** 2) + jnp.mean(new_comps[1] ** 2)
+                    + jnp.mean(new_comps[2] ** 2))
+        nan_flag = ~jnp.isfinite(ke)
+        new_state = state.replace(
+            u=new_comps[0], v=new_comps[1], w=new_comps[2], p=p,
+            t=state.t + dt, step=state.step + 1, dt_prev=dt,
+            nu_t=nu_t if state.nu_t is not None else None,
+        )
+        diags = StepDiagnostics(
+            residual=res, div_linf=jnp.max(jnp.abs(div)), dt=dt, ke=ke,
+            nan_flag=nan_flag,
+        )
+        return new_state, diags
+
+    def _nsteps_impl(self, state: State, n: int) -> Tuple[State, StepDiagnostics]:
+        """n steps fused in one XLA program (benchmark/throughput mode)."""
+        first = self._step_impl(state)
+        if n == 1:
+            return first
+
+        def body(carry, _):
+            st, _ = carry
+            return self._step_impl(st), None
+
+        (state, diags), _ = jax.lax.scan(body, first, None, length=n - 1)
+        return state, diags
+
+    # ------------------------------------------------------------------
+    # Public API (reference solver.hpp:86-1123)
+    # ------------------------------------------------------------------
+
+    def step(self, state: State) -> Tuple[State, StepDiagnostics]:
+        return self._step_jit(state)
+
+    def run(self, state: State, n: int) -> Tuple[State, StepDiagnostics]:
+        return self._nsteps_jit(state, n)
+
+    def solve_steady(self, state: State, tol: Optional[float] = None,
+                     max_steps: Optional[int] = None,
+                     callback: Optional[Callable] = None):
+        """Iterate to steady state (reference solver.cpp:2789 solve_steady)."""
+        cfg = self.cfg
+        tol = cfg.tol if tol is None else tol
+        max_steps = cfg.max_steps if max_steps is None else max_steps
+        check = max(1, cfg.diag_interval)
+        diags = None
+        for it in range(max_steps):
+            state, diags = self.step(state)
+            if (it + 1) % check == 0:
+                res = float(diags.residual)
+                dtv = float(diags.dt)
+                if callback:
+                    callback(it + 1, state, diags)
+                if not np.isfinite(res):
+                    raise FloatingPointError(
+                        f"NaN/Inf detected at step {it + 1}")
+                if res < tol * max(dtv, 1e-30):
+                    break
+        return state, diags
+
+    def advance_unsteady(self, state: State, n_steps: int,
+                         callback: Optional[Callable] = None):
+        if callback is None:
+            return self.run(state, n_steps)
+        diags = None
+        for it in range(n_steps):
+            state, diags = self.step(state)
+            callback(it + 1, state, diags)
+        return state, diags

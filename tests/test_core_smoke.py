@@ -1,0 +1,179 @@
+"""Core-slice smoke + correctness tests: mesh, operators, Poisson, projection.
+
+Modeled on the reference unit/operator suites (tests/test_mesh.cpp,
+test_div_constant.cpp, test_mg_manufactured_solution.cpp,
+test_projection_*.cpp, test_stretched_gradient.cpp).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cfdnn_tpu import (BCType, Config, Mesh, Simulation, State,
+                       TimeIntegrator, zero_state)
+from cfdnn_tpu.fields import velocity_shapes
+from cfdnn_tpu.ops import operators as ops
+from cfdnn_tpu.ops.grid import Geometry
+from cfdnn_tpu.poisson.fdm import FDMPoissonSolver
+
+
+def _cfg(**kw):
+    kw.setdefault("dtype", "float64")
+    return Config(**kw).finalize()
+
+
+# ---------------------------------------------------------------------------
+# Mesh
+# ---------------------------------------------------------------------------
+
+class TestMesh:
+    def test_uniform(self):
+        m = Mesh.from_config(_cfg(Nx=16, Ny=8, Nz=4))
+        assert m.x.faces.shape == (17,)
+        np.testing.assert_allclose(m.x.d, m.x.d[0])
+        np.testing.assert_allclose(m.y.centers,
+                                   0.5 * (m.y.faces[:-1] + m.y.faces[1:]))
+
+    def test_stretched_y(self):
+        m = Mesh.from_config(_cfg(Ny=64, stretch_y=True, stretch_beta=2.0))
+        assert m.y.faces[0] == pytest.approx(-1.0)
+        assert m.y.faces[-1] == pytest.approx(1.0)
+        # clustering: wall cells much smaller than center cells
+        assert m.y.d[0] < 0.5 * m.y.d[32]
+        # strictly increasing
+        assert np.all(np.diff(m.y.faces) > 0)
+
+    def test_laplacian_metrics_row_sum(self):
+        m = Mesh.from_config(_cfg(Ny=32, stretch_y=True))
+        aS, aP, aN = m.y.laplacian_metrics(periodic=False)
+        # Neumann operator annihilates constants
+        np.testing.assert_allclose(aS + aP + aN, 0.0, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+
+class TestOperators:
+    def _setup(self, **kw):
+        cfg = _cfg(**kw)
+        mesh = Mesh.from_config(cfg)
+        geom = Geometry.make(mesh, cfg)
+        return cfg, mesh, geom
+
+    def test_div_constant_field(self):
+        """Divergence of a uniform velocity field is exactly zero
+        (reference tests/test_div_constant.cpp)."""
+        for stretch in (False, True):
+            cfg, mesh, geom = self._setup(Nx=16, Ny=16, Nz=8,
+                                          stretch_y=stretch)
+            su, sv, sw = velocity_shapes(cfg)
+            comps = (jnp.full(su, 1.7), jnp.zeros(sv), jnp.full(sw, -0.3))
+            div = ops.divergence(comps, geom)
+            assert float(jnp.max(jnp.abs(div))) < 1e-14
+
+    def test_laplacian_consistency_DG(self, record_qoi):
+        """L(p) == D(G(p)) by construction; check against FDM eigensolve."""
+        cfg, mesh, geom = self._setup(Nx=16, Ny=24, Nz=8, stretch_y=True)
+        rng = np.random.default_rng(0)
+        p = jnp.asarray(rng.standard_normal((16, 24, 8)))
+        lap = ops.laplacian(p, geom)
+        # solve then re-apply: must reproduce mean-free rhs
+        solver = FDMPoissonSolver(mesh, cfg)
+        rhs = lap  # in the range of L by construction (d-weighted mean zero)
+        p2 = solver.solve(rhs)
+        lap2 = ops.laplacian(p2, geom)
+        err = float(jnp.max(jnp.abs(lap2 - rhs)))
+        scale = float(jnp.max(jnp.abs(rhs)))
+        record_qoi("fdm_roundtrip_linf", err / scale)
+        assert err / scale < 1e-11
+
+    def test_gradient_of_linear_field(self):
+        """cc/ff derivatives are exact for linear fields, incl. stretched."""
+        cfg, mesh, geom = self._setup(Nx=8, Ny=16, Nz=4, stretch_y=True,
+                                      bc_y=BCType.WALL)
+        yc = mesh.y.centers
+        f = jnp.asarray(np.broadcast_to(
+            (2.0 * yc + 1.0)[None, :, None], (8, 16, 4)).copy())
+        g = ops.cc_central(f, 1, geom.y)
+        # interior only: wall ghosts assume odd reflection (no-slip), not linear
+        interior = np.asarray(g)[:, 2:-2, :]
+        np.testing.assert_allclose(interior, 2.0, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Poisson manufactured solutions (reference test_mg_manufactured_solution.cpp)
+# ---------------------------------------------------------------------------
+
+class TestPoissonFDM:
+    @pytest.mark.parametrize("bc_y", [BCType.PERIODIC, BCType.WALL])
+    @pytest.mark.parametrize("stretch", [False, True])
+    def test_manufactured(self, bc_y, stretch, record_qoi):
+        if bc_y == BCType.PERIODIC and stretch:
+            pytest.skip("stretched periodic unsupported by FDM (MG case)")
+        cfg = _cfg(Nx=32, Ny=48, Nz=16, bc_y=bc_y, stretch_y=stretch,
+                   y_min=0.0, y_max=1.0, z_max=2 * np.pi)
+        mesh = Mesh.from_config(cfg)
+        geom = Geometry.make(mesh, cfg)
+        solver = FDMPoissonSolver(mesh, cfg)
+        xc, yc, zc = mesh.x.centers, mesh.y.centers, mesh.z.centers
+        X, Y, Z = np.meshgrid(xc, yc, zc, indexing="ij")
+        if bc_y == BCType.WALL:
+            p_exact = np.cos(X) * np.cos(np.pi * Y) * np.cos(Z)
+        else:
+            p_exact = np.cos(X) * np.cos(2 * np.pi * Y) * np.cos(Z)
+        p_exact -= p_exact.mean()
+        rhs = ops.laplacian(jnp.asarray(p_exact), geom)
+        p = solver.solve(rhs)
+        err = float(jnp.max(jnp.abs(p - p_exact)))
+        record_qoi(f"poisson_mms_{bc_y.value}_{int(stretch)}", err)
+        # direct solver: discrete solution to machine precision
+        assert err < 1e-10
+
+    def test_2d_channel_shape(self):
+        cfg = _cfg(Nx=32, Ny=64, Nz=1)
+        mesh = Mesh.from_config(cfg)
+        solver = FDMPoissonSolver(mesh, cfg)
+        rhs = jnp.asarray(np.random.default_rng(1).standard_normal((32, 64, 1)))
+        p = solver.solve(rhs)
+        assert p.shape == (32, 64, 1)
+        assert float(jnp.abs(jnp.mean(p))) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Projection effectiveness (reference baseline div_after_max = 2.06e-11)
+# ---------------------------------------------------------------------------
+
+class TestProjection:
+    @pytest.mark.parametrize("stretch", [False, True])
+    def test_projection_kills_divergence(self, stretch, record_qoi):
+        cfg = _cfg(Nx=24, Ny=32, Nz=12, stretch_y=stretch, dt=0.01,
+                   adaptive_dt=False)
+        sim = Simulation(cfg)
+        rng = np.random.default_rng(2)
+        su, sv, sw = velocity_shapes(cfg)
+        comps = tuple(jnp.asarray(rng.standard_normal(s)) for s in (su, sv, sw))
+        from cfdnn_tpu.ops.bc import apply_velocity_bc
+        comps = apply_velocity_bc(*comps, sim.geom)
+        div0 = float(jnp.max(jnp.abs(ops.divergence(comps, sim.geom))))
+        out, _ = sim._project(comps, jnp.asarray(0.01))
+        div1 = float(jnp.max(jnp.abs(ops.divergence(out, sim.geom))))
+        record_qoi(f"projection_div_after_{int(stretch)}", div1)
+        assert div1 < 1e-11 * max(1.0, div0)
+
+
+# ---------------------------------------------------------------------------
+# Step smoke (Euler/RK2/RK3 run and stay finite)
+# ---------------------------------------------------------------------------
+
+class TestStepSmoke:
+    @pytest.mark.parametrize("ti", list(TimeIntegrator))
+    def test_step_runs(self, ti):
+        cfg = _cfg(Nx=16, Ny=24, Nz=8, dt=1e-3, adaptive_dt=False,
+                   time_integrator=ti, nu=0.05, nu_specified=True)
+        sim = Simulation(cfg)
+        from cfdnn_tpu import perturbed_channel
+        state = perturbed_channel(cfg, sim.mesh)
+        state, d = sim.step(state)
+        assert np.isfinite(float(d.ke))
+        assert float(d.div_linf) < 1e-10
