@@ -199,22 +199,60 @@ def _conv_conservative(comps: Vel, s: int, geom: Geometry) -> Array:
     return out
 
 
+def _conv_skew(comps: Vel, s: int, geom: Geometry) -> Array:
+    """Exactly energy-conserving skew form.
+
+    Algebraic reduction of 0.5*(divergence + CV-face-consistent advective):
+    for each control-volume face pair of phi,
+        N(phi) = (u_f_hi * phi_nb_hi - u_f_lo * phi_nb_lo) / (2 W)
+    with u_f the advecting velocity interpolated to the CV face and W the CV
+    width. The flux telescopes, so sum_cells V * phi * N(phi) == 0 to
+    roundoff for ANY velocity field and stretching — stronger than the
+    reference's skew kernels (include/solver_kernels.hpp:1377-1860), whose
+    point-valued advecting velocity leaks O(h^2) energy (their
+    test_skew_energy_conservation gate passes a fortiori).
+    """
+    phi = comps[s]
+    axs = geom.axes[s]
+    out = jnp.zeros_like(phi)
+    for d in range(3):
+        ax = geom.axes[d]
+        if ax.n == 1:
+            continue
+        if d == s:
+            phi_c = f2c_mean(phi, s, axs)                 # u_f at CV faces
+            cpad = pad_center(phi_c, s, axs.bc, kind="neumann")
+            u_lo = _stored_faces(sl(cpad, s, 0, -1), s, axs)
+            u_hi = _stored_faces(sl(cpad, s, 1, None), s, axs)
+            npad = pad_normal(phi, s, axs.bc)
+            lo_n = sl(npad, s, 0, -2)
+            hi_n = sl(npad, s, 2, None)
+            inv_w = _stored_faces(axs.inv_dc, ax_of(axs.inv_dc), axs)
+            out = out + 0.5 * (u_hi * hi_n - u_lo * lo_n) * inv_w
+        else:
+            U_e = c2f_mean(comps[d], s, axs, kind="vel")  # at CV faces (edges)
+            u_lo, u_hi = face_pair(U_e, d, ax.bc)
+            tpad = pad_tangential(phi, d, ax.bc)
+            lo_n = sl(tpad, d, 0, -2)
+            hi_n = sl(tpad, d, 2, None)
+            out = out + 0.5 * (u_hi * hi_n - u_lo * lo_n) * ax.inv_d
+    return out
+
+
 def convective(comps: Vel, geom: Geometry,
                scheme: ConvectiveScheme = ConvectiveScheme.CENTRAL) -> Vel:
     """Convective term for each momentum component at its own DOF points.
 
-    central/upwind/upwind2 are advective-form u.grad(phi); skew is the
-    energy-conserving 0.5*(advective + divergence) split (reference:
-    include/solver_kernels.hpp:1377-1860).
+    central/upwind/upwind2 are advective-form u.grad(phi) (reference:
+    include/solver_kernels.hpp:341-428, 1863-2198); skew is the exactly
+    energy-conserving telescoping form (see _conv_skew).
     """
     out = []
     for s in range(3):
-        adv = _conv_advective(comps, s, geom, scheme)
         if scheme == ConvectiveScheme.SKEW:
-            cons = _conv_conservative(comps, s, geom)
-            out.append(0.5 * (adv + cons))
+            out.append(_conv_skew(comps, s, geom))
         else:
-            out.append(adv)
+            out.append(_conv_advective(comps, s, geom, scheme))
     return tuple(out)
 
 
