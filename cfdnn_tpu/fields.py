@@ -67,12 +67,17 @@ class State:
 
 
 def _needs_transport(model: TurbulenceModel) -> bool:
+    """Models whose state carries (k, omega) arrays: the two-equation
+    transport family plus TBNN (which keeps an algebraic k/omega estimate
+    for its normalization timescale, reference turbulence_nn_tbnn.cpp
+    estimate_k)."""
     return model in (
         TurbulenceModel.SST,
         TurbulenceModel.KOMEGA,
         TurbulenceModel.EARSM_WJ,
         TurbulenceModel.EARSM_GS,
         TurbulenceModel.EARSM_POPE,
+        TurbulenceModel.NN_TBNN,
     )
 
 

@@ -77,6 +77,12 @@ class Simulation:
     def initial_state(self) -> State:
         return zero_state(self.cfg)
 
+    def initialize(self, state: State) -> State:
+        """Model-specific state initialization (k/omega estimates etc.,
+        reference RANSSolver::initialize -> turb_model->initialize,
+        src/solver.cpp:1060)."""
+        return self.turb.initialize(state, self)
+
     # ------------------------------------------------------------------
     # Physics pieces (all pure, traced under jit)
     # ------------------------------------------------------------------

@@ -1,0 +1,229 @@
+"""LES subgrid-scale models: Smagorinsky, WALE, Vreman, Sigma, dynamic
+Smagorinsky.
+
+TPU-native rebuild of the reference LES family (reference: include/
+turbulence_les.hpp:24-156, src/turbulence_les.cpp per-cell nu_sgs kernels,
+src/turbulence_les_dynamic_{germano,apply}.cpp two-pass Germano pipeline).
+Each model is one fused jnp expression: gradient tensor -> nu_sgs, exactly
+the fused gradient+nu_sgs GPU kernel the reference hand-writes per model.
+The dynamic model's plane averages are plain jnp means over (x,z), which
+under GSPMD become the reference's MPI allreduce of plane sums
+(src/turbulence_les_dynamic_*.cpp set_decomposition) for free.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BCType
+from .base import (TurbulenceModelBase, cell_center_velocity, filter_width,
+                   strain_rotation)
+
+
+class LESModelBase(TurbulenceModelBase):
+    """Shared: gradient tensor -> per-cell nu_sgs (subclass hook)."""
+
+    def __init__(self, cfg, mesh, geom):
+        self.cfg = cfg
+        self.delta = None  # computed lazily from geometry
+
+    def _nu_sgs(self, sr, delta):
+        raise NotImplementedError
+
+    def nu_t(self, state, sim):
+        sr = strain_rotation((state.u, state.v, state.w), sim.geom)
+        return self._nu_sgs(sr, filter_width(sim.geom))
+
+
+class SmagorinskyModel(LESModelBase):
+    """nu_sgs = (Cs Delta)^2 |S| (reference turbulence_les.hpp:55-66)."""
+
+    name = "Smagorinsky"
+
+    def __init__(self, cfg, mesh, geom, Cs: float = 0.17):
+        super().__init__(cfg, mesh, geom)
+        self.Cs = Cs
+
+    def _nu_sgs(self, sr, delta):
+        return (self.Cs * delta) ** 2 * sr.S_mag
+
+
+class WALEModel(LESModelBase):
+    """Wall-Adapting Local Eddy viscosity (Nicoud & Ducros 1999).
+
+    nu_sgs = (Cw D)^2 (Sd:Sd)^{3/2} / ((S:S)^{5/2} + (Sd:Sd)^{5/4}),
+    Sd_ij = 0.5(g_ik g_kj + g_jk g_ki) - (1/3) d_ij tr(g g)
+    (reference turbulence_les.hpp:68-84).
+    """
+
+    name = "WALE"
+
+    def __init__(self, cfg, mesh, geom, Cw: float = 0.325):
+        super().__init__(cfg, mesh, geom)
+        self.Cw = Cw
+
+    def _nu_sgs(self, sr, delta):
+        g = sr.G
+        # g2 = g.g (matrix square)
+        g2 = [[sum(g[i][m] * g[m][j] for m in range(3)) for j in range(3)]
+              for i in range(3)]
+        tr_g2 = g2[0][0] + g2[1][1] + g2[2][2]
+        SdSd = 0.0
+        for i in range(3):
+            for j in range(3):
+                Sd = 0.5 * (g2[i][j] + g2[j][i])
+                if i == j:
+                    Sd = Sd - tr_g2 / 3.0
+                SdSd = SdSd + Sd * Sd
+        SS = 0.5 * sr.S_mag**2   # S:S = S_mag^2 / 2
+        denom = SS ** 2.5 + SdSd ** 1.25 + 1e-30
+        return (self.Cw * delta) ** 2 * SdSd ** 1.5 / denom
+
+
+class VremanModel(LESModelBase):
+    """Vreman (2004): nu_sgs = Cv sqrt(B_beta / (a:a)), a_ij = g_ji,
+    beta = Delta^2 a^T a (reference turbulence_les.hpp:86-99)."""
+
+    name = "Vreman"
+
+    def __init__(self, cfg, mesh, geom, Cv: float = 0.07):
+        super().__init__(cfg, mesh, geom)
+        self.Cv = Cv
+
+    def _nu_sgs(self, sr, delta):
+        g = sr.G
+        a = [[g[j][i] for j in range(3)] for i in range(3)]  # a_ij = duj/dxi
+        aa = sum(a[i][j] * a[i][j] for i in range(3) for j in range(3))
+        d2 = delta * delta
+        b = [[d2 * sum(a[m][i] * a[m][j] for m in range(3))
+              for j in range(3)] for i in range(3)]
+        Bb = (b[0][0] * b[1][1] - b[0][1] ** 2
+              + b[0][0] * b[2][2] - b[0][2] ** 2
+              + b[1][1] * b[2][2] - b[1][2] ** 2)
+        Bb = jnp.maximum(Bb, 0.0)
+        return self.Cv * jnp.sqrt(Bb / jnp.maximum(aa, 1e-30))
+
+
+def _sym3_eigvals(m11, m22, m33, m12, m13, m23):
+    """Eigenvalues (descending) of a symmetric 3x3 field, analytic
+    trigonometric method (vectorized; no lax loops — pure VPU math)."""
+    q = (m11 + m22 + m33) / 3.0
+    d11, d22, d33 = m11 - q, m22 - q, m33 - q
+    p2 = (d11 * d11 + d22 * d22 + d33 * d33
+          + 2.0 * (m12 * m12 + m13 * m13 + m23 * m23))
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-60))
+    # det(B) with B = (M - qI)/p
+    ip = 1.0 / p
+    b11, b22, b33 = d11 * ip, d22 * ip, d33 * ip
+    b12, b13, b23 = m12 * ip, m13 * ip, m23 * ip
+    detB = (b11 * (b22 * b33 - b23 * b23)
+            - b12 * (b12 * b33 - b23 * b13)
+            + b13 * (b12 * b23 - b22 * b13))
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * np.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    return e1, e2, e3
+
+
+class SigmaModel(LESModelBase):
+    """Sigma model (Nicoud et al. 2011): nu_sgs = (Cs D)^2 s3(s1-s2)(s2-s3)/s1^2
+    with s1>=s2>=s3 the singular values of g (reference
+    turbulence_les.hpp:101-113)."""
+
+    name = "Sigma"
+
+    def __init__(self, cfg, mesh, geom, Cs: float = 1.35):
+        super().__init__(cfg, mesh, geom)
+        self.Cs = Cs
+
+    def _nu_sgs(self, sr, delta):
+        g = sr.G
+        # Gram matrix G^T G (SPD); singular values = sqrt(eigvals)
+        m = [[sum(g[k][i] * g[k][j] for k in range(3)) for j in range(3)]
+             for i in range(3)]
+        e1, e2, e3 = _sym3_eigvals(m[0][0], m[1][1], m[2][2],
+                                   m[0][1], m[0][2], m[1][2])
+        s1 = jnp.sqrt(jnp.maximum(e1, 0.0))
+        s2 = jnp.sqrt(jnp.maximum(e2, 0.0))
+        s3 = jnp.sqrt(jnp.maximum(e3, 0.0))
+        num = s3 * (s1 - s2) * (s2 - s3)
+        return (self.Cs * delta) ** 2 * num / jnp.maximum(s1 * s1, 1e-30)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic Smagorinsky
+# ---------------------------------------------------------------------------
+
+
+def _box_filter(f, geom):
+    """3-point box filter along each non-trivial axis with wall truncation.
+
+    Periodic axes wrap; wall/inflow axes renormalize by the in-domain weight
+    (the reference's mlo/mhi masks, src/turbulence_les_dynamic_germano.cpp
+    tbf/tbf2d). Separable == the reference's 27-point box filter.
+    """
+    w = jnp.ones_like(f)
+    for axis in range(3):
+        ax = geom.axes[axis]
+        if ax.n <= 1:
+            continue
+        def smooth(x):
+            if ax.bc == BCType.PERIODIC:
+                lo = jnp.roll(x, 1, axis)
+                hi = jnp.roll(x, -1, axis)
+            else:
+                zeros_lo = jnp.zeros_like(
+                    jnp.take(x, jnp.asarray([0]), axis=axis))
+                lo = jnp.concatenate(
+                    [zeros_lo, jnp.take(x, jnp.arange(x.shape[axis] - 1), axis=axis)],
+                    axis=axis)
+                hi = jnp.concatenate(
+                    [jnp.take(x, jnp.arange(1, x.shape[axis]), axis=axis), zeros_lo],
+                    axis=axis)
+            return lo + x + hi
+        f = smooth(f)
+        w = smooth(w)
+    return f / w
+
+
+class DynamicSmagorinskyModel(LESModelBase):
+    """Germano-identity dynamic model with x-z plane-averaged Cs^2(y).
+
+    Rebuild of the reference two-pass GPU pipeline (src/turbulence_les_
+    dynamic_germano.cpp dsmag_pass1_germano, _apply.cpp dsmag_pass2_apply):
+    L_ij = box(u_i u_j) - box(u_i) box(u_j) at test filter 2 Delta,
+    M_ij = 3 Delta^2 |S| S_ij (the reference's same-level approximation),
+    Cs^2(y) = clip(<L:M>_{xz} / <M:M>_{xz}, 0, 0.5),
+    nu_sgs = Cs^2(y) Delta^2 |S|.
+    """
+
+    name = "DynamicSmagorinsky"
+
+    def nu_t(self, state, sim):
+        geom = sim.geom
+        comps = (state.u, state.v, state.w)
+        sr = strain_rotation(comps, geom)
+        delta = filter_width(geom)
+        S, Sm = sr.S, sr.S_mag
+        fac = 3.0 * delta * delta * Sm
+        ucc = cell_center_velocity(comps, geom)
+
+        LM = jnp.zeros_like(Sm)
+        MM = jnp.zeros_like(Sm)
+        ubar = [_box_filter(u, geom) for u in ucc]
+        for i in range(3):
+            for j in range(i, 3):
+                wgt = 1.0 if i == j else 2.0
+                Lij = _box_filter(ucc[i] * ucc[j], geom) - ubar[i] * ubar[j]
+                Mij = fac * S[i][j]
+                LM = LM + wgt * Lij * Mij
+                MM = MM + wgt * Mij * Mij
+        # x-z plane averages (homogeneous dirs); psum across shards via GSPMD
+        lm = jnp.sum(LM, axis=(0, 2), keepdims=True)
+        mm = jnp.sum(MM, axis=(0, 2), keepdims=True)
+        cs2 = jnp.where(mm > 1e-30, lm / jnp.where(mm > 1e-30, mm, 1.0), 0.0)
+        cs2 = jnp.clip(cs2, 0.0, 0.5)
+        return cs2 * delta * delta * Sm

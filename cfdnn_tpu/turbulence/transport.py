@@ -1,0 +1,275 @@
+"""Two-equation k-omega transport models: SST (Menter 1994) and standard
+Wilcox k-omega.
+
+TPU-native rebuild of the reference SSTKOmegaTransport / KOmegaTransport
+(reference: include/turbulence_transport.hpp:32-281, src/turbulence_
+transport.cpp sst_cell_kernel :66-195 and advance_turbulence :605/:1012):
+one fused jnp pass computes gradients, F1 blending, limited production,
+upwind advection, central diffusion, the cross-diffusion term, and the
+point-implicit destruction update for the whole grid. Wall BCs (k = 0,
+omega_wall = 60 nu / (beta1 y1^2) x10) enter through ghost values, exactly
+the reference's ghost extrapolation (apply_wall_bc_k/_omega :547-604).
+
+The reference kernel is 2-D (x-y); this build extends advection/diffusion/
+strain to all non-trivial axes, which reduces to the reference's scheme on
+2-D meshes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..config import BCType
+from ..ops.bc import sl
+from .base import (TurbulenceModelBase, cell_center_velocity,
+                   k_omega_channel_estimate, strain_rotation, wall_distance)
+
+
+@dataclasses.dataclass(frozen=True)
+class SSTConstants:
+    """Menter SST constants (reference turbulence_transport.hpp:32-66)."""
+
+    sigma_k1: float = 0.85
+    sigma_omega1: float = 0.5
+    beta1: float = 0.075
+    alpha1: float = 5.0 / 9.0
+    sigma_k2: float = 1.0
+    sigma_omega2: float = 0.856
+    beta2: float = 0.0828
+    alpha2: float = 0.44
+    beta_star: float = 0.09
+    a1: float = 0.31
+    kappa: float = 0.41
+    CD_omega_min: float = 1e-10
+    k_min: float = 1e-10
+    omega_min: float = 1e-10
+    k_max: float = 100.0
+    omega_max: float = 1e8
+
+
+@dataclasses.dataclass(frozen=True)
+class KOmegaConstants:
+    """Wilcox 1988 constants (reference turbulence_transport.hpp:68-80)."""
+
+    sigma_k: float = 0.5
+    sigma_omega: float = 0.5
+    beta: float = 0.075
+    beta_star: float = 0.09
+    alpha: float = 5.0 / 9.0
+    k_min: float = 1e-10
+    omega_min: float = 1e-10
+    k_max: float = 100.0
+    omega_max: float = 1e8
+
+
+# ---------------------------------------------------------------------------
+# Scalar-transport operator helpers (ghost-aware, stretched-capable)
+# ---------------------------------------------------------------------------
+
+
+def _pad_scalar(f, axis, ax, wall_value):
+    """1-ghost pad of a cell scalar: periodic wrap; wall => Dirichlet
+    `wall_value` at the wall face (ghost = 2 v - interior); else mirror."""
+    if ax.bc == BCType.PERIODIC:
+        return jnp.concatenate(
+            [sl(f, axis, -1, None), f, sl(f, axis, 0, 1)], axis)
+    in_lo, in_hi = sl(f, axis, 0, 1), sl(f, axis, -1, None)
+    if ax.bc == BCType.WALL and wall_value is not None:
+        g_lo = 2.0 * wall_value - in_lo
+        g_hi = 2.0 * wall_value - in_hi
+    else:  # inflow/outflow or natural: zero-gradient
+        g_lo, g_hi = in_lo, in_hi
+    return jnp.concatenate([g_lo, f, g_hi], axis)
+
+
+def _axis_terms(f_pad, f, axis, ax, vel_c):
+    """(upwind advection, diffusion-laplacian, central gradient) along axis."""
+    from ..ops.operators import _inv_dpos_c, ax_of
+    pos = ax.pos_c_pad
+    a = ax_of(pos)
+    den_c = sl(pos, a, 2, None) - sl(pos, a, 0, -2)
+    grad_c = (sl(f_pad, axis, 2, None) - sl(f_pad, axis, 0, -2)) / den_c
+    # upwind first-order
+    den_b = sl(pos, a, 1, -1) - sl(pos, a, 0, -2)
+    den_f = sl(pos, a, 2, None) - sl(pos, a, 1, -1)
+    back = (f - sl(f_pad, axis, 0, -2)) / den_b
+    fwd = (sl(f_pad, axis, 2, None) - f) / den_f
+    adv = vel_c * jnp.where(vel_c >= 0.0, back, fwd)
+    # laplacian: face gradients with ghost-aware spacing -> divergence
+    g_face = (sl(f_pad, axis, 1, None) - sl(f_pad, axis, 0, -1)) * _inv_dpos_c(ax)
+    lap = (sl(g_face, axis, 1, None) - sl(g_face, axis, 0, -1)) * ax.inv_d
+    return adv, lap, grad_c
+
+
+def _transport_terms(f, geom, vel_cc, wall_value):
+    """Sum upwind advection / laplacian / central gradients over all axes."""
+    adv = jnp.zeros_like(f)
+    lap = jnp.zeros_like(f)
+    grads = []
+    for axis in range(3):
+        ax = geom.axes[axis]
+        if ax.n <= 1:
+            grads.append(jnp.zeros_like(f))
+            continue
+        wv = wall_value if ax.bc == BCType.WALL else None
+        f_pad = _pad_scalar(f, axis, ax, wv)
+        a, l, g = _axis_terms(f_pad, f, axis, ax, vel_cc[axis])
+        adv, lap = adv + a, lap + l
+        grads.append(g)
+    return adv, lap, grads
+
+
+class SSTTransport(TurbulenceModelBase):
+    """SST k-omega transport + SST strain-limited closure."""
+
+    name = "SSTKOmega"
+    uses_transport = True
+
+    def __init__(self, cfg, mesh, geom, constants: SSTConstants = SSTConstants()):
+        self.c = constants
+        self.nu = cfg.nu
+        self.y_wall = wall_distance(mesh, cfg, geom.dtype)
+        # wall-adjacent distance y1 per wall for the omega wall value
+        self.has_wall = cfg.bc_y == BCType.WALL
+
+    def _omega_wall(self):
+        """omega_wall = 10 x 6 nu / (beta1 y1^2) (reference :576-585)."""
+        return None  # computed per axis below via wall distance field
+
+    def initialize(self, state, sim):
+        k, om = k_omega_channel_estimate(
+            (state.u, state.v, state.w), sim.geom, self.y_wall, self.nu,
+            C_mu=self.c.beta_star)
+        return state.replace(k=k, omega=om)
+
+    # -- the fused advance kernel -----------------------------------------
+
+    def advance(self, state, sim, dt):
+        c, geom = self.c, sim.geom
+        comps = (state.u, state.v, state.w)
+        k = jnp.maximum(state.k, c.k_min)
+        om = jnp.maximum(state.omega, c.omega_min)
+        nu_t = state.nu_t if state.nu_t is not None else jnp.zeros_like(k)
+        nu_t = jnp.maximum(nu_t, 0.0)
+        y = jnp.maximum(self.y_wall, 1e-10)
+
+        vel_cc = cell_center_velocity(comps, geom)
+        sr = strain_rotation(comps, geom)
+        S2 = sr.S_mag**2
+
+        # omega wall Dirichlet value from the local first-cell distance:
+        # broadcast y1 (min wall distance) — matches reference per-wall y1
+        y1 = jnp.min(self.y_wall) if self.has_wall else None
+        om_wall = None
+        if self.has_wall:
+            om_wall = jnp.minimum(
+                10.0 * 6.0 * self.nu / (c.beta1 * y1 * y1), c.omega_max)
+
+        adv_k, lap_k_unit, gk = _transport_terms(k, geom, vel_cc, 0.0)
+        adv_om, lap_om_unit, gom = _transport_terms(om, geom, vel_cc, om_wall)
+
+        # cross-diffusion and F1 (reference :111-123)
+        gkgo = sum(a * b for a, b in zip(gk, gom))
+        CD_omega = jnp.maximum(2.0 * c.sigma_omega2 / om * gkgo, c.CD_omega_min)
+        sqrt_k = jnp.sqrt(k)
+        arg1 = jnp.maximum(sqrt_k / (c.beta_star * om * y),
+                           500.0 * self.nu / (y * y * om))
+        arg1 = jnp.minimum(arg1, 4.0 * c.sigma_omega2 * k / (CD_omega * y * y))
+        F1 = jnp.tanh(arg1**4)
+
+        beta = F1 * c.beta1 + (1.0 - F1) * c.beta2
+        alpha = F1 * c.alpha1 + (1.0 - F1) * c.alpha2
+        sigma_k = F1 * c.sigma_k1 + (1.0 - F1) * c.sigma_k2
+        sigma_om = F1 * c.sigma_omega1 + (1.0 - F1) * c.sigma_omega2
+
+        nu_k = self.nu + sigma_k * nu_t
+        nu_om = self.nu + sigma_om * nu_t
+
+        # limited production (reference :136-138)
+        P_k = jnp.minimum(2.0 * nu_t * S2, 10.0 * c.beta_star * k * om)
+        CD = jnp.maximum(2.0 * (1.0 - F1) * c.sigma_omega2 / om * gkgo, 0.0)
+
+        # point-implicit destruction (reference :168-186)
+        src_k = P_k + nu_k * lap_k_unit - adv_k
+        src_om = alpha * (om / k) * P_k + nu_om * lap_om_unit - adv_om + CD
+        k_new = (k + dt * src_k) / (1.0 + dt * c.beta_star * om)
+        om_new = (om + dt * src_om) / (1.0 + dt * beta * om)
+
+        k_new = jnp.clip(k_new, c.k_min, c.k_max)
+        om_new = jnp.clip(om_new, c.omega_min, c.omega_max)
+        return state.replace(k=k_new, omega=om_new)
+
+    # -- closure: nu_t = a1 k / max(a1 om, S F2) (reference :244-305) -----
+
+    def nu_t(self, state, sim):
+        c = self.c
+        k = jnp.maximum(state.k, c.k_min)
+        om = jnp.maximum(state.omega, c.omega_min)
+        y = jnp.maximum(self.y_wall, 1e-10)
+        sr = strain_rotation((state.u, state.v, state.w), sim.geom)
+        arg2 = jnp.maximum(2.0 * jnp.sqrt(k) / (c.beta_star * om * y),
+                           500.0 * self.nu / (y * y * om))
+        F2 = jnp.tanh(arg2**2)
+        nut = c.a1 * k / jnp.maximum(c.a1 * om, sr.S_mag * F2)
+        return jnp.clip(nut, 0.0, 1000.0 * self.nu)
+
+
+class KOmegaTransport(TurbulenceModelBase):
+    """Wilcox 1988 k-omega (reference turbulence_transport.cpp :1012-1122)."""
+
+    name = "KOmega"
+    uses_transport = True
+
+    def __init__(self, cfg, mesh, geom, constants: KOmegaConstants = KOmegaConstants()):
+        self.c = constants
+        self.nu = cfg.nu
+        self.y_wall = wall_distance(mesh, cfg, geom.dtype)
+        self.has_wall = cfg.bc_y == BCType.WALL
+
+    def initialize(self, state, sim):
+        k, om = k_omega_channel_estimate(
+            (state.u, state.v, state.w), sim.geom, self.y_wall, self.nu,
+            C_mu=self.c.beta_star)
+        return state.replace(k=k, omega=om)
+
+    def advance(self, state, sim, dt):
+        c, geom = self.c, sim.geom
+        comps = (state.u, state.v, state.w)
+        k = jnp.maximum(state.k, c.k_min)
+        om = jnp.maximum(state.omega, c.omega_min)
+        nu_t = state.nu_t if state.nu_t is not None else jnp.zeros_like(k)
+        nu_t = jnp.maximum(nu_t, 0.0)
+
+        vel_cc = cell_center_velocity(comps, geom)
+        sr = strain_rotation(comps, geom)
+        S2 = sr.S_mag**2
+
+        om_wall = None
+        if self.has_wall:
+            y1 = jnp.min(self.y_wall)
+            # Wilcox wall value shares the SST form with beta = beta1-like 0.075
+            om_wall = jnp.minimum(
+                10.0 * 6.0 * self.nu / (c.beta * y1 * y1), c.omega_max)
+
+        adv_k, lap_k, _ = _transport_terms(k, geom, vel_cc, 0.0)
+        adv_om, lap_om, _ = _transport_terms(om, geom, vel_cc, om_wall)
+
+        nu_k = self.nu + c.sigma_k * nu_t
+        nu_om = self.nu + c.sigma_omega * nu_t
+        P_k = jnp.minimum(2.0 * nu_t * S2, 10.0 * c.beta_star * k * om)
+
+        src_k = P_k + nu_k * lap_k - adv_k
+        src_om = c.alpha * (om / k) * P_k + nu_om * lap_om - adv_om
+        k_new = (k + dt * src_k) / (1.0 + dt * c.beta_star * om)
+        om_new = (om + dt * src_om) / (1.0 + dt * c.beta * om)
+        return state.replace(
+            k=jnp.clip(k_new, c.k_min, c.k_max),
+            omega=jnp.clip(om_new, c.omega_min, c.omega_max))
+
+    def nu_t(self, state, sim):
+        c = self.c
+        k = jnp.maximum(state.k, c.k_min)
+        om = jnp.maximum(state.omega, c.omega_min)
+        return jnp.clip(k / om, 0.0, 1000.0 * self.nu)
