@@ -38,6 +38,15 @@ class StepDiagnostics:
     dt: jax.Array
     ke: jax.Array              # volume-averaged kinetic energy
     nan_flag: jax.Array
+    # IBM body forces accumulated over predictor+corrector applications
+    # (reference solver.cpp:1867-1877,2457+ Cd/Cl accumulation); zero
+    # when no IBM body is attached.
+    fx: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros(()))
+    fy: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros(()))
+    fz: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros(()))
 
 
 class Simulation:
@@ -53,6 +62,21 @@ class Simulation:
         self.poisson_selection_reason = self.poisson.name
         from .turbulence import create_turbulence_model
         self.turb = create_turbulence_model(cfg, self.mesh, self.geom)
+        self.ibm = None
+        self._step_jit = jax.jit(self._step_impl)
+        self._nsteps_jit = jax.jit(self._nsteps_impl, static_argnums=(1,))
+
+    def set_ibm_forcing(self, body) -> None:
+        """Attach an immersed body (reference RANSSolver::set_ibm_forcing).
+
+        Accepts an IBMBody (wrapped in IBMForcing) or a ready IBMForcing.
+        Invalidates the compiled step so the masks are baked into the trace.
+        """
+        from .ibm.forcing import IBMForcing
+        from .ibm.geometry import IBMBody
+        if isinstance(body, IBMBody):
+            body = IBMForcing(self.mesh, body, self.cfg)
+        self.ibm = body
         self._step_jit = jax.jit(self._step_impl)
         self._nsteps_jit = jax.jit(self._nsteps_impl, static_argnums=(1,))
 
@@ -107,50 +131,63 @@ class Simulation:
         rw = -conv[2] + diff[2]
         return ru, rv, rw
 
-    def _project(self, comps, dt):
+    def _project(self, comps, dt, forces=None):
         """Divergence -> Poisson -> correction (reference solver.cpp
-        1914-2456; solver_time.cpp:736 project_velocity)."""
+        1914-2456; solver_time.cpp:736 project_velocity). With IBM: RHS
+        solid-cell masking before the solve and re-forcing of the corrected
+        velocity (reference solver.cpp:2098-2125, 2457+)."""
         geom = self.geom
         div = ops.divergence(comps, geom)
         rhs = div / dt
+        if self.ibm is not None:
+            rhs = self.ibm.mask_rhs(rhs)
         p_corr = self.poisson.solve(rhs)
         comps = ops.correct_velocity(comps, p_corr, dt, geom)
+        if self.ibm is not None:
+            comps, f = self.ibm.apply(comps, dt, accumulate=forces is not None)
+            if forces is not None:
+                forces.append(f)
         comps = apply_velocity_bc(*comps, geom)
         return comps, p_corr
 
-    def _euler_substep(self, comps, nu_t, dt):
+    def _euler_substep(self, comps, nu_t, dt, forces=None):
         rhs = self._momentum_rhs(comps, nu_t)
         star = tuple(c + dt * r for c, r in zip(comps, rhs))
-        return apply_velocity_bc(*star, self.geom)
+        star = apply_velocity_bc(*star, self.geom)
+        if self.ibm is not None:
+            star, f = self.ibm.apply(star, dt, accumulate=forces is not None)
+            if forces is not None:
+                forces.append(f)
+        return star
 
-    def _advance_velocity(self, comps, nu_t, dt, p):
+    def _advance_velocity(self, comps, nu_t, dt, p, forces=None):
         """One full time step of the velocity field with per-stage projection."""
         ti = self.cfg.time_integrator
         blend = lambda a, ca, b, cb: tuple(
             ca * x + cb * y for x, y in zip(a, b))
         if ti == TimeIntegrator.EULER:
-            star = self._euler_substep(comps, nu_t, dt)
-            out, pc = self._project(star, dt)
+            star = self._euler_substep(comps, nu_t, dt, forces)
+            out, pc = self._project(star, dt, forces)
             return out, p + pc
         if ti == TimeIntegrator.RK2:
-            s1 = self._euler_substep(comps, nu_t, dt)
-            s1, pc1 = self._project(s1, dt)
-            s2 = self._euler_substep(s1, nu_t, dt)
+            s1 = self._euler_substep(comps, nu_t, dt, forces)
+            s1, pc1 = self._project(s1, dt, forces)
+            s2 = self._euler_substep(s1, nu_t, dt, forces)
             s2 = blend(comps, 0.5, s2, 0.5)
             s2 = apply_velocity_bc(*s2, self.geom)
-            s2, pc2 = self._project(s2, dt)
+            s2, pc2 = self._project(s2, dt, forces)
             return s2, p + pc1 + pc2
         # SSP-RK3 (reference solver_time.cpp:1303)
-        s1 = self._euler_substep(comps, nu_t, dt)
-        s1, pc1 = self._project(s1, dt)
-        s2 = self._euler_substep(s1, nu_t, dt)
+        s1 = self._euler_substep(comps, nu_t, dt, forces)
+        s1, pc1 = self._project(s1, dt, forces)
+        s2 = self._euler_substep(s1, nu_t, dt, forces)
         s2 = blend(comps, 0.75, s2, 0.25)
         s2 = apply_velocity_bc(*s2, self.geom)
-        s2, pc2 = self._project(s2, dt)
-        s3 = self._euler_substep(s2, nu_t, dt)
+        s2, pc2 = self._project(s2, dt, forces)
+        s3 = self._euler_substep(s2, nu_t, dt, forces)
         s3 = blend(comps, 1.0 / 3.0, s3, 2.0 / 3.0)
         s3 = apply_velocity_bc(*s3, self.geom)
-        s3, pc3 = self._project(s3, dt)
+        s3, pc3 = self._project(s3, dt, forces)
         return s3, p + pc1 + pc2 + pc3
 
     def _adaptive_dt(self, comps, nu_t):
@@ -188,12 +225,19 @@ class Simulation:
             dt = self._adaptive_dt(comps, nu_t)
         else:
             dt = jnp.asarray(cfg.dt, self.dtype)
-        new_comps, p = self._advance_velocity(comps, nu_t, dt, state.p)
+        forces = [] if self.ibm is not None else None
+        new_comps, p = self._advance_velocity(comps, nu_t, dt, state.p, forces)
         div = ops.divergence(new_comps, geom)
         res = jnp.max(jnp.abs(new_comps[0] - comps[0]))
         ke = 0.5 * (jnp.mean(new_comps[0] ** 2) + jnp.mean(new_comps[1] ** 2)
                     + jnp.mean(new_comps[2] ** 2))
         nan_flag = ~jnp.isfinite(ke)
+        zero = jnp.zeros((), self.dtype)
+        fx = fy = fz = zero
+        if forces:
+            fx = sum(f[0] for f in forces)
+            fy = sum(f[1] for f in forces)
+            fz = sum(f[2] for f in forces)
         new_state = state.replace(
             u=new_comps[0], v=new_comps[1], w=new_comps[2], p=p,
             t=state.t + dt, step=state.step + 1, dt_prev=dt,
@@ -201,7 +245,7 @@ class Simulation:
         )
         diags = StepDiagnostics(
             residual=res, div_linf=jnp.max(jnp.abs(div)), dt=dt, ke=ke,
-            nan_flag=nan_flag,
+            nan_flag=nan_flag, fx=fx, fy=fy, fz=fz,
         )
         return new_state, diags
 
