@@ -1,0 +1,6 @@
+"""Case apps (reference app/ executables, SURVEY 2.9): channel, duct,
+taylor_green_3d, cylinder, airfoil, step, hills — run as
+`python -m cfdnn_tpu.apps.<case> [--key value ...]`."""
+
+__all__ = ["channel", "duct", "taylor_green_3d", "cylinder", "airfoil",
+           "step", "hills"]

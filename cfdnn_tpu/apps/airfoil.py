@@ -1,0 +1,68 @@
+"""IBM NACA-airfoil app (reference: app/main_airfoil.cpp): immersed 4-digit
+NACA section in a channel; lift/drag output. Symmetric foil at zero AoA must
+give Cl ~= 0 (reference tests/test_ibm_naca_symmetry.cpp).
+
+    python -m cfdnn_tpu.apps.airfoil --Nx 256 --Ny 128 --aoa_deg 4
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import BCType, Config, SimulationMode, TimeIntegrator
+from ..ibm import NACABody
+from .runner import run_case
+
+CHORD = 0.3
+X_LE, Y_LE = 0.4, 0.5
+
+
+def default_config() -> Config:
+    return Config(
+        Nx=128, Ny=64, Nz=1,
+        x_min=0.0, x_max=2.0, y_min=0.0, y_max=1.0,
+        bc_x=BCType.PERIODIC, bc_y=BCType.WALL,
+        nu=2e-4, nu_specified=True, dp_dx=-4e-3, dp_dx_specified=True,
+        dt=5e-4, adaptive_dt=True, time_integrator=TimeIntegrator.RK2,
+        simulation_mode=SimulationMode.UNSTEADY,
+        max_steps=3000, output_freq=200, dtype="float32",
+    )
+
+
+def main(argv=None, aoa_deg: float = 0.0, digits: str = "0012"):
+    argv = list(argv) if argv is not None else None
+    # pull app-specific flags (reference: per-case flags on top of Config)
+    import sys
+    raw = sys.argv[1:] if argv is None else argv
+    rest = []
+    i = 0
+    while i < len(raw):
+        if raw[i] == "--aoa_deg":
+            aoa_deg = float(raw[i + 1]); i += 2
+        elif raw[i] == "--digits":
+            digits = raw[i + 1]; i += 2
+        else:
+            rest.append(raw[i]); i += 1
+
+    body = NACABody(X_LE, Y_LE, CHORD, np.deg2rad(aoa_deg), digits)
+    forces = []
+
+    def callback(it, st, d):
+        forces.append((float(st.t), float(d.fx), float(d.fy)))
+
+    def validate(sim, state, diags):
+        tail = forces[-max(1, len(forces) // 4):]
+        fx = np.mean([f[1] for f in tail])
+        fy = np.mean([f[2] for f in tail])
+        u_ref = max(abs(float(np.asarray(state.u).mean())), 1e-9)
+        denom = 0.5 * u_ref**2 * CHORD
+        print(f"[airfoil] NACA{digits} aoa={aoa_deg:.1f}deg "
+              f"Cd={fx / denom:.3f} Cl={fy / denom:.3f}")
+        return {"airfoil_cd": fx / denom, "airfoil_cl": fy / denom}
+
+    return run_case("airfoil", default_config(), rest, body=body,
+                    callback=callback, validate=validate)
+
+
+if __name__ == "__main__":
+    main()

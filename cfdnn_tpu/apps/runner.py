@@ -1,0 +1,81 @@
+"""Shared CLI driver machinery for the case apps.
+
+TPU-native rebuild of the reference app layer (reference: app/main_channel.cpp
+:267-637 and siblings — config parse, mesh/solver construction, steady/
+unsteady loop with console diagnostics, snapshot VTK output, final
+validation). Each case module supplies a default Config, an IC builder and
+optional IBM body / validation hook, and calls `run_case`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..config import Config, SimulationMode
+from ..io.vtk import write_profiles, write_vtk
+from ..solver import Simulation
+
+
+def run_case(name: str, cfg: Config, argv=None,
+             ic: Optional[Callable] = None,
+             body=None,
+             validate: Optional[Callable] = None,
+             callback: Optional[Callable] = None):
+    """Parse CLI overrides, run to steady state or for max_steps, write
+    outputs, return (sim, state, diags)."""
+    argv = sys.argv[1:] if argv is None else argv
+    cfg = cfg.parse_args(argv).finalize()
+    sim = Simulation(cfg)
+    if body is not None:
+        sim.set_ibm_forcing(body(cfg, sim.mesh) if callable(body) else body)
+    state = ic(cfg, sim.mesh) if ic else sim.initial_state()
+    state = sim.initialize(state)
+
+    if cfg.verbose:
+        print(f"[{name}] {cfg.Nx}x{cfg.Ny}x{cfg.Nz} "
+              f"Re={cfg.Re:g} nu={cfg.nu:g} model={cfg.turb_model.value} "
+              f"poisson={sim.poisson_selection_reason} dtype={cfg.dtype}")
+
+    n_snap = cfg.num_snapshots
+    snap_every = max(1, cfg.max_steps // n_snap) if n_snap > 0 else 0
+    t0 = time.perf_counter()
+
+    def console(it, st, d):
+        if cfg.verbose and it % cfg.output_freq == 0:
+            print(f"  step {it:7d}  t={float(st.t):.4f} "
+                  f"dt={float(d.dt):.2e} res={float(d.residual):.3e} "
+                  f"div={float(d.div_linf):.3e} ke={float(d.ke):.6f}")
+        if snap_every and it % snap_every == 0 and cfg.write_fields:
+            write_vtk(os.path.join(cfg.output_dir, f"{name}_{it:07d}.vtk"),
+                      st, sim.mesh, sim.geom, cfg)
+        if callback:
+            callback(it, st, d)
+
+    if cfg.simulation_mode == SimulationMode.STEADY:
+        state, diags = sim.solve_steady(state, callback=console)
+    else:
+        state, diags = sim.advance_unsteady(state, cfg.max_steps,
+                                            callback=console)
+    wall = time.perf_counter() - t0
+
+    if cfg.verbose:
+        ncell = cfg.Nx * cfg.Ny * cfg.Nz
+        steps = int(state.step)
+        print(f"[{name}] done: {steps} steps, {wall:.2f}s wall, "
+              f"{ncell * max(steps, 1) / max(wall, 1e-9) / 1e6:.1f} Mcells/s")
+    if cfg.write_fields:
+        write_vtk(os.path.join(cfg.output_dir, f"{name}_final.vtk"),
+                  state, sim.mesh, sim.geom, cfg)
+        write_profiles(os.path.join(cfg.output_dir, f"{name}_profiles.txt"),
+                       state, sim.mesh, sim.geom)
+    if validate:
+        qois = validate(sim, state, diags) or {}
+        for k, v in qois.items():
+            print(f'QOI_JSON: {{"name": "{k}", "value": {float(v):.6e}}}')
+    return sim, state, diags

@@ -1,0 +1,159 @@
+"""VTK legacy output + text profiles.
+
+TPU-native rebuild of the reference output layer (reference: src/
+solver_vtk.cpp:15-109 write_vtk — STRUCTURED_POINTS, ASCII for 2D, big-endian
+binary doubles for 3D; src/solver.cpp:3351 write_fields text profiles).
+Format-compatible so the reference's postprocessing/spectral scripts read the
+files unchanged. Device arrays are pulled to host NumPy once per snapshot —
+the only host<->device transfer in a simulation campaign.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _vel_centers(state, geom):
+    """Velocity interpolated to cell centers (host-side numpy)."""
+    from ..ops.operators import f2c_mean
+    comps = (state.u, state.v, state.w)
+    out = []
+    for i in range(3):
+        ax = geom.axes[i]
+        if ax.n > 1:
+            out.append(np.asarray(f2c_mean(comps[i], i, ax)))
+        else:
+            out.append(np.broadcast_to(
+                np.asarray(comps[i]),
+                tuple(geom.axes[a].n for a in range(3))))
+    return out
+
+
+def write_vtk(path: str, state, mesh, geom, cfg,
+              extra_scalars: Optional[Dict[str, np.ndarray]] = None) -> None:
+    """Write a legacy-VTK snapshot of (velocity, pressure, [nu_t, k, omega]).
+
+    2D => ASCII; 3D => big-endian binary doubles when cfg.vtk_binary
+    (reference write_vtk :45-109). STRUCTURED_POINTS uses the uniform
+    spacing; stretched meshes are written with mean spacing plus a sidecar
+    `<path>.ycoords.txt` carrying the true y centers.
+    """
+    u, v, w = _vel_centers(state, geom)
+    p = np.asarray(state.p)
+    Nx, Ny, Nz = mesh.Nx, mesh.Ny, mesh.Nz
+    is2d = mesh.is_2d
+    binary = bool(cfg.vtk_binary) and not is2d
+
+    scalars = {"pressure": p}
+    if state.nu_t is not None:
+        scalars["nu_t"] = np.asarray(state.nu_t)
+    if state.k is not None:
+        scalars["k"] = np.asarray(state.k)
+        scalars["omega"] = np.asarray(state.omega)
+    if extra_scalars:
+        scalars.update({k: np.asarray(a) for k, a in extra_scalars.items()})
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    dx = mesh.x.h
+    dy = float(np.mean(mesh.y.d))
+    dz = mesh.z.h if Nz > 1 else 1.0
+
+    def c_order(a):
+        # VTK iterates x fastest: transpose (i,j,k) -> (k,j,i) then ravel
+        return np.ascontiguousarray(np.transpose(a, (2, 1, 0)))
+
+    mode = "wb" if binary else "w"
+    with open(path, mode) as fh:
+        def line(s):
+            fh.write(s.encode() if binary else s)
+
+        line("# vtk DataFile Version 3.0\n")
+        line("cfdnn_tpu simulation output\n")
+        line("BINARY\n" if binary else "ASCII\n")
+        line("DATASET STRUCTURED_POINTS\n")
+        line(f"DIMENSIONS {Nx} {Ny} {Nz}\n")
+        line(f"ORIGIN {mesh.x.lo} {mesh.y.lo} {mesh.z.lo}\n")
+        line(f"SPACING {dx} {dy} {dz}\n")
+        line(f"POINT_DATA {Nx * Ny * Nz}\n")
+
+        line("VECTORS velocity double\n")
+        vel = np.stack([c_order(u), c_order(v), c_order(w)], axis=-1)
+        if binary:
+            fh.write(vel.astype(">f8").tobytes())
+        else:
+            np.savetxt(fh, vel.reshape(-1, 3), fmt="%.9g")
+
+        for name, arr in scalars.items():
+            line(f"\nSCALARS {name} double 1\n")
+            line("LOOKUP_TABLE default\n")
+            flat = c_order(arr).reshape(-1)
+            if binary:
+                fh.write(flat.astype(">f8").tobytes())
+            else:
+                np.savetxt(fh, flat, fmt="%.9g")
+
+    if not mesh.y.uniform:
+        np.savetxt(path + ".ycoords.txt", mesh.y.centers, fmt="%.16e")
+
+
+def read_vtk_scalars(path: str) -> Dict[str, np.ndarray]:
+    """Minimal reader for round-trip tests: returns {name: flat array} for
+    the scalar fields plus 'velocity' (N,3)."""
+    out = {}
+    with open(path, "rb") as fh:
+        data = fh.read()
+    header_end = data.find(b"POINT_DATA")
+    header = data[:header_end].decode()
+    binary = "BINARY" in header
+    dims = [int(x) for x in header.split("DIMENSIONS")[1].split("\n")[0].split()]
+    n = dims[0] * dims[1] * dims[2]
+    pos = header_end
+    body = data
+    while True:
+        vec = body.find(b"VECTORS", pos)
+        sca = body.find(b"SCALARS", pos)
+        nxt = min(x for x in (vec, sca) if x >= 0) if (vec >= 0 or sca >= 0) else -1
+        if nxt < 0:
+            break
+        eol = body.find(b"\n", nxt)
+        tokens = body[nxt:eol].decode().split()
+        name = tokens[1]
+        ncomp = 3 if tokens[0] == "VECTORS" else 1
+        start = eol + 1
+        if tokens[0] == "SCALARS":
+            start = body.find(b"\n", start) + 1  # skip LOOKUP_TABLE
+        if binary:
+            count = n * ncomp
+            arr = np.frombuffer(body, dtype=">f8", count=count, offset=start)
+            pos = start + count * 8
+        else:
+            text_end_candidates = [body.find(k, start)
+                                   for k in (b"VECTORS", b"SCALARS")]
+            text_end = min([x for x in text_end_candidates if x >= 0],
+                           default=len(body))
+            arr = np.array(body[start:text_end].decode().split(), dtype=float)
+            pos = text_end
+        out[name] = arr.reshape(-1, 3) if ncomp == 3 else arr
+    return out
+
+
+def write_profiles(path: str, state, mesh, geom) -> None:
+    """Plane-averaged y-profiles as text (reference write_fields,
+    src/solver.cpp:3351): y, <u>, <v>, <w>, <p> [, <nu_t>, <k>, <omega>]."""
+    u, v, w = _vel_centers(state, geom)
+    cols = [mesh.y.centers,
+            u.mean(axis=(0, 2)), v.mean(axis=(0, 2)), w.mean(axis=(0, 2)),
+            np.asarray(state.p).mean(axis=(0, 2))]
+    names = ["y", "u_mean", "v_mean", "w_mean", "p_mean"]
+    if state.nu_t is not None:
+        cols.append(np.asarray(state.nu_t).mean(axis=(0, 2)))
+        names.append("nu_t_mean")
+    if state.k is not None:
+        cols.append(np.asarray(state.k).mean(axis=(0, 2)))
+        cols.append(np.asarray(state.omega).mean(axis=(0, 2)))
+        names += ["k_mean", "omega_mean"]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savetxt(path, np.column_stack(cols), header=" ".join(names))

@@ -14,11 +14,19 @@ class NoModel:
     """Laminar: nu_t = None (treated as zero everywhere)."""
 
     name = "none"
+    uses_transport = False
+    provides_reynolds_stresses = False
+
+    def initialize(self, state, sim):
+        return state
 
     def advance(self, state, sim, dt):
         return state
 
     def nu_t(self, state, sim):
+        return None
+
+    def reynolds_stresses(self, state, sim):
         return None
 
 

@@ -1,0 +1,95 @@
+"""App smoke tests + VTK round-trip.
+
+Mirrors the reference's app-level integration coverage (reference:
+tests/test_channel_integration-style runs of app mains on tiny grids) and
+VTK writer sanity.
+"""
+
+import os
+
+import numpy as np
+
+from cfdnn_tpu.apps import (airfoil, channel, cylinder, duct, hills, step,
+                            taylor_green_3d)
+from cfdnn_tpu.io.vtk import read_vtk_scalars, write_vtk
+
+
+COMMON = ["--max_steps", "30", "--output_freq", "10",
+          "--num_snapshots", "0", "--verbose", "false"]
+
+
+def _tiny(*extra):
+    return COMMON + list(extra)
+
+
+def test_channel_app(tmp_path):
+    sim, state, diags = channel.main(_tiny(
+        "--Nx", "16", "--Ny", "32", "--tol", "0",
+        "--output_dir", str(tmp_path) + "/"))
+    assert np.isfinite(float(diags.ke))
+    assert os.path.exists(tmp_path / "channel_final.vtk")
+
+
+def test_tgv_app(tmp_path):
+    sim, state, diags = taylor_green_3d.main(_tiny(
+        "--Nx", "16", "--Ny", "16", "--Nz", "16",
+        "--write_fields", "false", "--output_dir", str(tmp_path) + "/"))
+    assert np.isfinite(float(diags.ke))
+    assert float(diags.ke) < 0.25  # decaying from KE0 = 1/8 V0^2 ... sanity
+
+
+def test_cylinder_app(tmp_path):
+    sim, state, diags = cylinder.main(_tiny(
+        "--Nx", "32", "--Ny", "32", "--write_fields", "false",
+        "--output_dir", str(tmp_path) + "/"))
+    assert np.isfinite(float(diags.fx))
+
+
+def test_duct_app(tmp_path):
+    sim, state, diags = duct.main(_tiny(
+        "--Nx", "8", "--Ny", "16", "--Nz", "16", "--tol", "0",
+        "--write_fields", "false", "--output_dir", str(tmp_path) + "/"))
+    assert np.isfinite(float(diags.ke))
+
+
+def test_airfoil_step_hills_apps(tmp_path):
+    for mod, name in ((airfoil, "airfoil"), (step, "step"), (hills, "hills")):
+        sim, state, diags = mod.main(_tiny(
+            "--Nx", "32", "--Ny", "16", "--write_fields", "false",
+            "--output_dir", str(tmp_path) + "/"))
+        assert np.isfinite(float(diags.ke)), name
+
+
+def test_vtk_roundtrip_3d_binary(tmp_path):
+    from cfdnn_tpu import BCType, Config, Simulation, init_taylor_green
+    cfg = Config(Nx=8, Ny=8, Nz=8, bc_y=BCType.PERIODIC,
+                 y_min=0.0, y_max=2 * np.pi, z_min=0.0, z_max=2 * np.pi,
+                 nu=1e-3, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
+                 dtype="float64")
+    sim = Simulation(cfg)
+    state = init_taylor_green(cfg, sim.mesh)
+    path = str(tmp_path / "out.vtk")
+    write_vtk(path, state, sim.mesh, sim.geom, cfg)
+    data = read_vtk_scalars(path)
+    assert "velocity" in data and "pressure" in data
+    assert data["velocity"].shape == (8 * 8 * 8, 3)
+    assert np.all(np.isfinite(data["velocity"]))
+    # pressure round-trips exactly (binary doubles)
+    p = np.asarray(state.p)
+    p_rt = data["pressure"].reshape(8, 8, 8).transpose(2, 1, 0)
+    np.testing.assert_allclose(p_rt, p, rtol=0, atol=0)
+
+
+def test_vtk_ascii_2d(tmp_path):
+    from cfdnn_tpu import Config, Simulation, init_poiseuille
+    cfg = Config(Nx=8, Ny=8, Nz=1, nu=1e-3, nu_specified=True,
+                 dp_dx=-1e-3, dp_dx_specified=True, dtype="float64")
+    sim = Simulation(cfg)
+    state = init_poiseuille(cfg, sim.mesh, fraction=1.0)
+    path = str(tmp_path / "out2d.vtk")
+    write_vtk(path, state, sim.mesh, sim.geom, cfg)
+    with open(path) as fh:
+        head = fh.read(200)
+    assert "ASCII" in head
+    data = read_vtk_scalars(path)
+    assert np.all(np.isfinite(data["pressure"]))
