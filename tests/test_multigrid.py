@@ -1,0 +1,123 @@
+"""Multigrid Poisson tests: manufactured solutions, convergence factor,
+FDM cross-check, stretched-y semi-coarsening, projection integration.
+
+Mirrors the reference MG suite (reference: tests/test_mg_manufactured_
+solution.cpp templated over BC combos, tests/test_operator_consistency.cpp,
+tests/baselines projection_effectiveness 1e-11 gate).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfdnn_tpu import BCType, Config, Simulation
+from cfdnn_tpu.config import PoissonSolverType
+from cfdnn_tpu.mesh import Mesh
+from cfdnn_tpu.ops.grid import Geometry
+from cfdnn_tpu.ops import operators as ops
+from cfdnn_tpu.poisson.fdm import FDMPoissonSolver
+from cfdnn_tpu.poisson.multigrid import MGPoissonSolver
+
+
+def _setup(Nx=32, Ny=32, Nz=1, stretch_y=False, bc_y=BCType.WALL,
+           fixed_cycles=10):
+    cfg = Config(Nx=Nx, Ny=Ny, Nz=Nz, stretch_y=stretch_y, bc_y=bc_y,
+                 nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                 dp_dx_specified=True, dtype="float64",
+                 poisson_fixed_cycles=fixed_cycles)
+    mesh = Mesh.from_config(cfg)
+    geom = Geometry.make(mesh, cfg)
+    return cfg, mesh, geom
+
+
+def test_mg_matches_fdm_channel():
+    """MG and the direct FDM solve agree on the consistent Laplacian."""
+    cfg, mesh, geom = _setup(32, 32, fixed_cycles=12)
+    rhs = np.random.default_rng(0).standard_normal((32, 32, 1))
+    rhs -= rhs.mean()
+    mg = MGPoissonSolver(mesh, cfg)
+    fdm = FDMPoissonSolver(mesh, cfg)
+    p_mg = np.asarray(mg.solve(jnp.asarray(rhs)))
+    p_fdm = np.asarray(fdm.solve(jnp.asarray(rhs)))
+    scale = np.abs(p_fdm).max()
+    assert np.abs(p_mg - p_fdm).max() / scale < 1e-8
+
+
+def test_mg_residual_reduction_per_cycle():
+    """Per-V-cycle residual contraction factor well below 1 (healthy MG)."""
+    cfg, mesh, geom = _setup(64, 64, fixed_cycles=1)
+    rng = np.random.default_rng(1)
+    rhs = rng.standard_normal((64, 64, 1))
+    rhs -= rhs.mean()
+    mg = MGPoissonSolver(mesh, cfg)
+    b = jnp.asarray(rhs)
+    x = jnp.zeros_like(b)
+    norms = [float(jnp.linalg.norm(mg.residual(b, x).reshape(-1)))]
+    for _ in range(6):
+        x = mg._vcycle(0, b, x)
+        norms.append(float(jnp.linalg.norm(mg.residual(b, x).reshape(-1))))
+    factors = [norms[i + 1] / norms[i] for i in range(len(norms) - 1)]
+    assert max(factors[1:]) < 0.25, f"MG contraction too slow: {factors}"
+
+
+def test_mg_manufactured_solution_3d():
+    """L p = rhs with known smooth p on a 3D box, mixed BCs."""
+    cfg, mesh, geom = _setup(32, 32, 16, fixed_cycles=14)
+    X = mesh.x.centers[:, None, None]
+    Y = mesh.y.centers[None, :, None]
+    Z = mesh.z.centers[None, None, :]
+    p_exact = (np.cos(X) * np.cos(np.pi * (Y + 1.0) / 2.0)
+               * np.cos(2 * np.pi * Z))
+    p_exact -= p_exact.mean()
+    lap = np.asarray(ops.laplacian(jnp.asarray(p_exact), geom))
+    mg = MGPoissonSolver(mesh, cfg)
+    p = np.array(mg.solve(jnp.asarray(lap)))
+    p -= p.mean()
+    err = np.abs(p - p_exact).max() / np.abs(p_exact).max()
+    assert err < 1e-6, f"MG manufactured-solution error {err}"
+
+
+def test_mg_stretched_y_semicoarsening():
+    """Stretched y axis: MG still contracts (semi-coarsening keeps y)."""
+    cfg, mesh, geom = _setup(32, 48, stretch_y=True, fixed_cycles=14)
+    rng = np.random.default_rng(2)
+    rhs = rng.standard_normal((32, 48, 1))
+    rhs -= rhs.mean()
+    mg = MGPoissonSolver(mesh, cfg)
+    b = jnp.asarray(rhs)
+    p = mg.solve(b)
+    rel = float(jnp.linalg.norm(mg.residual(b, p).reshape(-1))
+                / jnp.linalg.norm(b.reshape(-1)))
+    assert rel < 1e-6, f"stretched-y MG residual {rel}"
+
+
+def test_mg_adaptive_mode():
+    cfg, mesh, geom = _setup(32, 32)
+    rng = np.random.default_rng(3)
+    rhs = rng.standard_normal((32, 32, 1))
+    rhs -= rhs.mean()
+    mg = MGPoissonSolver(mesh, cfg)
+    b = jnp.asarray(rhs)
+    p = mg.solve_adaptive(b, tol=1e-9, max_cycles=30)
+    rel = float(jnp.linalg.norm(mg.residual(b, p).reshape(-1))
+                / jnp.linalg.norm(b.reshape(-1)))
+    assert rel < 1e-8
+
+
+def test_projection_with_mg_backend():
+    """Full solver step with poisson_solver=mg drives divergence down
+    (reference projection_effectiveness gate, relaxed for iterative MG)."""
+    cfg = Config(Nx=32, Ny=32, Nz=1, nu=1e-3, nu_specified=True,
+                 dp_dx=-1e-3, dp_dx_specified=True, dtype="float64",
+                 poisson_solver=PoissonSolverType.MG,
+                 poisson_fixed_cycles=10,
+                 dt=1e-3, adaptive_dt=False)
+    sim = Simulation(cfg)
+    assert sim.poisson_selection_reason.startswith("MG")
+    from cfdnn_tpu import perturbed_channel
+    state = perturbed_channel(cfg, sim.mesh, amp=0.1)
+    state, d = sim.step(state)
+    assert float(d.div_linf) < 1e-8
+    for _ in range(5):
+        state, d = sim.step(state)
+    assert np.isfinite(float(d.ke))
