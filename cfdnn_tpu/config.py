@@ -116,6 +116,7 @@ class Config:
 
     # --- Time stepping ---------------------------------------------------
     dt: float = 0.001
+    force_ramp_time: float = -1.0    # >0: dp/dx ramps as 1-exp(-t/T)
     CFL_max: float = 0.5
     CFL_xz: float = -1.0             # -1 => use CFL_max
     dt_safety: float = 1.0

@@ -63,6 +63,10 @@ class Simulation:
         from .turbulence import create_turbulence_model
         self.turb = create_turbulence_model(cfg, self.mesh, self.geom)
         self.ibm = None
+        self.trip = None
+        if cfg.trip_enabled:
+            from .forcing import TripForcing
+            self.trip = TripForcing(cfg, self.mesh, self.dtype)
         self._step_jit = jax.jit(self._step_impl)
         self._nsteps_jit = jax.jit(self._nsteps_impl, static_argnums=(1,))
 
@@ -111,21 +115,31 @@ class Simulation:
     # Physics pieces (all pure, traced under jit)
     # ------------------------------------------------------------------
 
-    def _body_force(self):
-        """Constant driving force (-dp_dx/rho on u) (reference solver.cpp
-        predictor 1560-1722; force ramp/bulk controller TODO)."""
+    def _body_force(self, t, comps, dt):
+        """Driving force -dp_dx/rho on u with optional exponential ramp
+        (reference get_effective_fx, solver_turbulence_diagnostics.cpp:985)
+        and a proportional bulk-velocity controller (the reference declares
+        enable_bulk_velocity_control — Uhlmann 2005-style — for IBM cases;
+        here the control law is actually applied)."""
         cfg = self.cfg
-        return -cfg.dp_dx / cfg.rho
+        fx = -cfg.dp_dx / cfg.rho
+        if cfg.force_ramp_time > 0:
+            fx = fx * (1.0 - jnp.exp(-t / cfg.force_ramp_time))
+        if cfg.bulk_velocity_target > 0:
+            u_bulk = jnp.mean(comps[0])
+            fx = fx + (cfg.bulk_velocity_target - u_bulk) / dt
+        return fx
 
-    def _momentum_rhs(self, comps, nu_t):
+    def _momentum_rhs(self, comps, nu_t, t, dt):
         cfg, geom = self.cfg, self.geom
         conv = ops.convective(comps, geom, cfg.convective_scheme)
         if nu_t is None:
             nu_eff = jnp.asarray(cfg.nu, self.dtype)
         else:
             nu_eff = cfg.nu + nu_t
-        diff = ops.diffusive(comps, nu_eff, geom)
-        fx = self._body_force()
+        diff = ops.diffusive(comps, nu_eff, geom,
+                             skip_y=cfg.implicit_y_diffusion)
+        fx = self._body_force(t, comps, dt)
         ru = -conv[0] + diff[0] + fx
         rv = -conv[1] + diff[1]
         rw = -conv[2] + diff[2]
@@ -150,41 +164,50 @@ class Simulation:
         comps = apply_velocity_bc(*comps, geom)
         return comps, p_corr
 
-    def _euler_substep(self, comps, nu_t, dt, forces=None):
-        rhs = self._momentum_rhs(comps, nu_t)
+    def _euler_substep(self, comps, nu_t, dt, forces=None, t=0.0):
+        cfg = self.cfg
+        rhs = self._momentum_rhs(comps, nu_t, t, dt)
         star = tuple(c + dt * r for c, r in zip(comps, rhs))
+        if self.trip is not None:
+            star = self.trip.apply(star, dt, t)    # reference :1724-1810
         star = apply_velocity_bc(*star, self.geom)
+        if cfg.implicit_y_diffusion:
+            from .forcing import implicit_y_diffusion
+            nu_eff = (jnp.asarray(cfg.nu, self.dtype) if nu_t is None
+                      else cfg.nu + nu_t)
+            star = implicit_y_diffusion(star, nu_eff, dt, self.geom)
+            star = apply_velocity_bc(*star, self.geom)
         if self.ibm is not None:
             star, f = self.ibm.apply(star, dt, accumulate=forces is not None)
             if forces is not None:
                 forces.append(f)
         return star
 
-    def _advance_velocity(self, comps, nu_t, dt, p, forces=None):
+    def _advance_velocity(self, comps, nu_t, dt, p, forces=None, t=0.0):
         """One full time step of the velocity field with per-stage projection."""
         ti = self.cfg.time_integrator
         blend = lambda a, ca, b, cb: tuple(
             ca * x + cb * y for x, y in zip(a, b))
         if ti == TimeIntegrator.EULER:
-            star = self._euler_substep(comps, nu_t, dt, forces)
+            star = self._euler_substep(comps, nu_t, dt, forces, t)
             out, pc = self._project(star, dt, forces)
             return out, p + pc
         if ti == TimeIntegrator.RK2:
-            s1 = self._euler_substep(comps, nu_t, dt, forces)
+            s1 = self._euler_substep(comps, nu_t, dt, forces, t)
             s1, pc1 = self._project(s1, dt, forces)
-            s2 = self._euler_substep(s1, nu_t, dt, forces)
+            s2 = self._euler_substep(s1, nu_t, dt, forces, t)
             s2 = blend(comps, 0.5, s2, 0.5)
             s2 = apply_velocity_bc(*s2, self.geom)
             s2, pc2 = self._project(s2, dt, forces)
             return s2, p + pc1 + pc2
         # SSP-RK3 (reference solver_time.cpp:1303)
-        s1 = self._euler_substep(comps, nu_t, dt, forces)
+        s1 = self._euler_substep(comps, nu_t, dt, forces, t)
         s1, pc1 = self._project(s1, dt, forces)
-        s2 = self._euler_substep(s1, nu_t, dt, forces)
+        s2 = self._euler_substep(s1, nu_t, dt, forces, t)
         s2 = blend(comps, 0.75, s2, 0.25)
         s2 = apply_velocity_bc(*s2, self.geom)
         s2, pc2 = self._project(s2, dt, forces)
-        s3 = self._euler_substep(s2, nu_t, dt, forces)
+        s3 = self._euler_substep(s2, nu_t, dt, forces, t)
         s3 = blend(comps, 1.0 / 3.0, s3, 2.0 / 3.0)
         s3 = apply_velocity_bc(*s3, self.geom)
         s3, pc3 = self._project(s3, dt, forces)
@@ -226,7 +249,16 @@ class Simulation:
         else:
             dt = jnp.asarray(cfg.dt, self.dtype)
         forces = [] if self.ibm is not None else None
-        new_comps, p = self._advance_velocity(comps, nu_t, dt, state.p, forces)
+        new_comps, p = self._advance_velocity(comps, nu_t, dt, state.p,
+                                              forces, state.t)
+        if cfg.filter_strength > 0.0:
+            # explicit Laplacian filter every filter_interval steps
+            # (reference apply_velocity_filter, solver.cpp:4065)
+            from .forcing import velocity_filter
+            filt = velocity_filter(new_comps, geom, cfg.filter_strength)
+            apply_now = (state.step + 1) % max(cfg.filter_interval, 1) == 0
+            new_comps = tuple(
+                jnp.where(apply_now, fc, c) for fc, c in zip(filt, new_comps))
         div = ops.divergence(new_comps, geom)
         res = jnp.max(jnp.abs(new_comps[0] - comps[0]))
         ke = 0.5 * (jnp.mean(new_comps[0] ** 2) + jnp.mean(new_comps[1] ** 2)

@@ -1,0 +1,146 @@
+"""Trip forcing, velocity filter, implicit y-diffusion, force ramp,
+bulk controller tests.
+
+Mirrors the reference coverage (reference: tests/test_perturbed_channel.cpp,
+the implicit-diffusion stability leg of tests/test_time_integrators.cpp,
+trip machinery of solver.cpp:818-950).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfdnn_tpu import BCType, Config, Simulation, init_poiseuille
+from cfdnn_tpu.forcing import TripForcing, implicit_y_diffusion, velocity_filter
+from cfdnn_tpu.ops.tridiag import thomas
+
+
+def _cfg(**kw):
+    base = dict(Nx=16, Ny=32, Nz=8, z_max=1.0,
+                nu=1e-3, nu_specified=True, dp_dx=-1e-3, dp_dx_specified=True,
+                dt=1e-3, adaptive_dt=False, dtype="float64")
+    base.update(kw)
+    return Config(**base)
+
+
+def test_thomas_matches_dense():
+    rng = np.random.default_rng(0)
+    n = 17
+    l = rng.uniform(0.1, 0.5, n)
+    u = rng.uniform(0.1, 0.5, n)
+    d = 2.0 + l + u
+    b = rng.standard_normal((4, n, 3))
+    x = np.asarray(thomas(jnp.asarray(l.reshape(1, -1, 1)),
+                          jnp.asarray(d.reshape(1, -1, 1)),
+                          jnp.asarray(u.reshape(1, -1, 1)),
+                          jnp.asarray(b), axis=1))
+    A = np.diag(d) + np.diag(u[:-1], 1) + np.diag(l[1:], -1)
+    for i in range(4):
+        for k in range(3):
+            np.testing.assert_allclose(A @ x[i, :, k], b[i, :, k],
+                                       rtol=1e-12, atol=1e-12)
+
+
+def test_trip_forcing_localized_and_ramped():
+    cfg = _cfg(trip_enabled=True, trip_duration=2.0, trip_ramp_off_start=1.5)
+    sim = Simulation(cfg)
+    trip = sim.trip
+    assert trip is not None
+    state = sim.initial_state()
+    star = (state.u, state.v, state.w)
+    out = trip.apply(star, 1e-3, jnp.asarray(0.5))
+    dv = np.asarray(out[1])
+    assert np.abs(dv).max() > 0.0
+    # forcing confined to the x-window [0.1, 0.2] Lx
+    x_profile = np.abs(dv).max(axis=(1, 2))
+    xc = sim.mesh.x.centers
+    lo = cfg.x_min + 0.1 * cfg.Lx
+    hi = cfg.x_min + 0.2 * cfg.Lx
+    outside = (xc < lo - 1e-9) | (xc > hi + 1e-9)
+    assert np.all(x_profile[outside] == 0.0)
+    # after trip_duration the ramp is exactly zero
+    out2 = trip.apply(star, 1e-3, jnp.asarray(2.5))
+    assert np.abs(np.asarray(out2[1])).max() == 0.0
+    # w forcing present in 3D
+    assert np.abs(np.asarray(out[2])).max() > 0.0
+
+
+def test_trip_step_stable():
+    cfg = _cfg(trip_enabled=True, trip_amplitude=1.0)
+    sim = Simulation(cfg)
+    state = init_poiseuille(cfg, sim.mesh, fraction=1.0)
+    for _ in range(10):
+        state, d = sim.step(state)
+    assert np.isfinite(float(d.ke))
+    # spanwise velocity energized by the trip
+    assert float(jnp.abs(state.w).max()) > 0.0
+
+
+def test_velocity_filter_preserves_mean_removes_noise():
+    cfg = _cfg(Nz=1)
+    sim = Simulation(cfg)
+    state = init_poiseuille(cfg, sim.mesh, fraction=1.0)
+    rng = np.random.default_rng(1)
+    noise = rng.standard_normal(state.u.shape) * 1e-3
+    u_noisy = state.u + jnp.asarray(noise)
+    comps = (u_noisy, state.v, state.w)
+    filtered = velocity_filter(comps, sim.geom, strength=1.0)
+    # mean nearly preserved (the y part skips wall rows, so only the
+    # periodic x/z parts are exactly conservative)
+    assert abs(float(jnp.mean(filtered[0])) - float(jnp.mean(u_noisy))) < 5e-3
+    # high-frequency content reduced
+    def hf_energy(u):
+        un = np.asarray(u)[:, :, 0]
+        d2 = un[2:] - 2 * un[1:-1] + un[:-2]
+        return np.sum(d2**2)
+    assert hf_energy(filtered[0]) < hf_energy(u_noisy)
+
+
+def test_implicit_y_diffusion_stability():
+    """dt far above the explicit y-diffusion limit stays stable with the
+    implicit solve on a stretched mesh (the reference's IMEX purpose)."""
+    cfg = _cfg(Nz=1, Ny=64, stretch_y=True, stretch_beta=2.5,
+               implicit_y_diffusion=True, nu=1e-2, dt=5e-3)
+    sim = Simulation(cfg)
+    dy_min = float(np.min(sim.mesh.y.d))
+    dt_exp_limit = 0.25 * dy_min**2 / cfg.nu
+    assert cfg.dt > 5 * dt_exp_limit, "test must exceed the explicit limit"
+    state = init_poiseuille(cfg, sim.mesh, fraction=1.0)
+    for _ in range(20):
+        state, d = sim.step(state)
+    assert np.isfinite(float(d.ke))
+    assert float(d.ke) < 10.0
+
+
+def test_implicit_y_diffusion_decay_rate():
+    """Pure diffusion of a sine profile decays at the right rate."""
+    cfg = _cfg(Nz=1, Ny=64, nu=1e-2)
+    sim = Simulation(cfg)
+    yc = sim.mesh.y.centers
+    u0 = np.sin(np.pi * (yc + 1.0) / 2.0)   # one half-wave, zero at walls
+    state = sim.initial_state()
+    u = jnp.broadcast_to(jnp.asarray(u0)[None, :, None], state.u.shape)
+    dt = 0.05
+    out = implicit_y_diffusion((u, state.v, state.w),
+                               jnp.asarray(cfg.nu), dt, sim.geom)
+    lam = cfg.nu * (np.pi / 2.0) ** 2
+    expected = u0 / (1.0 + dt * lam)    # backward-Euler decay factor
+    got = np.asarray(out[0])[0, :, 0]
+    np.testing.assert_allclose(got, expected, rtol=2e-3)
+
+
+def test_force_ramp_and_bulk_controller():
+    cfg = _cfg(Nz=1, force_ramp_time=0.5)
+    sim = Simulation(cfg)
+    state = sim.initial_state()
+    # at t=0 the ramped force is ~0 => velocity barely moves
+    state1, _ = sim.step(state)
+    assert float(jnp.abs(state1.u).max()) < 1e-5
+    # bulk controller drives the mean velocity toward the target
+    cfg2 = _cfg(Nz=1, bulk_velocity_target=0.3)
+    sim2 = Simulation(cfg2)
+    state = sim2.initial_state()
+    for _ in range(5):
+        state, _ = sim2.step(state)
+    u_bulk = float(jnp.mean(state.u))
+    assert abs(u_bulk - 0.3) < 0.05
