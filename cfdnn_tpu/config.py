@@ -82,6 +82,26 @@ class BCType(str, enum.Enum):
     OUTFLOW = "outflow"    # convective/zero-gradient outlet
 
 
+def pressure_bc_kinds(cfg: "Config", axis: int) -> Tuple[str, str]:
+    """(lo, hi) pressure BC kind for an axis: 'neumann' | 'dirichlet'.
+
+    wall/inflow => dp/dn = 0; outflow => p = 0 at the face. Recycling mode
+    flips the x axis to (dirichlet@inlet, neumann@outlet) so the projection
+    can adjust the inlet face velocity for continuity (reference:
+    src/solver_recycling.cpp:205-208).
+    """
+    bc = (cfg.bc_x, cfg.bc_y, cfg.bc_z)[axis]
+    if bc == BCType.OUTFLOW:
+        return ("dirichlet", "dirichlet")
+    if bc == BCType.INFLOW and axis == 0:
+        # bc_x=INFLOW means the inflow/outflow pair: inflow at x_lo,
+        # convective outflow at x_hi.
+        if cfg.recycling_inflow:
+            return ("dirichlet", "neumann")
+        return ("neumann", "dirichlet")
+    return ("neumann", "neumann")
+
+
 @dataclasses.dataclass(frozen=True)
 class Config:
     """Full simulation configuration (reference: include/config.hpp:65-234).

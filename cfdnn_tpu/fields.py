@@ -92,6 +92,12 @@ def zero_state(cfg: Config) -> State:
         kw["omega"] = jnp.full(sc, 1.0, dtype)
     if cfg.turb_model != TurbulenceModel.NONE:
         kw["nu_t"] = jnp.zeros(sc, dtype)
+    if cfg.recycling_inflow:
+        # carried inlet planes (reference solver_recycling.cpp:321-340
+        # buffers; here part of the state pytree)
+        kw["inlet_u"] = jnp.zeros((su[1], su[2]), dtype)
+        kw["inlet_v"] = jnp.zeros((sv[1], sv[2]), dtype)
+        kw["inlet_w"] = jnp.zeros((sw[1], sw[2]), dtype)
     return State(
         u=z(su), v=z(sv), w=z(sw), p=z(sc),
         t=jnp.zeros((), dtype),

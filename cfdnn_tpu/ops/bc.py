@@ -62,6 +62,24 @@ def pad_center(f, axis: int, bc: BCType, value: float = 0.0,
     return _cat([2.0 * value - lo, f, 2.0 * value - hi], axis)
 
 
+def pad_pressure(f, axis: int, ax):
+    """1-ghost pad of the pressure with the axis's per-end BC kinds.
+
+    The boundary-face gradient is divided by dc0 (face-to-center spacing),
+    so the ghost conceptually sits AT the face: neumann => copy (zero
+    gradient); dirichlet => 0 (the face value), giving flux p0/dc0 exactly
+    as the Poisson backends' folded metrics (mesh.laplacian_metrics) — the
+    projection stays discretely consistent (L = D.G).
+    """
+    if ax.bc == BCType.PERIODIC:
+        return _cat([sl(f, axis, -1, None), f, sl(f, axis, 0, 1)], axis)
+    lo = sl(f, axis, 0, 1)
+    hi = sl(f, axis, -1, None)
+    g_lo = jnp.zeros_like(lo) if ax.p_lo == "dirichlet" else lo
+    g_hi = jnp.zeros_like(hi) if ax.p_hi == "dirichlet" else hi
+    return _cat([g_lo, f, g_hi], axis)
+
+
 def pad_tangential(f, axis: int, bc: BCType, ng: int = 1):
     """Pad a velocity component along an axis it is cell-centered on."""
     if bc == BCType.PERIODIC:
@@ -122,5 +140,23 @@ def apply_velocity_bc(u, v, w, geom: Geometry):
             idx_hi = [slice(None)] * 3
             idx_hi[axis] = -1
             f = f.at[tuple(idx_lo)].set(0.0).at[tuple(idx_hi)].set(0.0)
+            comps[axis] = f
+        elif bc in (BCType.INFLOW, BCType.OUTFLOW):
+            # convective/zero-gradient outlet on the normal component's
+            # high face (reference apply_velocity_bc outflow,
+            # src/solver_operators.cpp:43); the inflow low face is imposed
+            # by the recycling machinery / IC and left untouched here.
+            f = comps[axis]
+            idx_hi = [slice(None)] * 3
+            idx_hi[axis] = -1
+            idx_prev = [slice(None)] * 3
+            idx_prev[axis] = -2
+            f = f.at[tuple(idx_hi)].set(f[tuple(idx_prev)])
+            if bc == BCType.OUTFLOW:
+                idx_lo = [slice(None)] * 3
+                idx_lo[axis] = 0
+                idx_next = [slice(None)] * 3
+                idx_next[axis] = 1
+                f = f.at[tuple(idx_lo)].set(f[tuple(idx_next)])
             comps[axis] = f
     return tuple(comps)

@@ -51,6 +51,8 @@ class AxisGeom:
     # 2-ghost padded DOF positions for derivative denominators
     pos_c_pad2: jnp.ndarray  # (..N+4..) centers with 2 ghost-center coords/side
     pos_f_pad2: jnp.ndarray  # (..Nf+4..) stored-face coords with 2 ghosts/side
+    p_lo: str = "neumann"    # pressure BC kind at the low end —
+    p_hi: str = "neumann"    # must match the Poisson backend exactly
 
     @property
     def pos_c_pad(self):
@@ -63,7 +65,8 @@ class AxisGeom:
         return _sl1(self.pos_f_pad2)
 
     @classmethod
-    def make(cls, ax, bc: BCType, axis: int, dtype) -> "AxisGeom":
+    def make(cls, ax, bc: BCType, axis: int, dtype,
+             p_kinds=("neumann", "neumann")) -> "AxisGeom":
         n = ax.n
         periodic = bc == BCType.PERIODIC
         d = ax.d
@@ -92,6 +95,7 @@ class AxisGeom:
         arr = lambda a: jnp.asarray(a.reshape(_bshape(a, axis)), dtype)
         return cls(
             n=n, bc=bc, periodic=periodic, uniform=ax.uniform,
+            p_lo=p_kinds[0], p_hi=p_kinds[1],
             h=float(ax.d[0]), length=ax.length,
             d=arr(d), inv_d=arr(1.0 / d),
             dc=arr(dc), inv_dc=arr(1.0 / dc),
@@ -109,12 +113,16 @@ class Geometry:
 
     @classmethod
     def make(cls, mesh: Mesh, cfg: Config) -> "Geometry":
+        from ..config import pressure_bc_kinds
         dtype = jnp.dtype(cfg.dtype)
         return cls(
             axes=(
-                AxisGeom.make(mesh.x, cfg.bc_x, 0, dtype),
-                AxisGeom.make(mesh.y, cfg.bc_y, 1, dtype),
-                AxisGeom.make(mesh.z, cfg.bc_z, 2, dtype),
+                AxisGeom.make(mesh.x, cfg.bc_x, 0, dtype,
+                              pressure_bc_kinds(cfg, 0)),
+                AxisGeom.make(mesh.y, cfg.bc_y, 1, dtype,
+                              pressure_bc_kinds(cfg, 1)),
+                AxisGeom.make(mesh.z, cfg.bc_z, 2, dtype,
+                              pressure_bc_kinds(cfg, 2)),
             ),
             dtype=dtype,
         )

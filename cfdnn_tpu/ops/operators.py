@@ -330,7 +330,8 @@ def pressure_grad_face(p: Array, axis: int, geom: Geometry) -> Array:
     grids (reference yLap metrics, include/mesh.hpp:16-182).
     """
     ax = geom.axes[axis]
-    pad = pad_center(p, axis, ax.bc, kind="neumann")
+    from .bc import pad_pressure
+    pad = pad_pressure(p, axis, ax)
     g = (sl(pad, axis, 1, None) - sl(pad, axis, 0, -1)) * ax.inv_dc
     return _stored_faces(g, axis, ax)
 

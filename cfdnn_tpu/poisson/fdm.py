@@ -29,15 +29,8 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import BCType, Config
+from ..config import BCType, Config, pressure_bc_kinds
 from ..mesh import Mesh
-
-
-def _poisson_bc_kind(bc: BCType) -> Tuple[str, str]:
-    """Pressure BC per end for a velocity BC type."""
-    if bc == BCType.OUTFLOW:
-        return ("dirichlet", "dirichlet")
-    return ("neumann", "neumann")  # wall & inflow: dp/dn = 0
 
 
 @dataclasses.dataclass
@@ -48,7 +41,7 @@ class _AxisTransform:
     Vinv: Optional[np.ndarray] = None  # eig: forward-transform matrix
 
 
-def _axis_transform(ax, bc: BCType) -> _AxisTransform:
+def _axis_transform(ax, bc: BCType, kinds: Tuple[str, str]) -> _AxisTransform:
     n = ax.n
     if n == 1:
         return _AxisTransform(kind="none", lam=np.zeros(1))
@@ -58,7 +51,7 @@ def _axis_transform(ax, bc: BCType) -> _AxisTransform:
         k = np.arange(n)
         lam = (2.0 * np.cos(2.0 * np.pi * k / n) - 2.0) / (ax.h * ax.h)
         return _AxisTransform(kind="fft", lam=lam)
-    lo, hi = _poisson_bc_kind(bc)
+    lo, hi = kinds
     aS, aP, aN = ax.laplacian_metrics(periodic=False, lo=lo, hi=hi)
     L1 = np.diag(aP) + np.diag(aN[:-1], 1) + np.diag(aS[1:], -1)
     d = ax.d
@@ -78,8 +71,8 @@ class FDMPoissonSolver:
         self.dtype = jnp.dtype(dtype or cfg.poisson_dtype or cfg.dtype)
         bcs = (cfg.bc_x, cfg.bc_y, cfg.bc_z)
         self.tr = [
-            _axis_transform(axd, bc)
-            for axd, bc in zip((mesh.x, mesh.y, mesh.z), bcs)
+            _axis_transform(axd, bc, pressure_bc_kinds(cfg, a))
+            for a, (axd, bc) in enumerate(zip((mesh.x, mesh.y, mesh.z), bcs))
         ]
         # rfft on the *last* FFT axis for the real-input bandwidth saving
         self.fft_axes = tuple(i for i, t in enumerate(self.tr) if t.kind == "fft")
@@ -98,8 +91,8 @@ class FDMPoissonSolver:
             lam_total = lam_total[tuple(idx)]
         # invert, pinning (near-)null modes to zero => mean-free solution
         self.all_neumann = all(
-            t.kind != "eig" or _poisson_bc_kind(b)[0] == "neumann"
-            for t, b in zip(self.tr, bcs)
+            t.kind != "eig" or pressure_bc_kinds(cfg, a) == ("neumann", "neumann")
+            for a, (t, b) in enumerate(zip(self.tr, bcs))
         )
         scale = np.max(np.abs(lam_total)) or 1.0
         null = np.abs(lam_total) < 1e-12 * scale

@@ -33,12 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import BCType, Config
+from ..config import BCType, Config, pressure_bc_kinds
 from ..mesh import Axis1D, Mesh
-
-
-def _poisson_bc_kind(bc: BCType) -> str:
-    return "dirichlet" if bc == BCType.OUTFLOW else "neumann"
 
 
 @dataclasses.dataclass
@@ -56,7 +52,8 @@ class _LevelAxis:
         return self.n <= 1 or np.allclose(self.d, self.d[0])
 
     @classmethod
-    def make(cls, faces: np.ndarray, bc: BCType) -> "_LevelAxis":
+    def make(cls, faces: np.ndarray, bc: BCType,
+             kinds=("neumann", "neumann")) -> "_LevelAxis":
         n = len(faces) - 1
         ax = Axis1D.make(n, faces[0], faces[-1])
         # overwrite with the true (possibly stretched) faces
@@ -67,8 +64,7 @@ class _LevelAxis:
         ax.dc[0] = ax.centers[0] - faces[0]
         ax.dc[n] = faces[n] - ax.centers[n - 1]
         periodic = bc == BCType.PERIODIC
-        kind = _poisson_bc_kind(bc)
-        aS, aP, aN = ax.laplacian_metrics(periodic, lo=kind, hi=kind)
+        aS, aP, aN = ax.laplacian_metrics(periodic, lo=kinds[0], hi=kinds[1])
         return cls(n=n, periodic=periodic, aS=aS, aP=aP, aN=aN,
                    d=ax.d, faces=faces)
 
@@ -104,14 +100,16 @@ class MGPoissonSolver:
         bcs = (cfg.bc_x, cfg.bc_y, cfg.bc_z)
         self.bcs = bcs
         self.all_neumann = all(
-            _poisson_bc_kind(b) == "neumann" or n == 1
-            for b, n in zip(bcs, (mesh.Nx, mesh.Ny, mesh.Nz)))
+            pressure_bc_kinds(cfg, a) == ("neumann", "neumann") or n == 1
+            for a, (b, n) in enumerate(zip(bcs, (mesh.Nx, mesh.Ny, mesh.Nz))))
 
         # ---- hierarchy (reference create_hierarchy :155) -----------------
         faces = [mesh.x.faces, mesh.y.faces, mesh.z.faces]
         levels: List[_Level] = []
         while True:
-            axes = tuple(_LevelAxis.make(faces[a], bcs[a]) for a in range(3))
+            axes = tuple(_LevelAxis.make(faces[a], bcs[a],
+                                         pressure_bc_kinds(cfg, a))
+                         for a in range(3))
             ncells = axes[0].n * axes[1].n * axes[2].n
             # Semi-coarsening (reference :184): a stretched, non-periodic
             # axis is never coarsened — it gets exact line (Thomas) solves

@@ -1,0 +1,144 @@
+"""Recycling turbulent inflow (Lund et al. 1998 style).
+
+TPU-native rebuild of the reference recycling machinery (reference: src/
+solver_recycling.cpp:175 initialize_recycling_inflow, :466 extract_recycle_
+plane, :570 process_recycle_inflow (spanwise shift + AR1 filter + mass-flux
+correction + transverse-mean removal), :1029 apply_recycling_inlet_bc, :1205
+correct_inlet_divergence, :1354 apply_fringe_blending).
+
+Design: the inlet planes are carried in the state pytree (State.inlet_*)
+instead of GPU-mapped side buffers, so the whole pipeline — extraction,
+shift (a jnp.roll, which under GSPMD z-sharding becomes the reference's
+MPI allgather+shift for free), filtering, correction, inlet imposition,
+fringe blending — traces into the single jitted step.
+
+BC structure (reference :191-208): x_lo = inflow with DIRICHLET pressure
+(so the projection may adjust the inlet face velocity for continuity),
+x_hi = convective outflow with Neumann pressure; z must be periodic.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import BCType, Config
+from .mesh import Mesh
+
+
+class RecyclingInflow:
+    """Owns the recycle-station geometry and the per-step pipeline."""
+
+    def __init__(self, cfg: Config, mesh: Mesh, dtype):
+        if mesh.Nz <= 1:
+            raise ValueError("recycling inflow requires a 3D mesh "
+                             "(reference solver_recycling.cpp:181)")
+        if cfg.bc_z != BCType.PERIODIC:
+            raise ValueError("recycling inflow requires periodic z "
+                             "(reference solver_recycling.cpp:186)")
+        self.cfg = cfg
+        Lx = cfg.Lx
+        x_rec = cfg.recycle_x if cfg.recycle_x > 0 else cfg.x_min + 0.8 * Lx
+        # face index of the recycle station, >=5 cells off both ends (:289)
+        i = int(np.clip(np.searchsorted(mesh.x.faces, x_rec),
+                        5, mesh.Nx - 5))
+        self.i_rec = i
+        self.shift_k = (cfg.recycle_shift_z if cfg.recycle_shift_z >= 0
+                        else mesh.Nz // 4)
+        # AR1 coefficient from filter time scale (:300-306)
+        if cfg.recycle_filter_tau > 0:
+            self.alpha = float(np.exp(-cfg.dt / cfg.recycle_filter_tau))
+        else:
+            self.alpha = 0.0
+        L_fringe = (cfg.recycle_fringe_length if cfg.recycle_fringe_length > 0
+                    else 0.1 * Lx)
+        self.i_fringe = int(np.searchsorted(mesh.x.centers,
+                                            cfg.x_min + L_fringe))
+        xc = mesh.x.centers[: max(self.i_fringe, 1)]
+        beta = 0.5 * (1.0 + np.cos(np.pi * (xc - cfg.x_min) / max(L_fringe, 1e-12)))
+        self.beta_c = jnp.asarray(beta.reshape(-1, 1, 1), dtype)
+        xf = mesh.x.faces[: max(self.i_fringe, 1)]
+        beta_f = 0.5 * (1.0 + np.cos(np.pi * np.clip(
+            (xf - cfg.x_min) / max(L_fringe, 1e-12), 0, 1)))
+        self.beta_f = jnp.asarray(beta_f.reshape(-1, 1, 1), dtype)
+        # inlet cell areas dy*dz for the mass-flux bulk (:773-781)
+        dA = mesh.y.d[:, None] * mesh.z.d[None, :]
+        self.area = jnp.asarray(dA, dtype)
+        self.total_area = float(dA.sum())
+        self.target_bulk = cfg.recycle_target_bulk_u
+        self.dx0 = float(mesh.x.d[0])
+        self.inv_dy = jnp.asarray((1.0 / mesh.y.d).reshape(-1, 1), dtype)
+        self.inv_dz = float(1.0 / mesh.z.d[0])
+
+    # -- state initialization ------------------------------------------------
+
+    def init_buffers(self, comps) -> Tuple:
+        """Initial inlet planes = recycle-station planes (no shift)."""
+        u, v, w = comps
+        return (u[self.i_rec, :, :], v[self.i_rec, :, :], w[self.i_rec, :, :])
+
+    # -- per-step pipeline ---------------------------------------------------
+
+    def process(self, comps, inlet):
+        """Extract + spanwise shift + AR1 filter + mass-flux correction +
+        transverse-mean removal. Returns the new inlet planes."""
+        u, v, w = comps
+        rec_u = jnp.roll(u[self.i_rec, :, :], self.shift_k, axis=-1)
+        rec_v = jnp.roll(v[self.i_rec, :, :], self.shift_k, axis=-1)
+        rec_w = jnp.roll(w[self.i_rec, :, :], self.shift_k, axis=-1)
+        if self.alpha > 0.0:
+            a = self.alpha
+            rec_u = a * inlet[0] + (1 - a) * rec_u
+            rec_v = a * inlet[1] + (1 - a) * rec_v
+            rec_w = a * inlet[2] + (1 - a) * rec_w
+        # mass-flux correction: uniform offset, <=10% per step (:785-805)
+        bulk = jnp.sum(rec_u * self.area) / self.total_area
+        if self.target_bulk > 0:
+            scale = jnp.clip(self.target_bulk / jnp.maximum(bulk, 1e-10),
+                             0.9, 1.1)
+            rec_u = rec_u + bulk * (scale - 1.0)
+        if self.cfg.recycle_remove_transverse_mean:
+            rec_v = rec_v - jnp.mean(rec_v)
+            rec_w = rec_w - jnp.mean(rec_w)
+        if self.cfg.bc_y == BCType.WALL:
+            # keep no-slip wall faces exactly zero so the later velocity-BC
+            # re-imposition cannot break the inlet-cell continuity
+            rec_v = rec_v.at[0, :].set(0.0).at[-1, :].set(0.0)
+        return (rec_u, rec_v, rec_w)
+
+    def apply_inlet(self, comps, inlet):
+        """Impose v, w at the inlet plane; u is determined by the
+        projection + divergence correction (:1029-1090)."""
+        u, v, w = comps
+        v = v.at[0, :, :].set(inlet[1])
+        w = w.at[0, :, :].set(inlet[2])
+        return (u, v, w)
+
+    def correct_inlet_divergence(self, comps):
+        """u at the inlet face from local continuity of the first cell:
+        u0 = u1 + dx (dv/dy + dw/dz) (:1205-1280, the key stability fix)."""
+        u, v, w = comps
+        dvdy = (v[0, 1:, :] - v[0, :-1, :]) * self.inv_dy
+        dwdz = (jnp.roll(w[0, :, :], -1, axis=-1) - w[0, :, :]) * self.inv_dz
+        u = u.at[0, :, :].set(u[1, :, :] + self.dx0 * (dvdy + dwdz))
+        return (u, v, w)
+
+    def fringe(self, comps, inlet):
+        """Cosine blend toward the inlet planes over the fringe zone
+        (:1354-1420): beta=1 at the inlet, 0 at the fringe end."""
+        if self.i_fringe < 1:
+            return comps
+        u, v, w = comps
+        nf = self.i_fringe
+        u = u.at[:nf, :, :].set(
+            self.beta_f * inlet[0][None, :, :]
+            + (1.0 - self.beta_f) * u[:nf, :, :])
+        v = v.at[:nf, :, :].set(
+            self.beta_c * inlet[1][None, :, :]
+            + (1.0 - self.beta_c) * v[:nf, :, :])
+        w = w.at[:nf, :, :].set(
+            self.beta_c * inlet[2][None, :, :]
+            + (1.0 - self.beta_c) * w[:nf, :, :])
+        return (u, v, w)

@@ -67,6 +67,10 @@ class Simulation:
         if cfg.trip_enabled:
             from .forcing import TripForcing
             self.trip = TripForcing(cfg, self.mesh, self.dtype)
+        self.recycling = None
+        if cfg.recycling_inflow:
+            from .recycling import RecyclingInflow
+            self.recycling = RecyclingInflow(cfg, self.mesh, self.dtype)
         self._step_jit = jax.jit(self._step_impl)
         self._nsteps_jit = jax.jit(self._nsteps_impl, static_argnums=(1,))
 
@@ -109,7 +113,12 @@ class Simulation:
         """Model-specific state initialization (k/omega estimates etc.,
         reference RANSSolver::initialize -> turb_model->initialize,
         src/solver.cpp:1060)."""
-        return self.turb.initialize(state, self)
+        state = self.turb.initialize(state, self)
+        if self.recycling is not None:
+            iu, iv, iw = self.recycling.init_buffers(
+                (state.u, state.v, state.w))
+            state = state.replace(inlet_u=iu, inlet_v=iv, inlet_w=iw)
+        return state
 
     # ------------------------------------------------------------------
     # Physics pieces (all pure, traced under jit)
@@ -145,7 +154,7 @@ class Simulation:
         rw = -conv[2] + diff[2]
         return ru, rv, rw
 
-    def _project(self, comps, dt, forces=None):
+    def _project(self, comps, dt, forces=None, inlet=None):
         """Divergence -> Poisson -> correction (reference solver.cpp
         1914-2456; solver_time.cpp:736 project_velocity). With IBM: RHS
         solid-cell masking before the solve and re-forcing of the corrected
@@ -164,13 +173,21 @@ class Simulation:
         comps = apply_velocity_bc(*comps, geom)
         return comps, p_corr
 
-    def _euler_substep(self, comps, nu_t, dt, forces=None, t=0.0):
+    def _euler_substep(self, comps, nu_t, dt, forces=None, t=0.0,
+                       inlet=None):
         cfg = self.cfg
         rhs = self._momentum_rhs(comps, nu_t, t, dt)
         star = tuple(c + dt * r for c, r in zip(comps, rhs))
         if self.trip is not None:
             star = self.trip.apply(star, dt, t)    # reference :1724-1810
         star = apply_velocity_bc(*star, self.geom)
+        if self.recycling is not None and inlet is not None:
+            # inlet BC + inlet continuity + fringe on u* BEFORE the Poisson
+            # solve (reference solver.cpp:1857-1861); the projection then
+            # finishes the job through the Dirichlet-p inlet.
+            star = self.recycling.apply_inlet(star, inlet)
+            star = self.recycling.fringe(star, inlet)
+            star = self.recycling.correct_inlet_divergence(star)
         if cfg.implicit_y_diffusion:
             from .forcing import implicit_y_diffusion
             nu_eff = (jnp.asarray(cfg.nu, self.dtype) if nu_t is None
@@ -183,34 +200,35 @@ class Simulation:
                 forces.append(f)
         return star
 
-    def _advance_velocity(self, comps, nu_t, dt, p, forces=None, t=0.0):
+    def _advance_velocity(self, comps, nu_t, dt, p, forces=None, t=0.0,
+                          inlet=None):
         """One full time step of the velocity field with per-stage projection."""
         ti = self.cfg.time_integrator
         blend = lambda a, ca, b, cb: tuple(
             ca * x + cb * y for x, y in zip(a, b))
         if ti == TimeIntegrator.EULER:
-            star = self._euler_substep(comps, nu_t, dt, forces, t)
-            out, pc = self._project(star, dt, forces)
+            star = self._euler_substep(comps, nu_t, dt, forces, t, inlet)
+            out, pc = self._project(star, dt, forces, inlet)
             return out, p + pc
         if ti == TimeIntegrator.RK2:
-            s1 = self._euler_substep(comps, nu_t, dt, forces, t)
-            s1, pc1 = self._project(s1, dt, forces)
-            s2 = self._euler_substep(s1, nu_t, dt, forces, t)
+            s1 = self._euler_substep(comps, nu_t, dt, forces, t, inlet)
+            s1, pc1 = self._project(s1, dt, forces, inlet)
+            s2 = self._euler_substep(s1, nu_t, dt, forces, t, inlet)
             s2 = blend(comps, 0.5, s2, 0.5)
             s2 = apply_velocity_bc(*s2, self.geom)
-            s2, pc2 = self._project(s2, dt, forces)
+            s2, pc2 = self._project(s2, dt, forces, inlet)
             return s2, p + pc1 + pc2
         # SSP-RK3 (reference solver_time.cpp:1303)
-        s1 = self._euler_substep(comps, nu_t, dt, forces, t)
-        s1, pc1 = self._project(s1, dt, forces)
-        s2 = self._euler_substep(s1, nu_t, dt, forces, t)
+        s1 = self._euler_substep(comps, nu_t, dt, forces, t, inlet)
+        s1, pc1 = self._project(s1, dt, forces, inlet)
+        s2 = self._euler_substep(s1, nu_t, dt, forces, t, inlet)
         s2 = blend(comps, 0.75, s2, 0.25)
         s2 = apply_velocity_bc(*s2, self.geom)
-        s2, pc2 = self._project(s2, dt, forces)
-        s3 = self._euler_substep(s2, nu_t, dt, forces, t)
+        s2, pc2 = self._project(s2, dt, forces, inlet)
+        s3 = self._euler_substep(s2, nu_t, dt, forces, t, inlet)
         s3 = blend(comps, 1.0 / 3.0, s3, 2.0 / 3.0)
         s3 = apply_velocity_bc(*s3, self.geom)
-        s3, pc3 = self._project(s3, dt, forces)
+        s3, pc3 = self._project(s3, dt, forces, inlet)
         return s3, p + pc1 + pc2 + pc3
 
     def _adaptive_dt(self, comps, nu_t):
@@ -249,8 +267,15 @@ class Simulation:
         else:
             dt = jnp.asarray(cfg.dt, self.dtype)
         forces = [] if self.ibm is not None else None
+        inlet = None
+        if self.recycling is not None:
+            # extract/shift/filter/correct the recycle plane from the
+            # pre-step velocity (reference extract_recycle_plane +
+            # process_recycle_inflow, solver_recycling.cpp:466,570)
+            inlet = self.recycling.process(
+                comps, (state.inlet_u, state.inlet_v, state.inlet_w))
         new_comps, p = self._advance_velocity(comps, nu_t, dt, state.p,
-                                              forces, state.t)
+                                              forces, state.t, inlet)
         if cfg.filter_strength > 0.0:
             # explicit Laplacian filter every filter_interval steps
             # (reference apply_velocity_filter, solver.cpp:4065)
@@ -275,6 +300,9 @@ class Simulation:
             t=state.t + dt, step=state.step + 1, dt_prev=dt,
             nu_t=nu_t if state.nu_t is not None else None,
         )
+        if inlet is not None:
+            new_state = new_state.replace(
+                inlet_u=inlet[0], inlet_v=inlet[1], inlet_w=inlet[2])
         diags = StepDiagnostics(
             residual=res, div_linf=jnp.max(jnp.abs(div)), dt=dt, ke=ke,
             nan_flag=nan_flag, fx=fx, fy=fy, fz=fz,

@@ -1,0 +1,112 @@
+"""Recycling-inflow tests.
+
+Mirrors the reference suite (reference: tests/test_recycling_inflow.cpp 12
+checks, tests/test_periodic_vs_recycling.cpp): pipeline-stage sanity,
+mass-flux control, inlet continuity, fringe localization, step stability.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfdnn_tpu import BCType, Config, Simulation, perturbed_channel
+from cfdnn_tpu.config import TimeIntegrator
+
+
+def _cfg(**kw):
+    base = dict(
+        Nx=32, Ny=16, Nz=8,
+        x_min=0.0, x_max=4.0, z_max=1.0,
+        bc_x=BCType.INFLOW, bc_y=BCType.WALL, bc_z=BCType.PERIODIC,
+        nu=1e-3, nu_specified=True, dp_dx=-2e-3, dp_dx_specified=True,
+        dt=1e-3, adaptive_dt=False, dtype="float64",
+        recycling_inflow=True, recycle_filter_tau=0.05,
+        recycle_target_bulk_u=-1.0,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_recycling_requires_3d_periodic_z():
+    with pytest.raises(ValueError):
+        Simulation(_cfg(Nz=1))
+    with pytest.raises(ValueError):
+        Simulation(_cfg(bc_z=BCType.WALL))
+
+
+def test_recycle_process_shift_and_filter():
+    sim = Simulation(_cfg(recycle_shift_z=2, recycle_filter_tau=-1.0))
+    state = sim.initialize(perturbed_channel(sim.cfg, sim.mesh, amp=0.05))
+    comps = (state.u, state.v, state.w)
+    inlet = (state.inlet_u, state.inlet_v, state.inlet_w)
+    out = sim.recycling.process(comps, inlet)
+    # no filter: inlet u = shifted recycle plane + uniform mass offset
+    rec = np.asarray(state.u)[sim.recycling.i_rec, :, :]
+    shifted = np.roll(rec, 2, axis=-1)
+    got = np.asarray(out[0])
+    np.testing.assert_allclose(got - got.mean(), shifted - shifted.mean(),
+                               atol=1e-12)
+    # transverse means removed (v wall faces re-zeroed afterwards, so its
+    # mean is only approximately zero) and no-slip preserved
+    v_out = np.asarray(out[1])
+    assert abs(float(v_out[1:-1].mean())) < 0.02 * np.abs(v_out).max() + 1e-12
+    assert np.all(v_out[0] == 0.0) and np.all(v_out[-1] == 0.0)
+    assert abs(float(np.asarray(out[2]).mean())) < 1e-12
+
+
+def test_recycling_mass_flux_target():
+    sim = Simulation(_cfg(recycle_target_bulk_u=0.5, recycle_filter_tau=-1.0))
+    state = sim.initialize(perturbed_channel(sim.cfg, sim.mesh, amp=0.01))
+    comps = (state.u, state.v, state.w)
+    # run process repeatedly on a static field: bulk walks toward target
+    inlet = (state.inlet_u, state.inlet_v, state.inlet_w)
+    for _ in range(3):
+        inlet = sim.recycling.process(comps, inlet)
+    # one application moves bulk by at most 10% toward target (clamped)
+    bulk0 = float(np.sum(np.asarray(state.u)[sim.recycling.i_rec]
+                         * np.asarray(sim.recycling.area))
+                  / sim.recycling.total_area)
+    bulk1 = float(np.sum(np.asarray(inlet[0]) * np.asarray(sim.recycling.area))
+                  / sim.recycling.total_area)
+    assert abs(bulk1 - 0.5) <= abs(bulk0 - 0.5) + 1e-12
+
+
+def test_recycling_inlet_continuity():
+    """After a full step the inlet-cell divergence is driven to ~0
+    (reference correct_inlet_divergence, the key stability fix)."""
+    sim = Simulation(_cfg())
+    state = sim.initialize(perturbed_channel(sim.cfg, sim.mesh, amp=0.05))
+    from cfdnn_tpu.ops import operators as ops
+    for _ in range(3):
+        state, d = sim.step(state)
+    div = np.asarray(ops.divergence((state.u, state.v, state.w), sim.geom))
+    # inlet cells exactly div-free; the convective-outlet cell is exempt
+    # (its zero-gradient overwrite is non-solenoidal by construction, as in
+    # the reference)
+    assert np.abs(div[0, :, :]).max() < 1e-10
+    assert np.abs(div[1:-1, :, :]).max() < 1e-10
+
+
+def test_recycling_steps_stable_rk2():
+    sim = Simulation(_cfg(time_integrator=TimeIntegrator.RK2))
+    state = sim.initialize(perturbed_channel(sim.cfg, sim.mesh, amp=0.05))
+    for _ in range(20):
+        state, d = sim.step(state)
+    assert np.isfinite(float(d.ke))
+    from cfdnn_tpu.ops import operators as ops
+    div = np.asarray(ops.divergence((state.u, state.v, state.w), sim.geom))
+    assert np.abs(div[:-1]).max() < 1e-8   # outlet cell exempt (convective)
+    # inlet buffers carried and finite
+    assert np.all(np.isfinite(np.asarray(state.inlet_u)))
+
+
+def test_fringe_blend_localized():
+    sim = Simulation(_cfg(recycle_fringe_length=0.5))
+    state = sim.initialize(perturbed_channel(sim.cfg, sim.mesh, amp=0.0))
+    inlet = (jnp.ones_like(state.inlet_u), state.inlet_v, state.inlet_w)
+    comps = (jnp.zeros_like(state.u), state.v, state.w)
+    out = sim.recycling.fringe(comps, inlet)
+    u = np.asarray(out[0])
+    nf = sim.recycling.i_fringe
+    assert u[0, 0, 0] > 0.9            # near inlet: ~inlet value
+    assert np.all(u[nf:, :, :] == 0.0)  # untouched beyond the fringe
