@@ -1,0 +1,246 @@
+"""Diagnostics: energy budget, channel turbulence statistics, Stage-F
+realism gates, turbulence presence classification.
+
+TPU-native rebuild of the reference diagnostics layer (reference: src/
+solver_energy_diagnostics.cpp (539 LoC: KE, power input, dissipation),
+src/solver_turbulence_diagnostics.cpp (1,167 LoC: statistics + Stage-F
+realism validation), include/solver.hpp:302-655 statistics APIs and
+:409-454 presence classifier with rolling window + hysteresis). The
+compute-heavy pieces are jit-compatible pure functions; report assembly is
+host-side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import operators as ops
+from .turbulence.base import strain_rotation
+
+
+# ---------------------------------------------------------------------------
+# Energy budget (reference solver_energy_diagnostics.cpp)
+# ---------------------------------------------------------------------------
+
+
+def kinetic_energy(comps, geom):
+    """Volume-weighted mean kinetic energy 0.5 <|u|^2> (cell-centered)."""
+    from .turbulence.base import cell_center_velocity
+    u, v, w = cell_center_velocity(comps, geom)
+    V = None
+    for a in range(3):
+        ax = geom.axes[a]
+        if ax.n > 1:
+            V = ax.d if V is None else V * ax.d
+    if V is None:
+        V = jnp.ones(())
+    Vs = jnp.sum(jnp.broadcast_to(V, u.shape))
+    return 0.5 * jnp.sum((u**2 + v**2 + w**2) * V) / Vs
+
+
+def dissipation_rate(comps, nu, geom):
+    """epsilon = nu <2 S_ij S_ij> from the cell-centered gradient tensor."""
+    sr = strain_rotation(comps, geom)
+    return nu * jnp.mean(sr.S_mag**2)
+
+
+def energy_budget(sim, state) -> Dict[str, float]:
+    """KE, power input P = <f u>, dissipation; for a statistically steady
+    channel P ~ epsilon (reference energy-budget gate,
+    tests/test_energy_budget_channel.cpp)."""
+    comps = (state.u, state.v, state.w)
+    geom = sim.geom
+    cfg = sim.cfg
+    ke = kinetic_energy(comps, geom)
+    fx = -cfg.dp_dx / cfg.rho
+    from .turbulence.base import cell_center_velocity
+    ucc = cell_center_velocity(comps, geom)[0]
+    power = fx * jnp.mean(ucc)
+    nu_t = sim.turb.nu_t(state, sim)
+    nu_eff = cfg.nu if nu_t is None else cfg.nu + nu_t
+    eps = dissipation_rate(comps, nu_eff, geom)
+    return {
+        "ke": float(ke),
+        "power_input": float(power),
+        "dissipation": float(eps),
+        "balance_residual": float(jnp.abs(power - eps)
+                                  / jnp.maximum(jnp.abs(power), 1e-30)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Channel statistics (reference solver_turbulence_diagnostics.cpp)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ChannelStats:
+    """Plane-averaged (x-z) channel statistics."""
+
+    y: np.ndarray
+    U: np.ndarray            # mean streamwise velocity
+    u_rms: np.ndarray
+    v_rms: np.ndarray
+    w_rms: np.ndarray
+    uv: np.ndarray           # Reynolds shear stress <u'v'>
+    u_tau: float
+    Re_tau: float
+    y_plus_1: float          # first-cell center in wall units
+    dx_plus: float
+    dz_plus: float
+
+
+def channel_statistics(sim, state) -> ChannelStats:
+    """Single-snapshot statistics (the reference accumulates in time; the
+    caller can average ChannelStats over snapshots)."""
+    from .turbulence.base import cell_center_velocity
+    cfg, geom, mesh = sim.cfg, sim.geom, sim.mesh
+    u, v, w = cell_center_velocity((state.u, state.v, state.w), geom)
+    U = jnp.mean(u, axis=(0, 2))
+    Vm = jnp.mean(v, axis=(0, 2))
+    Wm = jnp.mean(w, axis=(0, 2))
+    up = u - U[None, :, None]
+    vp = v - Vm[None, :, None]
+    wp = w - Wm[None, :, None]
+    u_rms = jnp.sqrt(jnp.mean(up**2, axis=(0, 2)))
+    v_rms = jnp.sqrt(jnp.mean(vp**2, axis=(0, 2)))
+    w_rms = jnp.sqrt(jnp.mean(wp**2, axis=(0, 2)))
+    uv = jnp.mean(up * vp, axis=(0, 2))
+
+    # u_tau from both walls, averaged (reference u_tau consistency gate)
+    y = mesh.y.centers
+    d_lo = y[0] - mesh.y.lo
+    d_hi = mesh.y.hi - y[-1]
+    dudy_lo = float(U[0]) / d_lo
+    dudy_hi = -float(U[-1]) / d_hi
+    u_tau = float(np.sqrt(cfg.nu * 0.5 * (abs(dudy_lo) + abs(dudy_hi))))
+    delta = 0.5 * cfg.Ly
+    Re_tau = u_tau * delta / cfg.nu
+    lv = cfg.nu / max(u_tau, 1e-30)   # viscous length
+    return ChannelStats(
+        y=np.asarray(y), U=np.asarray(U),
+        u_rms=np.asarray(u_rms), v_rms=np.asarray(v_rms),
+        w_rms=np.asarray(w_rms), uv=np.asarray(uv),
+        u_tau=u_tau, Re_tau=float(Re_tau),
+        y_plus_1=float(d_lo / lv),
+        dx_plus=float(mesh.x.h / lv),
+        dz_plus=float(mesh.z.h / lv) if mesh.Nz > 1 else 0.0,
+    )
+
+
+def momentum_balance_closure(sim, state) -> float:
+    """Channel momentum balance: total stress tau(y) = nu dU/dy - <u'v'>
+    should be linear, tau = u_tau^2 (1 - y/delta). Returns the max relative
+    closure defect (reference gate <10%)."""
+    cfg, mesh = sim.cfg, sim.mesh
+    st = channel_statistics(sim, state)
+    y = st.y
+    dUdy = np.gradient(st.U, y)
+    nu_t = sim.turb.nu_t(state, sim)
+    nu_eff = cfg.nu if nu_t is None else cfg.nu + float(np.mean(np.asarray(
+        nu_t), axis=(0, 2)).mean())
+    tau_tot = cfg.nu * dUdy - st.uv
+    delta = 0.5 * cfg.Ly
+    ymid = 0.5 * (cfg.y_min + cfg.y_max)
+    tau_exact = st.u_tau**2 * (-(y - ymid) / delta)
+    scale = max(st.u_tau**2, 1e-30)
+    # exclude the few near-wall cells where gradients are least resolved
+    sl = slice(2, -2)
+    return float(np.max(np.abs(tau_tot[sl] - tau_exact[sl])) / scale)
+
+
+# ---------------------------------------------------------------------------
+# Spanwise spectrum artifact check (reference Stage-F spectrum gates)
+# ---------------------------------------------------------------------------
+
+
+def spanwise_spectrum(sim, state, j: Optional[int] = None) -> np.ndarray:
+    """1-D spanwise (z) energy spectrum of u at y-index j (default mid)."""
+    from .turbulence.base import cell_center_velocity
+    u = cell_center_velocity((state.u, state.v, state.w), sim.geom)[0]
+    j = u.shape[1] // 2 if j is None else j
+    plane = u[:, j, :]
+    hat = jnp.fft.rfft(plane - jnp.mean(plane), axis=-1)
+    E = jnp.mean(jnp.abs(hat) ** 2, axis=0)
+    return np.asarray(E)
+
+
+def spectrum_pileup_ratio(E: np.ndarray) -> float:
+    """Energy at the Nyquist tail relative to the peak — high-wavenumber
+    pile-up indicates an under-resolved / aliased field."""
+    peak = float(np.max(E[1:])) if len(E) > 2 else 1.0
+    tail = float(np.mean(E[-2:]))
+    return tail / max(peak, 1e-300)
+
+
+# ---------------------------------------------------------------------------
+# Stage-F realism report (reference solver.hpp:302-655)
+# ---------------------------------------------------------------------------
+
+
+def realism_report(sim, state) -> Dict[str, object]:
+    """Resolution gates + u_tau consistency + stress ordering + momentum
+    closure + spectrum artifact check (reference Stage-F gates:
+    y+<=1, dx+<=15, dz+<=8, closure <10%, u' > w' > v' ordering)."""
+    st = channel_statistics(sim, state)
+    checks = {}
+    checks["y_plus_ok"] = st.y_plus_1 <= 1.0
+    checks["dx_plus_ok"] = st.dx_plus <= 15.0
+    checks["dz_plus_ok"] = st.dz_plus <= 8.0
+    mid = len(st.y) // 2
+    core = slice(len(st.y) // 4, 3 * len(st.y) // 4)
+    checks["stress_ordering_ok"] = bool(
+        np.mean(st.u_rms[core]) >= np.mean(st.w_rms[core]) - 1e-12
+        and np.mean(st.w_rms[core]) >= np.mean(st.v_rms[core]) - 1e-12)
+    closure = momentum_balance_closure(sim, state)
+    checks["momentum_closure"] = closure
+    checks["momentum_closure_ok"] = closure < 0.10
+    if sim.mesh.Nz > 1:
+        ratio = spectrum_pileup_ratio(spanwise_spectrum(sim, state))
+        checks["spectrum_pileup"] = ratio
+        checks["spectrum_ok"] = ratio < 0.1
+    checks["u_tau"] = st.u_tau
+    checks["Re_tau"] = st.Re_tau
+    checks["all_ok"] = all(v for k, v in checks.items()
+                           if k.endswith("_ok"))
+    return checks
+
+
+# ---------------------------------------------------------------------------
+# Turbulence presence classifier (reference solver.hpp:409-454)
+# ---------------------------------------------------------------------------
+
+
+class TurbulencePresenceClassifier:
+    """Rolling-window fluctuation-level classifier with hysteresis.
+
+    States: 'laminar' <-> 'turbulent'; enter turbulent when the rms
+    transverse fluctuation intensity exceeds `hi` for the whole window,
+    fall back when below `lo` (hysteresis prevents flapping, reference
+    presence classifier)."""
+
+    def __init__(self, window: int = 10, hi: float = 1e-3, lo: float = 1e-4):
+        self.window = window
+        self.hi = hi
+        self.lo = lo
+        self.history: List[float] = []
+        self.state = "laminar"
+
+    def update(self, sim, state) -> str:
+        w_int = float(jnp.sqrt(jnp.mean(state.w**2)))
+        v_int = float(jnp.sqrt(jnp.mean(state.v**2)))
+        level = max(w_int, v_int)
+        self.history.append(level)
+        if len(self.history) > self.window:
+            self.history.pop(0)
+        if len(self.history) == self.window:
+            if self.state == "laminar" and min(self.history) > self.hi:
+                self.state = "turbulent"
+            elif self.state == "turbulent" and max(self.history) < self.lo:
+                self.state = "laminar"
+        return self.state

@@ -1,0 +1,119 @@
+"""Diagnostics-layer tests: energy budget, channel statistics, realism
+gates, presence classifier, timing utilities.
+
+Mirrors the reference coverage (reference: tests/test_energy_budget_
+channel.cpp, tests/test_turbulence_realism.cpp Stage-F gates,
+tests/test_gpu_utilization.cpp timing gate).
+"""
+
+import numpy as np
+import pytest
+
+from cfdnn_tpu import BCType, Config, Simulation, init_poiseuille, perturbed_channel
+from cfdnn_tpu import diagnostics as diag
+from cfdnn_tpu.utils.timing import TimingStats, timed_jit_call, timed_scope
+
+
+def _channel(N=32, **kw):
+    base = dict(Nx=16, Ny=N, Nz=8, z_max=1.0,
+                nu=1e-3, nu_specified=True, dp_dx=-2e-3, dp_dx_specified=True,
+                dt=1e-3, adaptive_dt=False, dtype="float64")
+    base.update(kw)
+    cfg = Config(**base)
+    return Simulation(cfg)
+
+
+def test_energy_budget_steady_poiseuille():
+    """At the steady laminar state, power input == dissipation exactly
+    (reference energy-budget closure)."""
+    sim = _channel()
+    state = init_poiseuille(sim.cfg, sim.mesh, fraction=1.0)
+    for _ in range(200):
+        state, _ = sim.step(state)
+    b = diag.energy_budget(sim, state)
+    assert b["ke"] > 0
+    assert b["balance_residual"] < 0.05, b
+
+
+def test_channel_statistics_laminar():
+    sim = _channel()
+    state = init_poiseuille(sim.cfg, sim.mesh, fraction=1.0)
+    st = diag.channel_statistics(sim, state)
+    # laminar: fluctuations ~ 0; U symmetric parabola
+    assert np.abs(st.uv).max() < 1e-12
+    assert st.u_rms.max() < 1e-12
+    assert st.u_tau > 0 and st.Re_tau > 0
+    np.testing.assert_allclose(st.U, st.U[::-1], rtol=1e-10)
+
+
+def test_u_tau_matches_analytic():
+    """Poiseuille: u_tau = sqrt(-dp_dx delta / rho) exactly at steady state."""
+    sim = _channel(N=64)
+    state = init_poiseuille(sim.cfg, sim.mesh, fraction=1.0)
+    for _ in range(100):
+        state, _ = sim.step(state)
+    st = diag.channel_statistics(sim, state)
+    u_tau_exact = np.sqrt(-sim.cfg.dp_dx * 0.5 * sim.cfg.Ly / sim.cfg.rho)
+    # first-cell gradient underestimates the wall slope at O(dy^2)
+    assert abs(st.u_tau - u_tau_exact) / u_tau_exact < 0.05
+
+
+def test_momentum_balance_laminar():
+    sim = _channel(N=64)
+    state = init_poiseuille(sim.cfg, sim.mesh, fraction=1.0)
+    for _ in range(100):
+        state, _ = sim.step(state)
+    closure = diag.momentum_balance_closure(sim, state)
+    assert closure < 0.10, closure
+
+
+def test_realism_report_fields():
+    sim = _channel()
+    state = perturbed_channel(sim.cfg, sim.mesh, amp=0.05)
+    for _ in range(5):
+        state, _ = sim.step(state)
+    rep = diag.realism_report(sim, state)
+    for key in ("y_plus_ok", "dx_plus_ok", "dz_plus_ok", "u_tau", "Re_tau",
+                "momentum_closure", "stress_ordering_ok", "all_ok"):
+        assert key in rep
+    assert np.isfinite(rep["u_tau"])
+
+
+def test_presence_classifier_hysteresis():
+    sim = _channel()
+    clf = diag.TurbulencePresenceClassifier(window=3, hi=1e-3, lo=1e-4)
+    laminar = init_poiseuille(sim.cfg, sim.mesh, fraction=1.0)
+    for _ in range(4):
+        assert clf.update(sim, laminar) == "laminar"
+    turb = perturbed_channel(sim.cfg, sim.mesh, amp=0.5)
+    for _ in range(3):
+        clf.update(sim, turb)
+    assert clf.state == "turbulent"
+    # brief dip below hi must NOT flip back (hysteresis)
+    clf.update(sim, laminar)
+    assert clf.state == "turbulent"
+
+
+def test_spanwise_spectrum_smooth_field():
+    sim = _channel()
+    state = init_poiseuille(sim.cfg, sim.mesh, fraction=1.0)
+    E = diag.spanwise_spectrum(sim, state)
+    assert len(E) == sim.mesh.Nz // 2 + 1
+    assert np.all(np.isfinite(E))
+
+
+def test_timing_stats_and_gate():
+    stats = TimingStats.instance()
+    stats.reset()
+    sim = _channel()
+    state = init_poiseuille(sim.cfg, sim.mesh, fraction=1.0)
+    state, _ = sim.step(state)  # compile outside timing
+    for _ in range(3):
+        state, _ = timed_jit_call("step", sim._step_jit, state)
+    with timed_scope("host_prep"):
+        _ = np.zeros(10)
+    assert stats.totals["step_jit"] > 0
+    assert stats.counts["step_jit"] == 3
+    # compute dominated by the jitted step (reference >=70% gate)
+    stats.assert_device_dominant(0.7)
+    assert "device utilization" in stats.report()
