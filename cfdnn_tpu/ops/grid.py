@@ -55,6 +55,13 @@ class AxisGeom:
     p_hi: str = "neumann"    # must match the Poisson backend exactly
 
     @property
+    def o4_ok(self) -> bool:
+        """O4 stencils apply on uniform periodic axes (wide stencils near
+        walls would need one-sided closures; the reference likewise keeps
+        its O4 kernels to the periodic DNS path)."""
+        return self.periodic and self.uniform and self.n >= 4
+
+    @property
     def pos_c_pad(self):
         """(..N+2..) 1-ghost center positions."""
         return _sl1(self.pos_c_pad2)
@@ -110,6 +117,7 @@ class Geometry:
 
     axes: Tuple[AxisGeom, AxisGeom, AxisGeom]
     dtype: object
+    space_order: int = 2     # 2 or 4 (O4 on o4_ok axes only)
 
     @classmethod
     def make(cls, mesh: Mesh, cfg: Config) -> "Geometry":
@@ -125,7 +133,11 @@ class Geometry:
                               pressure_bc_kinds(cfg, 2)),
             ),
             dtype=dtype,
+            space_order=cfg.space_order,
         )
+
+    def use_o4(self, axis: int) -> bool:
+        return self.space_order >= 4 and self.axes[axis].o4_ok
 
     @property
     def x(self) -> AxisGeom:

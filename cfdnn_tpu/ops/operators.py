@@ -100,6 +100,52 @@ def ff_central(phi: Array, axis: int, ax: AxisGeom) -> Array:
     return (sl(pad, axis, 2, None) - sl(pad, axis, 0, -2)) / den
 
 
+# ---------------------------------------------------------------------------
+# O4 periodic-uniform stencils (reference O4 kernel variants,
+# include/solver_kernels.hpp O4 convective/diffusive/divergence/correct
+# families; active on `o4_ok` axes when space_order=4)
+# ---------------------------------------------------------------------------
+
+
+def _R(f: Array, n: int, axis: int) -> Array:
+    """Element i+n of a periodic array."""
+    return jnp.roll(f, -n, axis=axis)
+
+
+def f2c_mean4(F: Array, axis: int, ax: AxisGeom) -> Array:
+    """O4 faces->cell i: (9(F_i+F_{i+1}) - (F_{i-1}+F_{i+2}))/16."""
+    return (9.0 * (F + _R(F, 1, axis)) - (_R(F, -1, axis) + _R(F, 2, axis))) / 16.0
+
+
+def f2c_diff4(F: Array, axis: int, ax: AxisGeom) -> Array:
+    """O4 staggered d/dx at cell i: (27(F_{i+1}-F_i) - (F_{i+2}-F_{i-1}))/(24h)."""
+    return (27.0 * (_R(F, 1, axis) - F)
+            - (_R(F, 2, axis) - _R(F, -1, axis))) / (24.0 * ax.h)
+
+
+def c2f_mean4(f: Array, axis: int, ax: AxisGeom) -> Array:
+    """O4 cells->face i: (9(f_{i-1}+f_i) - (f_{i-2}+f_{i+1}))/16."""
+    return (9.0 * (_R(f, -1, axis) + f) - (_R(f, -2, axis) + _R(f, 1, axis))) / 16.0
+
+
+def c2f_diff4(f: Array, axis: int, ax: AxisGeom) -> Array:
+    """O4 staggered d/dx at face i: (27(f_i-f_{i-1}) - (f_{i+1}-f_{i-2}))/(24h)."""
+    return (27.0 * (f - _R(f, -1, axis))
+            - (_R(f, 1, axis) - _R(f, -2, axis))) / (24.0 * ax.h)
+
+
+def same_diff4(f: Array, axis: int, ax: AxisGeom) -> Array:
+    """O4 collocated d/dx: (8(f_{i+1}-f_{i-1}) - (f_{i+2}-f_{i-2}))/(12h)."""
+    return (8.0 * (_R(f, 1, axis) - _R(f, -1, axis))
+            - (_R(f, 2, axis) - _R(f, -2, axis))) / (12.0 * ax.h)
+
+
+def same_diff2_4(f: Array, axis: int, ax: AxisGeom) -> Array:
+    """O4 collocated d2/dx2: (-f_{i+2}+16f_{i+1}-30f_i+16f_{i-1}-f_{i-2})/(12h^2)."""
+    return (-_R(f, 2, axis) + 16.0 * _R(f, 1, axis) - 30.0 * f
+            + 16.0 * _R(f, -1, axis) - _R(f, -2, axis)) / (12.0 * ax.h**2)
+
+
 def _minmod(a: Array, b: Array) -> Array:
     same = a * b > 0.0
     pick = jnp.where(jnp.abs(a) < jnp.abs(b), a, b)
@@ -139,10 +185,16 @@ def _upwind2_pair(pad2, pos2, axis, a):
 
 
 def _advecting_velocity(comps: Vel, s: int, d: int, geom: Geometry) -> Array:
-    """Component d interpolated to the DOF points of component s (4-pt avg)."""
+    """Component d interpolated to the DOF points of component s (4-pt avg;
+    O4 interpolation on O4-capable axes)."""
     if d == s:
         return comps[s]
-    uc = f2c_mean(comps[d], d, geom.axes[d])
+    if geom.use_o4(d):
+        uc = f2c_mean4(comps[d], d, geom.axes[d])
+    else:
+        uc = f2c_mean(comps[d], d, geom.axes[d])
+    if geom.use_o4(s):
+        return c2f_mean4(uc, s, geom.axes[s])
     return c2f_mean(uc, s, geom.axes[s], kind="vel")
 
 
@@ -156,7 +208,10 @@ def _conv_advective(comps: Vel, s: int, geom: Geometry,
             continue
         adv = _advecting_velocity(comps, s, d, geom)
         if scheme == ConvectiveScheme.CENTRAL or scheme == ConvectiveScheme.SKEW:
-            dphi = ff_central(phi, d, ax) if d == s else cc_central(phi, d, ax)
+            if geom.use_o4(d):
+                dphi = same_diff4(phi, d, ax)
+            else:
+                dphi = ff_central(phi, d, ax) if d == s else cc_central(phi, d, ax)
         else:
             ng = 2 if scheme == ConvectiveScheme.UPWIND2 else 1
             if d == s:
@@ -281,6 +336,9 @@ def diffusive(comps: Vel, nu_center, geom: Geometry,
             ax = geom.axes[d]
             if ax.n == 1 or (skip_y and d == 1):
                 continue
+            if scalar_nu and geom.use_o4(d):
+                term = term + nu_center * same_diff2_4(phi, d, ax)
+                continue
             if d == s:
                 g_c = f2c_diff(phi, s, axs)
                 nu_c = nu_center
@@ -315,8 +373,11 @@ def divergence(comps: Vel, geom: Geometry) -> Array:
         ax = geom.axes[axis]
         if ax.n == 1:
             continue
-        lo, hi = face_pair(comps[axis], axis, ax.bc)
-        t = (hi - lo) * ax.inv_d
+        if geom.use_o4(axis):
+            t = f2c_diff4(comps[axis], axis, ax)
+        else:
+            lo, hi = face_pair(comps[axis], axis, ax.bc)
+            t = (hi - lo) * ax.inv_d
         div = t if div is None else div + t
     return div
 
@@ -330,6 +391,8 @@ def pressure_grad_face(p: Array, axis: int, geom: Geometry) -> Array:
     grids (reference yLap metrics, include/mesh.hpp:16-182).
     """
     ax = geom.axes[axis]
+    if geom.use_o4(axis):
+        return c2f_diff4(p, axis, ax)
     from .bc import pad_pressure
     pad = pad_pressure(p, axis, ax)
     g = (sl(pad, axis, 1, None) - sl(pad, axis, 0, -1)) * ax.inv_dc
@@ -350,15 +413,17 @@ def correct_velocity(comps: Vel, p_corr: Array, dt, geom: Geometry) -> Vel:
 
 def laplacian(p: Array, geom: Geometry) -> Array:
     """Consistent scalar Laplacian L = D(G(p)) used by the Poisson solvers."""
-    comps = [None, None, None]
     lap = None
     for axis in range(3):
         ax = geom.axes[axis]
         if ax.n == 1:
             continue
         g = pressure_grad_face(p, axis, geom)
-        lo, hi = face_pair(g, axis, ax.bc)
-        t = (hi - lo) * ax.inv_d
+        if geom.use_o4(axis):
+            t = f2c_diff4(g, axis, ax)
+        else:
+            lo, hi = face_pair(g, axis, ax.bc)
+            t = (hi - lo) * ax.inv_d
         lap = t if lap is None else lap + t
     return lap
 

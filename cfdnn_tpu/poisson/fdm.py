@@ -41,7 +41,8 @@ class _AxisTransform:
     Vinv: Optional[np.ndarray] = None  # eig: forward-transform matrix
 
 
-def _axis_transform(ax, bc: BCType, kinds: Tuple[str, str]) -> _AxisTransform:
+def _axis_transform(ax, bc: BCType, kinds: Tuple[str, str],
+                    order: int = 2) -> _AxisTransform:
     n = ax.n
     if n == 1:
         return _AxisTransform(kind="none", lam=np.zeros(1))
@@ -49,7 +50,15 @@ def _axis_transform(ax, bc: BCType, kinds: Tuple[str, str]) -> _AxisTransform:
         if not ax.uniform:
             raise ValueError("FDM Poisson requires uniform spacing on periodic axes")
         k = np.arange(n)
-        lam = (2.0 * np.cos(2.0 * np.pi * k / n) - 2.0) / (ax.h * ax.h)
+        if order >= 4 and n >= 4:
+            # symbol of the O4 staggered D(G): -s(k)^2 with
+            # s = (27 sin(kh/2) - sin(3kh/2)) / (12 h)
+            # (reference O4-consistent eigenvalues, poisson_solver_fft.hpp:32-35)
+            th = np.pi * k / n
+            s = (27.0 * np.sin(th) - np.sin(3.0 * th)) / (12.0 * ax.h)
+            lam = -(s * s)
+        else:
+            lam = (2.0 * np.cos(2.0 * np.pi * k / n) - 2.0) / (ax.h * ax.h)
         return _AxisTransform(kind="fft", lam=lam)
     lo, hi = kinds
     aS, aP, aN = ax.laplacian_metrics(periodic=False, lo=lo, hi=hi)
@@ -71,7 +80,8 @@ class FDMPoissonSolver:
         self.dtype = jnp.dtype(dtype or cfg.poisson_dtype or cfg.dtype)
         bcs = (cfg.bc_x, cfg.bc_y, cfg.bc_z)
         self.tr = [
-            _axis_transform(axd, bc, pressure_bc_kinds(cfg, a))
+            _axis_transform(axd, bc, pressure_bc_kinds(cfg, a),
+                            order=cfg.space_order)
             for a, (axd, bc) in enumerate(zip((mesh.x, mesh.y, mesh.z), bcs))
         ]
         # rfft on the *last* FFT axis for the real-input bandwidth saving

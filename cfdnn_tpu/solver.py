@@ -103,6 +103,11 @@ class Simulation:
             except ValueError:
                 if sel != PoissonSolverType.AUTO:
                     raise
+        if cfg.space_order >= 4:
+            raise ValueError(
+                "space_order=4 requires the FDM Poisson backend (the MG "
+                "operator is O2; an O4 projection against it would not be "
+                "discretely consistent)")
         from .poisson.multigrid import MGPoissonSolver
         return MGPoissonSolver(self.mesh, cfg, self.geom)
 

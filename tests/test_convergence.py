@@ -1,0 +1,135 @@
+"""Spatial-order verification (MMS) for O2 and O4 operator variants.
+
+Mirrors the reference convergence suite (reference: tests/test_mms_
+convergence.cpp order >= 1.8 gate, tests/test_operator_convergence.cpp,
+tests/test_poiseuille_refinement.cpp rate 2.15).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfdnn_tpu import BCType, Config, Simulation, init_poiseuille, poiseuille_exact
+from cfdnn_tpu.mesh import Mesh
+from cfdnn_tpu.ops import operators as ops
+from cfdnn_tpu.ops.grid import Geometry
+
+
+def _periodic_cfg(N, order=2):
+    return Config(Nx=N, Ny=N, Nz=1,
+                  y_min=0.0, y_max=2 * np.pi,
+                  bc_x=BCType.PERIODIC, bc_y=BCType.PERIODIC,
+                  nu=1e-2, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
+                  dtype="float64", space_order=order)
+
+
+def _rate(errs, Ns):
+    return np.polyfit(np.log(Ns), np.log(errs), 1)[0] * -1.0
+
+
+@pytest.mark.parametrize("order,expected", [(2, 2.0), (4, 4.0)])
+def test_divergence_order(order, expected):
+    """MMS: div of an analytic staggered field converges at the right rate."""
+    errs, Ns = [], [16, 32, 64]
+    for N in Ns:
+        cfg = _periodic_cfg(N, order)
+        mesh = Mesh.from_config(cfg)
+        geom = Geometry.make(mesh, cfg)
+        xf = mesh.x.faces[:-1]
+        yc = mesh.y.centers
+        xc = mesh.x.centers
+        yf = mesh.y.faces[:-1]
+        u = jnp.asarray(np.sin(xf)[:, None, None] * np.cos(yc)[None, :, None])
+        v = jnp.asarray(np.cos(xc)[:, None, None] * np.sin(yf)[None, :, None])
+        w = jnp.zeros((N, N, 1))
+        div = np.asarray(ops.divergence((u, v, w), geom))
+        exact = (np.cos(xc)[:, None, None] * np.cos(yc)[None, :, None]
+                 + np.cos(xc)[:, None, None] * np.cos(yc)[None, :, None])
+        errs.append(np.abs(div - exact).max())
+    rate = _rate(errs, Ns)
+    assert rate > expected - 0.3, f"order {order}: measured rate {rate}"
+
+
+@pytest.mark.parametrize("order,expected", [(2, 2.0), (4, 4.0)])
+def test_laplacian_order(order, expected):
+    errs, Ns = [], [16, 32, 64]
+    for N in Ns:
+        cfg = _periodic_cfg(N, order)
+        mesh = Mesh.from_config(cfg)
+        geom = Geometry.make(mesh, cfg)
+        X = mesh.x.centers[:, None, None]
+        Y = mesh.y.centers[None, :, None]
+        p = jnp.asarray(np.sin(X) * np.cos(2 * Y))
+        lap = np.asarray(ops.laplacian(p, geom))
+        exact = -(1.0 + 4.0) * np.sin(X) * np.cos(2 * Y)
+        errs.append(np.abs(lap - exact).max())
+    rate = _rate(errs, Ns)
+    assert rate > expected - 0.3, f"order {order}: measured rate {rate}"
+
+
+@pytest.mark.parametrize("order", [2, 4])
+def test_projection_exact_with_order(order):
+    """FDM projection drives divergence to roundoff for both orders."""
+    N = 32
+    cfg = _periodic_cfg(N, order).with_(Nz=8, z_max=2 * np.pi,
+                                        bc_z=BCType.PERIODIC, dt=1e-3,
+                                        adaptive_dt=False)
+    sim = Simulation(cfg)
+    rng = np.random.default_rng(0)
+    state = sim.initial_state()
+    state = state.replace(
+        u=jnp.asarray(rng.standard_normal(state.u.shape)),
+        v=jnp.asarray(rng.standard_normal(state.v.shape)),
+        w=jnp.asarray(rng.standard_normal(state.w.shape)))
+    new, _ = sim._project((state.u, state.v, state.w), 1e-3)
+    div = np.asarray(ops.divergence(new, sim.geom))
+    assert np.abs(div).max() < 1e-10, f"O{order} projection div"
+
+
+def test_poiseuille_refinement_rate():
+    """Steady Poiseuille converges at 2nd order in Ny (reference baseline
+    rate 2.15, tests/baselines poiseuille_refine)."""
+    errs, Ns = [], [16, 32, 64]
+    for N in Ns:
+        cfg = Config(Nx=4, Ny=N, Nz=1, nu=1e-3, nu_specified=True,
+                     dp_dx=-2e-3, dp_dx_specified=True, dt=2e-3,
+                     adaptive_dt=False, dtype="float64")
+        sim = Simulation(cfg)
+        state = init_poiseuille(cfg, sim.mesh, fraction=1.0)
+        state, d = sim.solve_steady(state, tol=1e-12, max_steps=20000)
+        from cfdnn_tpu.ops.operators import f2c_mean
+        prof = np.asarray(f2c_mean(state.u, 0, sim.geom.axes[0])).mean(axis=(0, 2))
+        exact = poiseuille_exact(cfg, sim.mesh.y.centers)
+        errs.append(np.linalg.norm(prof - exact) / np.linalg.norm(exact))
+    rate = _rate(errs, Ns)
+    assert rate > 1.8, f"Poiseuille refinement rate {rate} (errors {errs})"
+    # absolute accuracy comparable to the reference baseline 3.34e-4 at N=64
+    assert errs[-1] < 5e-4
+
+
+def test_o4_requires_fdm():
+    cfg = _periodic_cfg(16, 4).with_(poisson_solver="mg")
+    from cfdnn_tpu.config import PoissonSolverType
+    cfg = cfg.with_(poisson_solver=PoissonSolverType.MG)
+    with pytest.raises(ValueError):
+        Simulation(cfg)
+
+
+def test_tgv_o4_more_accurate_than_o2():
+    """2D Taylor-Green: O4 tracks the analytic decay better than O2."""
+    from cfdnn_tpu import init_taylor_green
+    N = 24
+    errs = {}
+    for order in (2, 4):
+        cfg = _periodic_cfg(N, order).with_(dt=2e-3, adaptive_dt=False,
+                                            nu=1e-2, nu_specified=True)
+        sim = Simulation(cfg)
+        state = init_taylor_green(cfg, sim.mesh)
+        n_steps = 50
+        state, d = sim.run(state, n_steps)
+        # analytic: KE(t) = KE0 exp(-4 nu t) for the 2D TGV (kx=ky=1)
+        ke0 = 0.25  # mean of 0.5(u^2+v^2) over the box for V0=1
+        t = float(state.t)
+        ke_exact = ke0 * np.exp(-4.0 * cfg.nu * t)
+        errs[order] = abs(float(d.ke) - ke_exact) / ke_exact
+    assert errs[4] < errs[2], errs
