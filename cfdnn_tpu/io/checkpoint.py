@@ -1,0 +1,85 @@
+"""Checkpoint / resume.
+
+The reference has NO restart path (SURVEY 5.4: `USE_HDF5` exists but is
+unused; long DNS runs simply rerun — docs note one-way VTK snapshots only).
+This module exceeds that: orbax-backed array checkpointing of the full state
+pytree plus the config, so any run (including multi-chip sharded states) can
+resume bit-exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..fields import State
+
+
+def _state_to_numpy(state: State) -> dict:
+    out = {}
+    for f in dataclasses.fields(state):
+        v = getattr(state, f.name)
+        if v is not None:
+            out[f.name] = np.asarray(v)
+    return out
+
+
+def save_checkpoint(path: str, state: State, cfg: Config,
+                    step: Optional[int] = None) -> str:
+    """Write `<path>/ckpt_<step>/` with state arrays + config JSON.
+
+    Uses orbax when available; falls back to a plain .npz (same layout
+    either way from the caller's perspective).
+    """
+    step = int(state.step) if step is None else step
+    d = os.path.join(path, f"ckpt_{step:09d}")
+    os.makedirs(d, exist_ok=True)
+    arrays = _state_to_numpy(state)
+    try:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.join(os.path.abspath(d), "state"), arrays,
+                   force=True)
+    except Exception:
+        np.savez(os.path.join(d, "state.npz"), **arrays)
+    cfg_dict = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}
+    cfg_json = {k: (v.value if hasattr(v, "value") else v)
+                for k, v in cfg_dict.items()
+                if not isinstance(v, tuple)}
+    with open(os.path.join(d, "config.json"), "w") as fh:
+        json.dump(cfg_json, fh, indent=1, default=str)
+    return d
+
+
+def latest_checkpoint(path: str) -> Optional[str]:
+    if not os.path.isdir(path):
+        return None
+    cks = sorted(x for x in os.listdir(path) if x.startswith("ckpt_"))
+    return os.path.join(path, cks[-1]) if cks else None
+
+
+def load_checkpoint(d: str, cfg: Config) -> State:
+    """Restore a State; missing optional fields stay None."""
+    from ..fields import zero_state
+    proto = zero_state(cfg)
+    npz = os.path.join(d, "state.npz")
+    if os.path.exists(npz):
+        data = dict(np.load(npz))
+    else:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        data = ckptr.restore(os.path.join(os.path.abspath(d), "state"))
+    import jax.numpy as jnp
+    kw = {}
+    for f in dataclasses.fields(proto):
+        if f.name in data:
+            ref = getattr(proto, f.name)
+            dt = ref.dtype if ref is not None else None
+            kw[f.name] = jnp.asarray(data[f.name], dt)
+    return proto.replace(**kw)

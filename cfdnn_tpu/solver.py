@@ -261,7 +261,8 @@ class Simulation:
     # The step
     # ------------------------------------------------------------------
 
-    def _step_impl(self, state: State) -> Tuple[State, StepDiagnostics]:
+    def _step_impl(self, state: State,
+                   with_diags: bool = True) -> Tuple[State, StepDiagnostics]:
         cfg, geom = self.cfg, self.geom
         comps = (state.u, state.v, state.w)
         # turbulence advance + update (reference solver.cpp:1251-1324)
@@ -289,12 +290,21 @@ class Simulation:
             apply_now = (state.step + 1) % max(cfg.filter_interval, 1) == 0
             new_comps = tuple(
                 jnp.where(apply_now, fc, c) for fc, c in zip(filt, new_comps))
-        div = ops.divergence(new_comps, geom)
-        res = jnp.max(jnp.abs(new_comps[0] - comps[0]))
-        ke = 0.5 * (jnp.mean(new_comps[0] ** 2) + jnp.mean(new_comps[1] ** 2)
-                    + jnp.mean(new_comps[2] ** 2))
-        nan_flag = ~jnp.isfinite(ke)
         zero = jnp.zeros((), self.dtype)
+        if with_diags:
+            div = ops.divergence(new_comps, geom)
+            res = jnp.max(jnp.abs(new_comps[0] - comps[0]))
+            ke = 0.5 * (jnp.mean(new_comps[0] ** 2)
+                        + jnp.mean(new_comps[1] ** 2)
+                        + jnp.mean(new_comps[2] ** 2))
+            div_linf = jnp.max(jnp.abs(div))
+            nan_flag = ~jnp.isfinite(ke)
+        else:
+            # benchmark/throughput mode: skip the extra reduction passes
+            # (the reference's perf_mode diagnostic-cadence relaxation,
+            # config.hpp:182-193)
+            res = ke = div_linf = zero
+            nan_flag = jnp.zeros((), bool)
         fx = fy = fz = zero
         if forces:
             fx = sum(f[0] for f in forces)
@@ -309,13 +319,33 @@ class Simulation:
             new_state = new_state.replace(
                 inlet_u=inlet[0], inlet_v=inlet[1], inlet_w=inlet[2])
         diags = StepDiagnostics(
-            residual=res, div_linf=jnp.max(jnp.abs(div)), dt=dt, ke=ke,
+            residual=res, div_linf=div_linf, dt=dt, ke=ke,
             nan_flag=nan_flag, fx=fx, fy=fy, fz=fz,
         )
         return new_state, diags
 
     def _nsteps_impl(self, state: State, n: int) -> Tuple[State, StepDiagnostics]:
-        """n steps fused in one XLA program (benchmark/throughput mode)."""
+        """n steps fused in one XLA program (benchmark/throughput mode).
+
+        In benchmark mode the per-step diagnostics reductions are skipped
+        inside the scan and computed once on the final state.
+        """
+        fast = self.cfg.benchmark or self.cfg.perf_mode
+        if fast:
+            def body(st, _):
+                ns, _d = self._step_impl(st, with_diags=False)
+                return ns, None
+
+            state, _ = jax.lax.scan(body, state, None, length=n)
+            comps = (state.u, state.v, state.w)
+            ke = 0.5 * sum(jnp.mean(c**2) for c in comps)
+            div = ops.divergence(comps, self.geom)
+            diags = StepDiagnostics(
+                residual=jnp.zeros((), self.dtype),
+                div_linf=jnp.max(jnp.abs(div)), dt=state.dt_prev, ke=ke,
+                nan_flag=~jnp.isfinite(ke))
+            return state, diags
+
         first = self._step_impl(state)
         if n == 1:
             return first

@@ -86,7 +86,7 @@ def test_projection_exact_with_order(order):
     assert np.abs(div).max() < 1e-10, f"O{order} projection div"
 
 
-def test_poiseuille_refinement_rate():
+def test_poiseuille_refinement_rate(record_qoi):
     """Steady Poiseuille converges at 2nd order in Ny (reference baseline
     rate 2.15, tests/baselines poiseuille_refine)."""
     errs, Ns = [], [16, 32, 64]
@@ -102,6 +102,8 @@ def test_poiseuille_refinement_rate():
         exact = poiseuille_exact(cfg, sim.mesh.y.centers)
         errs.append(np.linalg.norm(prof - exact) / np.linalg.norm(exact))
     rate = _rate(errs, Ns)
+    record_qoi("poiseuille_refine_rate", rate)
+    record_qoi("poiseuille_rel_l2_N64", errs[-1])
     assert rate > 1.8, f"Poiseuille refinement rate {rate} (errors {errs})"
     # absolute accuracy comparable to the reference baseline 3.34e-4 at N=64
     assert errs[-1] < 5e-4
