@@ -136,10 +136,16 @@ class FDMPoissonSolver:
     # -- solve ------------------------------------------------------------
 
     def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
-        """Solve L p = rhs; returns the mean-free p for singular BCs."""
+        """Solve L p = rhs; the solution is null-mode-free for singular BCs.
+
+        No explicit mean subtraction is needed (the reference's
+        make_rhs_mean_free / device mean-subtraction kernels): the pinned
+        zero entries of `inv_lam` annihilate the null-mode coefficient of
+        the RHS and keep it out of the solution — an entire full-field
+        reduction pass saved on each end (global reductions measure ~25x
+        an elementwise pass on TPU).
+        """
         f = rhs.astype(self.dtype)
-        if self.all_neumann:
-            f = f - jnp.mean(f)
         for i in self.eig_axes:
             f = self._apply_mat(self.mats[i][0], f, i)
         if self.fft_axes:
@@ -150,7 +156,4 @@ class FDMPoissonSolver:
             f = jnp.fft.irfftn(f, s=sizes, axes=self.fft_axes)
         for i in self.eig_axes:
             f = self._apply_mat(self.mats[i][1], f, i)
-        p = f.astype(rhs.dtype)
-        if self.all_neumann:
-            p = p - jnp.mean(p)
-        return p
+        return f.astype(rhs.dtype)
