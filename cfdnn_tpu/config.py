@@ -239,6 +239,7 @@ class Config:
     recycle_diag_interval: int = 0
 
     # --- TPU-specific -----------------------------------------------------
+    use_pallas: str = "auto"         # "auto" | "on" | "off": fused TPU kernels
     dtype: str = "float32"           # "float32" | "float64" (x64 validation runs)
     poisson_dtype: str = ""          # "" => same as dtype; "float64" for mixed
     mesh_axes: Tuple[str, ...] = ("z",)  # device-mesh axis names for sharding

@@ -1,0 +1,166 @@
+"""Fused Pallas TPU kernels for the hot path.
+
+The reference hand-fuses its hot loops into dedicated CUDA/OMP kernels
+(reference: include/solver_kernels.hpp convective/diffusive face kernels,
+src/solver_time_kernels_euler.cpp fused predictor). Here the entire
+momentum predictor — skew convection + diffusion + body force + Euler
+star update for ALL THREE components — is one Pallas kernel: each velocity
+array is read once from HBM per x-slab (plus two halo planes) and each
+star component written once, instead of XLA's materialized roll/concat
+temporaries.
+
+Scope (the DNS fast path): all axes periodic + uniform, O2, skew scheme,
+scalar viscosity. Everything else falls back to the jnp operators, which
+remain the single source of truth — `predictor_reference_slab` below is
+shared by the kernel and the parity tests.
+
+Layout: (x, y, z) with z as the 128-lane dimension; the grid tiles x into
+slabs, halos come from the two neighbor blocks (periodic wrap in the
+index_map).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _Ry(f, n):
+    return jnp.roll(f, -n, axis=1)
+
+
+def _Rz(f, n):
+    return jnp.roll(f, -n, axis=2)
+
+
+def predictor_slab_math(u_e, v_e, w_e, hx, hy, hz, nu, fx, dt):
+    """Star update for the interior of x-halo-extended slabs.
+
+    Inputs are (Bx+2, Ny, Nz) with one periodic halo plane on each x side;
+    y/z are full periodic extents (in-VMEM rolls). Returns (Bx, Ny, Nz)
+    star components. Pure jnp: used inside the Pallas kernel AND directly
+    for parity testing against ops.convective/diffusive.
+
+    Math = exactly the jnp operators' periodic-uniform path:
+    skew form 0.5*(adv_hi*phi_{+1} - adv_lo*phi_{-1})/h per axis
+    (ops.operators._conv_skew) + nu * second differences.
+    """
+    def X(f, n):
+        # x-shift by n relative to the slab interior: n in {-1, 0, 1}
+        return jax.lax.slice_in_dim(f, 1 + n, f.shape[0] - 1 + n, axis=0)
+
+    ihx, ihy, ihz = 1.0 / hx, 1.0 / hy, 1.0 / hz
+
+    # ---- u component (x-face staggered) -------------------------------
+    u_c = X(u_e, 0)
+    # d=0 own axis: phi_c[i]=0.5(u_i+u_{i+1}); u_lo=phi_c[i-1], u_hi=phi_c[i]
+    hi_n = X(u_e, 1)
+    lo_n = X(u_e, -1)
+    conv_u = 0.5 * ((0.5 * (u_c + hi_n)) * hi_n
+                    - (0.5 * (lo_n + u_c)) * lo_n) * ihx
+    # d=1: advecting v at (x-face, y-face) corners: 0.5(v_{i-1}+v_i) along x
+    Ue = 0.5 * (X(v_e, -1) + X(v_e, 0))        # at (xf_i, yf_j)
+    conv_u += 0.5 * (_Ry(Ue, 1) * _Ry(u_c, 1) - Ue * _Ry(u_c, -1)) * ihy
+    # d=2: advecting w at (x-face, z-face): 0.5(w_{i-1}+w_i)
+    We = 0.5 * (X(w_e, -1) + X(w_e, 0))
+    conv_u += 0.5 * (_Rz(We, 1) * _Rz(u_c, 1) - We * _Rz(u_c, -1)) * ihz
+    lap_u = ((X(u_e, 1) - 2.0 * u_c + X(u_e, -1)) * ihx * ihx
+             + (_Ry(u_c, 1) - 2.0 * u_c + _Ry(u_c, -1)) * ihy * ihy
+             + (_Rz(u_c, 1) - 2.0 * u_c + _Rz(u_c, -1)) * ihz * ihz)
+    star_u = u_c + dt * (-conv_u + nu * lap_u + fx)
+
+    # ---- v component (y-face staggered) -------------------------------
+    v_c = X(v_e, 0)
+    # d=1 own axis (y): phi_c[j] = 0.5(v_j + v_{j+1})
+    hi_n = _Ry(v_c, 1)
+    lo_n = _Ry(v_c, -1)
+    conv_v = 0.5 * ((0.5 * (v_c + hi_n)) * hi_n
+                    - (0.5 * (lo_n + v_c)) * lo_n) * ihy
+    # d=0: advecting u at (x-face, y-face): 0.5(u_{j-1}+u_j) along y
+    Ue = 0.5 * (_Ry(u_e, -1) + u_e)            # extended in x
+    conv_v += 0.5 * (X(Ue, 1) * X(v_e, 1) - X(Ue, 0) * X(v_e, -1)) * ihx
+    # d=2: advecting w at (y-face, z-face): 0.5(w_{j-1}+w_j)
+    We = 0.5 * (_Ry(X(w_e, 0), -1) + X(w_e, 0))
+    conv_v += 0.5 * (_Rz(We, 1) * _Rz(v_c, 1) - We * _Rz(v_c, -1)) * ihz
+    lap_v = ((X(v_e, 1) - 2.0 * v_c + X(v_e, -1)) * ihx * ihx
+             + (_Ry(v_c, 1) - 2.0 * v_c + _Ry(v_c, -1)) * ihy * ihy
+             + (_Rz(v_c, 1) - 2.0 * v_c + _Rz(v_c, -1)) * ihz * ihz)
+    star_v = v_c + dt * (-conv_v + nu * lap_v)
+
+    # ---- w component (z-face staggered) -------------------------------
+    w_c = X(w_e, 0)
+    hi_n = _Rz(w_c, 1)
+    lo_n = _Rz(w_c, -1)
+    conv_w = 0.5 * ((0.5 * (w_c + hi_n)) * hi_n
+                    - (0.5 * (lo_n + w_c)) * lo_n) * ihz
+    # d=0: advecting u at (x-face, z-face): 0.5(u_{k-1}+u_k) along z
+    Ue = 0.5 * (_Rz(u_e, -1) + u_e)
+    conv_w += 0.5 * (X(Ue, 1) * X(w_e, 1) - X(Ue, 0) * X(w_e, -1)) * ihx
+    # d=1: advecting v at (y-face, z-face): 0.5(v_{k-1}+v_k)
+    Ve = 0.5 * (_Rz(X(v_e, 0), -1) + X(v_e, 0))
+    conv_w += 0.5 * (_Ry(Ve, 1) * _Ry(w_c, 1) - Ve * _Ry(w_c, -1)) * ihy
+    lap_w = ((X(w_e, 1) - 2.0 * w_c + X(w_e, -1)) * ihx * ihx
+             + (_Ry(w_c, 1) - 2.0 * w_c + _Ry(w_c, -1)) * ihy * ihy
+             + (_Rz(w_c, 1) - 2.0 * w_c + _Rz(w_c, -1)) * ihz * ihz)
+    star_w = w_c + dt * (-conv_w + nu * lap_w)
+
+    return star_u, star_v, star_w
+
+
+def _predictor_kernel(dt_ref, ul, uc, ur, vl, vc, vr, wl, wc, wr,
+                      su, sv, sw, *, hx, hy, hz, nu, fx):
+    """Assemble x-halo-extended slabs from the neighbor blocks, compute."""
+    def ext(l, c, r):
+        return jnp.concatenate([l[-1:], c[:], r[:1]], axis=0)
+
+    dt = dt_ref[0]
+    star_u, star_v, star_w = predictor_slab_math(
+        ext(ul, uc, ur), ext(vl, vc, vr), ext(wl, wc, wr),
+        hx, hy, hz, nu, fx, dt)
+    su[:] = star_u
+    sv[:] = star_v
+    sw[:] = star_w
+
+
+@functools.partial(jax.jit, static_argnames=("hx", "hy", "hz", "nu", "fx",
+                                             "bx", "interpret"))
+def fused_predictor(u, v, w, dt, *, hx, hy, hz, nu, fx, bx=8,
+                    interpret=False):
+    """Fused skew+diffusion+force Euler predictor over x-slabs.
+
+    All-periodic uniform O2 path; math identical to the jnp operator
+    chain (see predictor_slab_math).
+    """
+    Nx, Ny, Nz = u.shape
+    if Nx % bx != 0:
+        bx = 1
+    G = Nx // bx
+    blk = (bx, Ny, Nz)
+
+    def spec(off):
+        return pl.BlockSpec(blk, lambda i, o=off: ((i + o) % G, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    specs = []
+    for _ in range(3):
+        specs += [spec(-1), spec(0), spec(1)]
+
+    dt_arr = jnp.reshape(jnp.asarray(dt, u.dtype), (1,))
+    kernel = functools.partial(_predictor_kernel, hx=hx, hy=hy, hz=hz,
+                               nu=nu, fx=fx)
+    out_shape = [jax.ShapeDtypeStruct(u.shape, u.dtype)] * 3
+    out_spec = pl.BlockSpec(blk, lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + specs,
+        out_specs=[out_spec] * 3,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(dt_arr, u, u, u, v, v, v, w, w, w)

@@ -71,6 +71,7 @@ class Simulation:
         if cfg.recycling_inflow:
             from .recycling import RecyclingInflow
             self.recycling = RecyclingInflow(cfg, self.mesh, self.dtype)
+        self._pallas_predictor_ok = self._pallas_eligible()
         self._step_jit = jax.jit(self._step_impl)
         self._nsteps_jit = jax.jit(self._nsteps_impl, static_argnums=(1,))
 
@@ -91,6 +92,32 @@ class Simulation:
     # ------------------------------------------------------------------
     # Construction helpers
     # ------------------------------------------------------------------
+
+    def _pallas_eligible(self) -> bool:
+        """Fused Pallas predictor applies on the periodic DNS fast path
+        (all axes periodic+uniform, O2 skew, laminar/scalar-nu, no
+        trip/IBM/recycling) on TPU — or anywhere when forced "on"
+        (interpret mode for tests)."""
+        cfg = self.cfg
+        if cfg.use_pallas == "off":
+            return False
+        structural = (
+            all(ax.periodic and ax.uniform for ax in self.geom.axes)
+            and self.geom.axes[2].n > 1
+            and cfg.space_order == 2
+            and cfg.convective_scheme == ConvectiveScheme.SKEW
+            and cfg.turb_model == TurbulenceModel.NONE
+            and not cfg.trip_enabled and not cfg.recycling_inflow
+            and not cfg.implicit_y_diffusion)
+        if not structural:
+            return False
+        if cfg.use_pallas == "on":
+            return True
+        import jax as _jax
+        try:
+            return _jax.devices()[0].platform != "cpu"
+        except Exception:
+            return False
 
     def _make_poisson(self):
         cfg = self.cfg
@@ -181,6 +208,17 @@ class Simulation:
     def _euler_substep(self, comps, nu_t, dt, forces=None, t=0.0,
                        inlet=None):
         cfg = self.cfg
+        if self._pallas_predictor_ok and nu_t is None:
+            from .ops.pallas_kernels import fused_predictor
+            geom = self.geom
+            star = fused_predictor(
+                *comps, dt.astype(self.dtype) if hasattr(dt, "astype")
+                else jnp.asarray(dt, self.dtype),
+                hx=geom.x.h, hy=geom.y.h, hz=geom.z.h,
+                nu=float(cfg.nu), fx=float(-cfg.dp_dx / cfg.rho),
+                interpret=jax.devices()[0].platform == "cpu")
+            # periodic box: no BC/trip/IBM applies on this path
+            return star
         rhs = self._momentum_rhs(comps, nu_t, t, dt)
         star = tuple(c + dt * r for c, r in zip(comps, rhs))
         if self.trip is not None:

@@ -1,0 +1,90 @@
+"""Pallas fused-kernel parity vs the jnp operator chain (interpret mode on
+CPU — the analogue of the reference's CPU/GPU kernel-parity suite,
+tests/test_kernel_parity_detailed.cpp / test_cross_backend.cpp)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfdnn_tpu import BCType, Config, ConvectiveScheme, Simulation, init_taylor_green
+from cfdnn_tpu.mesh import Mesh
+from cfdnn_tpu.ops import operators as ops
+from cfdnn_tpu.ops.grid import Geometry
+from cfdnn_tpu.ops.pallas_kernels import fused_predictor, predictor_slab_math
+
+
+def _setup(N=16):
+    cfg = Config(Nx=N, Ny=N, Nz=N, bc_x=BCType.PERIODIC,
+                 bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
+                 y_min=0.0, y_max=1.0, x_max=1.0, z_max=2.0,
+                 nu=3e-3, nu_specified=True, dp_dx=-0.7,
+                 dp_dx_specified=True, dtype="float64",
+                 convective_scheme=ConvectiveScheme.SKEW)
+    mesh = Mesh.from_config(cfg)
+    return cfg, mesh, Geometry.make(mesh, cfg)
+
+
+def test_fused_predictor_matches_operators():
+    cfg, mesh, geom = _setup()
+    rng = np.random.default_rng(0)
+    N = cfg.Nx
+    u, v, w = (jnp.asarray(rng.standard_normal((N, N, N))) for _ in range(3))
+    dt, nu, fx = 1e-3, cfg.nu, -cfg.dp_dx
+    conv = ops.convective((u, v, w), geom, ConvectiveScheme.SKEW)
+    diff = ops.diffusive((u, v, w), jnp.float64(nu), geom)
+    ref = (u + dt * (-conv[0] + diff[0] + fx),
+           v + dt * (-conv[1] + diff[1]),
+           w + dt * (-conv[2] + diff[2]))
+    got = fused_predictor(u, v, w, dt, hx=geom.x.h, hy=geom.y.h,
+                          hz=geom.z.h, nu=nu, fx=fx, bx=4, interpret=True)
+    for name, a, b in zip("uvw", ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=1e-13, err_msg=name)
+
+
+def test_fused_predictor_odd_block_fallback():
+    """Nx not divisible by the block: falls back to bx=1 and still matches."""
+    cfg, mesh, geom = _setup(N=12)
+    rng = np.random.default_rng(1)
+    u, v, w = (jnp.asarray(rng.standard_normal((12, 12, 12)))
+               for _ in range(3))
+    conv = ops.convective((u, v, w), geom, ConvectiveScheme.SKEW)
+    diff = ops.diffusive((u, v, w), jnp.float64(cfg.nu), geom)
+    ref = u + 1e-3 * (-conv[0] + diff[0] - cfg.dp_dx)
+    got = fused_predictor(u, v, w, 1e-3, hx=geom.x.h, hy=geom.y.h,
+                          hz=geom.z.h, nu=cfg.nu, fx=-cfg.dp_dx,
+                          bx=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref),
+                               rtol=0, atol=1e-13)
+
+
+def test_pallas_step_trajectory_matches_jnp():
+    """Full steps with use_pallas on vs off agree to roundoff (the
+    cross-backend trajectory test)."""
+    base = dict(Nx=16, Ny=16, Nz=16, bc_x=BCType.PERIODIC,
+                bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
+                y_min=0.0, y_max=2 * np.pi, z_max=2 * np.pi,
+                nu=1e-3, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
+                dt=1e-3, adaptive_dt=False, dtype="float64",
+                convective_scheme=ConvectiveScheme.SKEW)
+    sim_off = Simulation(Config(use_pallas="off", **base))
+    sim_on = Simulation(Config(use_pallas="on", **base))
+    assert sim_on._pallas_predictor_ok
+    s0 = init_taylor_green(sim_off.cfg, sim_off.mesh)
+    s_off, s_on = s0, s0
+    for _ in range(5):
+        s_off, _ = sim_off.step(s_off)
+        s_on, _ = sim_on.step(s_on)
+    np.testing.assert_allclose(np.asarray(s_on.u), np.asarray(s_off.u),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_on.p), np.asarray(s_off.p),
+                               rtol=0, atol=1e-12)
+
+
+def test_pallas_not_eligible_off_fast_path():
+    """Wall-bounded / non-skew configs must not take the fused path."""
+    cfg = Config(Nx=16, Ny=16, Nz=16, use_pallas="on",
+                 nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                 dp_dx_specified=True, dtype="float64")
+    sim = Simulation(cfg)   # bc_y defaults to WALL
+    assert not sim._pallas_predictor_ok
