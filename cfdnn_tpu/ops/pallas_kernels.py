@@ -129,7 +129,7 @@ def _predictor_kernel(dt_ref, ul, uc, ur, vl, vc, vr, wl, wc, wr,
 
 @functools.partial(jax.jit, static_argnames=("hx", "hy", "hz", "nu", "fx",
                                              "bx", "interpret"))
-def fused_predictor(u, v, w, dt, *, hx, hy, hz, nu, fx, bx=8,
+def fused_predictor(u, v, w, dt, *, hx, hy, hz, nu, fx, bx=4,
                     interpret=False):
     """Fused skew+diffusion+force Euler predictor over x-slabs.
 
