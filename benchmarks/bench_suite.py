@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark suite (reference: tests/bench_mg.cpp, bench_fft_vs_mg.cpp,
+bench_3d_gpu.cpp, bench_les_ibm_gpu.cpp, app/profile_* drivers).
+
+Runs the named benchmarks on the current default device and prints one
+JSON line per benchmark.
+
+  python benchmarks/bench_suite.py [tgv|channel|poisson|les_ibm|all]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _time_run(sim, state, steps=50, reps=3):
+    state, d = sim.run(state, steps)
+    jax.block_until_ready(state)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, d = sim.run(state, steps)
+        jax.block_until_ready(state)
+        best = min(best, time.perf_counter() - t0)
+    assert np.isfinite(float(d.ke))
+    return best / steps
+
+
+def _emit(name, ms, ncells, extra=None):
+    rec = {"bench": name, "ms_per_step": ms * 1e3,
+           "mcells_per_s": ncells / ms / 1e6,
+           "device": str(jax.devices()[0])}
+    rec.update(extra or {})
+    print(json.dumps(rec))
+
+
+def bench_tgv(n=128):
+    """All-periodic TGV (reference headline: H200 1,267 Mcells/s)."""
+    from cfdnn_tpu import (BCType, Config, ConvectiveScheme, Simulation,
+                           TimeIntegrator, init_taylor_green)
+    cfg = Config(Nx=n, Ny=n, Nz=n, bc_x=BCType.PERIODIC,
+                 bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
+                 y_min=0.0, y_max=2 * np.pi, z_min=0.0, z_max=2 * np.pi,
+                 nu=1 / 1600.0, nu_specified=True, dp_dx=0.0,
+                 dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
+                 convective_scheme=ConvectiveScheme.SKEW,
+                 benchmark=True, dtype="float32")
+    sim = Simulation(cfg)
+    s = _time_run(sim, init_taylor_green(cfg, sim.mesh))
+    _emit(f"tgv_{n}cube_fdm", s, n**3,
+          {"poisson": sim.poisson_selection_reason})
+
+
+def bench_channel(n=128):
+    """Wall-bounded channel, stretched y (reference: H200 452 Mcells/s
+    with MG+graph; here the FDM eigen path)."""
+    from cfdnn_tpu import Config, Simulation, perturbed_channel
+    cfg = Config(Nx=n, Ny=n, Nz=n, stretch_y=True,
+                 nu=1e-4, nu_specified=True, dp_dx=-1e-3,
+                 dp_dx_specified=True, dt=2e-4, adaptive_dt=False,
+                 benchmark=True, dtype="float32")
+    sim = Simulation(cfg)
+    s = _time_run(sim, perturbed_channel(cfg, sim.mesh, amp=0.05))
+    _emit(f"channel_{n}cube_fdm", s, n**3,
+          {"poisson": sim.poisson_selection_reason})
+
+
+def bench_poisson(n=128):
+    """FDM fft vs matmul vs MG solve (reference bench_fft_vs_mg)."""
+    from cfdnn_tpu import BCType, Config
+    from cfdnn_tpu.mesh import Mesh
+    from cfdnn_tpu.poisson.fdm import FDMPoissonSolver
+    from cfdnn_tpu.poisson.multigrid import MGPoissonSolver
+    cfg = Config(Nx=n, Ny=n, Nz=n, bc_x=BCType.PERIODIC,
+                 bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
+                 y_min=0.0, y_max=2 * np.pi, z_min=0.0, z_max=2 * np.pi,
+                 nu=1e-3, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
+                 dtype="float32")
+    mesh = Mesh.from_config(cfg)
+    rhs = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((n, n, n)).astype(np.float32))
+    cfg_ch = cfg.with_(bc_y=BCType.WALL, y_min=-1.0, y_max=1.0,
+                       stretch_y=True, poisson_fixed_cycles=6)
+    mesh_ch = Mesh.from_config(cfg_ch)
+    solvers = [
+        ("fdm_fft", FDMPoissonSolver(mesh, cfg, transform="fft").solve),
+        ("fdm_matmul", FDMPoissonSolver(mesh, cfg, transform="matmul").solve),
+        ("mg_6cycles", MGPoissonSolver(mesh_ch, cfg_ch).solve),
+    ]
+    for name, solve in solvers:
+        f = jax.jit(lambda r, s=solve: s(r) + 0.0 * r)
+        o = f(rhs)
+        jax.block_until_ready(o)
+        best = float("inf")
+        for _ in range(3):
+            o = rhs
+            t0 = time.perf_counter()
+            for _ in range(20):
+                o = f(o)
+            jax.block_until_ready(o)
+            best = min(best, (time.perf_counter() - t0) / 20)
+        _emit(f"poisson_{name}_{n}cube", best, n**3)
+
+
+def bench_les_ibm(n=128):
+    """LES + IBM cylinder (reference bench_les_ibm_gpu: RTX6000
+    58.6 Mcells/s at 256x128x256)."""
+    from cfdnn_tpu import Config, Simulation, perturbed_channel
+    from cfdnn_tpu.config import TurbulenceModel
+    from cfdnn_tpu.ibm import CylinderBody
+    cfg = Config(Nx=n, Ny=n // 2, Nz=n, x_max=4.0, z_max=2.0,
+                 nu=1e-4, nu_specified=True, dp_dx=-1e-3,
+                 dp_dx_specified=True, dt=2e-4, adaptive_dt=False,
+                 turb_model=TurbulenceModel.SMAGORINSKY,
+                 benchmark=True, dtype="float32")
+    sim = Simulation(cfg)
+    sim.set_ibm_forcing(CylinderBody(1.0, 0.0, 0.25))
+    s = _time_run(sim, perturbed_channel(cfg, sim.mesh, amp=0.05), steps=20)
+    _emit(f"les_ibm_{n}x{n//2}x{n}", s, n * (n // 2) * n)
+
+
+ALL = {"tgv": bench_tgv, "channel": bench_channel,
+       "poisson": bench_poisson, "les_ibm": bench_les_ibm}
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    for name, fn in ALL.items():
+        if which in (name, "all"):
+            fn()

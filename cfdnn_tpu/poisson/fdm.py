@@ -33,6 +33,18 @@ from ..config import BCType, Config, pressure_bc_kinds
 from ..mesh import Mesh
 
 
+
+
+@dataclasses.dataclass(frozen=True)
+class PoissonStats:
+    """Per-solve observability (reference PoissonStats, solver.hpp:123-166):
+    cycle count, status string, relative residual norms."""
+
+    cycles: int
+    status: str                 # DIRECT | FIXED | TOL | MAX_CYCLES
+    rel_residual: float
+
+
 @dataclasses.dataclass
 class _AxisTransform:
     kind: str                      # 'fft' | 'eig' | 'none'
@@ -205,3 +217,29 @@ class FDMPoissonSolver:
         for i in self.eig_axes:
             f = self._apply_mat(self.mats[i][1], f, i)
         return f.astype(rhs.dtype)
+
+    def solve_with_stats(self, rhs):
+        """solve() + residual observability (one extra operator apply)."""
+        import numpy as _np
+        p = self.solve(rhs)
+        from ..ops import operators as _ops
+        # residual via the modal symbol: L p - rhs (mean-free part)
+        r = self._residual_norm(rhs, p)
+        return p, PoissonStats(cycles=0, status="DIRECT", rel_residual=r)
+
+    def _residual_norm(self, rhs, p):
+        f = p.astype(self.dtype)
+        for i in self.eig_axes:
+            f = self._apply_mat(self.mats[i][0], f, i)
+        if self.fft_axes:
+            f = jnp.fft.rfftn(f, axes=self.fft_axes)
+        g = rhs.astype(self.dtype)
+        for i in self.eig_axes:
+            g = self._apply_mat(self.mats[i][0], g, i)
+        if self.fft_axes:
+            g = jnp.fft.rfftn(g, axes=self.fft_axes)
+        lam = jnp.where(self.inv_lam == 0.0, 0.0, 1.0 / jnp.where(
+            self.inv_lam == 0.0, 1.0, self.inv_lam))
+        num = jnp.linalg.norm((lam * f - g).reshape(-1))
+        den = jnp.maximum(jnp.linalg.norm(g.reshape(-1)), 1e-300)
+        return num / den

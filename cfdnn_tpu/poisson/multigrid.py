@@ -435,6 +435,17 @@ class MGPoissonSolver:
             x = x - jnp.mean(x)
         return x.astype(rhs.dtype)
 
+    def solve_with_stats(self, rhs):
+        """Fixed-cycle solve + PoissonStats (reference per-step stats)."""
+        from .fdm import PoissonStats
+        p = self.solve(rhs)
+        r = self.residual(rhs, p)
+        b = rhs
+        rel = (jnp.linalg.norm(r.reshape(-1))
+               / jnp.maximum(jnp.linalg.norm(b.reshape(-1)), 1e-300))
+        return p, PoissonStats(cycles=self.n_cycles, status="FIXED",
+                               rel_residual=rel)
+
     def residual(self, rhs, p):
         b = rhs.astype(self.dtype)
         if self.all_neumann:

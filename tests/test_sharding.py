@@ -1,0 +1,92 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh.
+
+Mirrors the reference MPI suite (reference: tests/test_mpi_rank_invariance.cpp
+bulk velocity invariant to rank count, tests/test_mpi_poisson.cpp,
+tests/test_mpi_halo_step.cpp, tests/test_decomposition.cpp): the z-sharded
+jitted step must produce the same physics as the single-device run, with
+GSPMD inserting the halo collectives and the all-to-all FFT transposes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfdnn_tpu import BCType, Config, Simulation, perturbed_channel
+from cfdnn_tpu.parallel.sharding import (device_mesh, shard_state,
+                                         sharded_step, state_shardings)
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _cfg(**kw):
+    base = dict(Nx=16, Ny=16, Nz=32, stretch_y=True,
+                nu=1e-3, nu_specified=True, dp_dx=-1e-3, dp_dx_specified=True,
+                dt=1e-3, adaptive_dt=False, dtype="float64")
+    base.update(kw)
+    return Config(**base)
+
+
+def test_sharded_step_matches_single_device():
+    """Rank-invariance: 8-way z-sharded trajectory == unsharded one."""
+    cfg = _cfg()
+    sim = Simulation(cfg)
+    state0 = perturbed_channel(cfg, sim.mesh, amp=0.05)
+
+    ref = state0
+    for _ in range(3):
+        ref, ref_d = sim.step(ref)
+
+    mesh = device_mesh(8)
+    st = shard_state(state0, mesh)
+    step = sharded_step(sim, mesh)
+    for _ in range(3):
+        st, d = step(st)
+    np.testing.assert_allclose(np.asarray(st.u), np.asarray(ref.u),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.p), np.asarray(ref.p),
+                               rtol=0, atol=1e-12)
+    assert abs(float(d.ke) - float(ref_d.ke)) < 1e-12
+
+
+def test_sharded_poisson_globally_coupled():
+    """The sharded FDM solve is global (no Schwarz iteration): residual at
+    machine precision across the shard boundaries."""
+    cfg = _cfg(Nz=64)
+    sim = Simulation(cfg)
+    from cfdnn_tpu.ops import operators as ops
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.standard_normal((16, 16, 64)))
+    mesh = device_mesh(8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rhs_sh = jax.device_put(rhs, NamedSharding(mesh, P(None, None, "z")))
+    p = jax.jit(sim.poisson.solve)(rhs_sh)
+    lap = np.asarray(ops.laplacian(p, sim.geom))
+    resid = lap - np.asarray(rhs)
+    # residual is a constant (null-mode offset); check flatness
+    assert np.abs(resid - resid.mean()).max() < 1e-10
+
+
+def test_sharded_turbulence_step():
+    """SST closure under sharding: plane reductions become psums."""
+    from cfdnn_tpu.config import TurbulenceModel
+    cfg = _cfg(turb_model=TurbulenceModel.SMAGORINSKY)
+    sim = Simulation(cfg)
+    state0 = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
+    ref, _ = sim.step(state0)
+    mesh = device_mesh(8)
+    st = shard_state(state0, mesh)
+    step = sharded_step(sim, mesh)
+    out, d = step(st)
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               rtol=0, atol=1e-12)
+    assert np.isfinite(float(d.ke))
+
+
+def test_mesh_shape_respected():
+    m = device_mesh(4)
+    assert m.shape == {"z": 4}
+    with pytest.raises(ValueError):
+        device_mesh(100)
