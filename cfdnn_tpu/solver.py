@@ -86,6 +86,8 @@ class Simulation:
         if isinstance(body, IBMBody):
             body = IBMForcing(self.mesh, body, self.cfg)
         self.ibm = body
+        # the fused predictor skips IBM application: drop the fast path
+        self._pallas_predictor_ok = False
         self._step_jit = jax.jit(self._step_impl)
         self._nsteps_jit = jax.jit(self._nsteps_impl, static_argnums=(1,))
 
@@ -151,6 +153,14 @@ class Simulation:
                 (state.u, state.v, state.w))
             state = state.replace(inlet_u=iu, inlet_v=iv, inlet_w=iw)
         return state
+
+    def project_initial_velocity(self, state: State) -> State:
+        """One-time divergence cleanup of an initial/perturbed field
+        without advancing time (reference project_initial_velocity,
+        src/solver_turbulence_diagnostics.cpp:1014)."""
+        comps = (state.u, state.v, state.w)
+        comps, _ = jax.jit(self._project)(comps, jnp.asarray(1.0, self.dtype))
+        return state.replace(u=comps[0], v=comps[1], w=comps[2])
 
     # ------------------------------------------------------------------
     # Physics pieces (all pure, traced under jit)
@@ -424,6 +434,14 @@ class Simulation:
                 if not np.isfinite(res):
                     raise FloatingPointError(
                         f"NaN/Inf detected at step {it + 1}")
+                # projection watchdog (reference config.hpp:189-199):
+                # alert on poor post-projection divergence
+                if (cfg.projection_watchdog
+                        and float(diags.div_linf) > cfg.div_threshold
+                        and cfg.verbose):
+                    print(f"[watchdog] step {it + 1}: post-projection "
+                          f"div_linf = {float(diags.div_linf):.3e} > "
+                          f"{cfg.div_threshold:g}")
                 if res < tol * max(dtv, 1e-30):
                     break
         return state, diags
