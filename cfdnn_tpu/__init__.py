@@ -10,7 +10,8 @@ step, MXU-batched NN inference, shard_map/GSPMD multi-chip scaling.
 from .config import (BCType, Config, ConvectiveScheme, PoissonSolverType,
                      SimulationMode, TimeIntegrator, TurbulenceModel)
 from .fields import (State, init_poiseuille, init_taylor_green,
-                     perturbed_channel, poiseuille_exact, zero_state)
+                     init_turbulent_channel, perturbed_channel,
+                     poiseuille_exact, zero_state)
 from .mesh import Mesh
 from .solver import Simulation, StepDiagnostics
 
@@ -20,6 +21,7 @@ __all__ = [
     "BCType", "Config", "ConvectiveScheme", "PoissonSolverType",
     "SimulationMode", "TimeIntegrator", "TurbulenceModel",
     "State", "Mesh", "Simulation", "StepDiagnostics",
-    "init_poiseuille", "init_taylor_green", "perturbed_channel",
+    "init_poiseuille", "init_taylor_green", "init_turbulent_channel",
+    "perturbed_channel",
     "poiseuille_exact", "zero_state",
 ]

@@ -173,6 +173,34 @@ def init_taylor_green(cfg: Config, mesh: Mesh, V0: float = 1.0) -> State:
     return st.replace(u=A(u), v=A(v), p=A(p0))
 
 
+def init_turbulent_channel(cfg: Config, mesh: Mesh, U_bulk: float = 15.6,
+                           amp: float = 0.1, key=None) -> State:
+    """Turbulent-like IC: 1/7-power-law mean profile at the target bulk
+    velocity plus strong random perturbations — the standard DNS warm
+    start (the laminar parabola at DNS forcing overshoots by ~6x before
+    transition; reference DNS drivers start near the turbulent bulk)."""
+    st = zero_state(cfg)
+    delta = 0.5 * cfg.Ly
+    ymid = 0.5 * (cfg.y_min + cfg.y_max)
+    eta = np.clip(1.0 - np.abs(mesh.y.centers - ymid) / delta, 1e-6, 1.0)
+    prof = U_bulk * (8.0 / 7.0) * eta ** (1.0 / 7.0)
+    u = jnp.broadcast_to(jnp.asarray(prof, st.u.dtype)[None, :, None],
+                         st.u.shape)
+    st = st.replace(u=u)
+    if amp > 0.0:
+        key = key if key is not None else jax.random.PRNGKey(7)
+        ku, kv, kw = jax.random.split(key, 3)
+        scale = amp * U_bulk
+        noise = lambda k, s: scale * jax.random.uniform(k, s, st.u.dtype,
+                                                        -1.0, 1.0)
+        v = noise(kv, st.v.shape)
+        if cfg.bc_y == BCType.WALL:
+            v = v.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
+        st = st.replace(u=st.u + noise(ku, st.u.shape), v=v,
+                        w=st.w + noise(kw, st.w.shape))
+    return st
+
+
 def perturbed_channel(cfg: Config, mesh: Mesh, key=None, amp: Optional[float] = None) -> State:
     """Laminar parabola + random solenoidal-ish perturbations for DNS trips."""
     st = init_poiseuille(cfg, mesh, fraction=1.0)

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""DNS channel at Re_tau = 180 (MKM benchmark) — Tier-2 validation run.
+
+Reference-parity driver (reference: tests/test_dns_channel_validation.cpp
++ the Tier-2 192x96x192 H200 run settling at Re_tau ~ 284,
+docs/TESTING_AND_VALIDATION.md:572): trip-forced transition from a
+perturbed laminar profile, explicit high-k filter, RK3 + skew, stretched
+walls, statistics + Stage-F realism report at the end.
+
+  python validation/run_channel_retau180.py --Nx 128 --Ny 96 --Nz 96 \
+      --flow-throughs 20
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--Nx", type=int, default=128)
+    ap.add_argument("--Ny", type=int, default=96)
+    ap.add_argument("--Nz", type=int, default=96)
+    ap.add_argument("--flow-throughs", type=float, default=20.0)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--report-every", type=int, default=2000)
+    ap.add_argument("--max-steps", type=int, default=0, help="0 = by time")
+    args = ap.parse_args()
+
+    import jax
+    from cfdnn_tpu import Config, Simulation, init_turbulent_channel
+    from cfdnn_tpu.config import BCType, ConvectiveScheme, TimeIntegrator
+    from cfdnn_tpu import diagnostics as diag
+
+    Re_tau = 180.0
+    delta = 1.0
+    nu = 1.0 / Re_tau          # u_tau = 1 units
+    cfg = Config(
+        Nx=args.Nx, Ny=args.Ny, Nz=args.Nz,
+        x_min=0.0, x_max=4 * np.pi * delta,
+        y_min=-delta, y_max=delta,
+        z_min=0.0, z_max=4.0 / 3.0 * np.pi * delta,
+        stretch_y=True, stretch_beta=1.8,
+        bc_x=BCType.PERIODIC, bc_y=BCType.WALL, bc_z=BCType.PERIODIC,
+        nu=nu, nu_specified=True, dp_dx=-1.0, dp_dx_specified=True,
+        dt=2e-4, adaptive_dt=True, CFL_max=0.8, dt_safety=0.9,
+        time_integrator=TimeIntegrator.RK3,
+        convective_scheme=ConvectiveScheme.SKEW,
+        implicit_y_diffusion=True,
+        trip_enabled=True, trip_amplitude=3.0, trip_duration=5.0,
+        trip_ramp_off_start=4.0,
+        filter_strength=0.05, filter_interval=10,
+        dtype=args.dtype, perf_mode=True, verbose=True,
+    )
+    sim = Simulation(cfg)
+    state = sim.initialize(init_turbulent_channel(cfg, sim.mesh, amp=0.15))
+    state = sim.project_initial_velocity(state)
+
+    # bulk time scale: U_b ~ 15.6 u_tau at Re_tau 180; flow-through = Lx/U_b
+    T_ft = cfg.Lx / 15.6
+    T_final = args.flow_throughs * T_ft
+    print(f"[retau180] {cfg.Nx}x{cfg.Ny}x{cfg.Nz} dtype={args.dtype} "
+          f"T_final={T_final:.2f} ({args.flow_throughs} flow-throughs), "
+          f"poisson={sim.poisson_selection_reason}")
+
+    clf = diag.TurbulencePresenceClassifier()
+    it = 0
+    t0 = time.perf_counter()
+    chunk = min(args.report_every, 500)   # scan-batched stepping
+    while float(state.t) < T_final:
+        state, d = sim.run(state, chunk)
+        it += chunk
+        if args.max_steps and it >= args.max_steps:
+            break
+        if it % args.report_every < chunk:
+            st = diag.channel_statistics(sim, state)
+            ke = float(d.ke)
+            if not np.isfinite(ke):
+                print(f"[retau180] NaN at step {it}")
+                return 1
+            wall = time.perf_counter() - t0
+            ncell = cfg.Nx * cfg.Ny * cfg.Nz
+            print(f"  step {it:7d} t={float(state.t):7.3f} "
+                  f"dt={float(d.dt):.2e} ke={ke:.4f} "
+                  f"Re_tau={st.Re_tau:6.1f} y+={st.y_plus_1:.2f} "
+                  f"state={clf.update(sim, state)} "
+                  f"[{ncell * it / wall / 1e6:.0f} Mcells/s]")
+
+    rep = diag.realism_report(sim, state)
+    print("[retau180] final Stage-F report:")
+    for k, v in rep.items():
+        print(f"    {k}: {v}")
+    print(f'QOI_JSON: {{"name": "dns_retau180_re_tau", '
+          f'"value": {rep["Re_tau"]:.6e}}}')
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
