@@ -42,6 +42,10 @@ def _cat(parts, axis):
 
 
 def _flip(f, axis):
+    # size-1 flips are identities; skipping them keeps the operator library
+    # lowerable inside Pallas TPU kernels (Mosaic has no `rev` primitive)
+    if f.shape[axis] <= 1:
+        return f
     return jnp.flip(f, axis=axis)
 
 

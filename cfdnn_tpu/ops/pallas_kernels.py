@@ -127,6 +127,112 @@ def _predictor_kernel(dt_ref, ul, uc, ur, vl, vc, vr, wl, wc, wr,
     sw[:] = star_w
 
 
+# ---------------------------------------------------------------------------
+# General fused predictor: reuse the jnp operator library INSIDE the kernel
+# ---------------------------------------------------------------------------
+
+
+def _slab_geometry(geom, bx: int):
+    """Geometry whose x axis is a fake periodic (bx+2)-slab; y/z real.
+
+    The operator functions only reach +-1 cells, so values computed at the
+    slab's interior bx planes are exact regardless of how the slab-edge
+    ghosts wrap — the two edge planes are discarded.
+    """
+    import dataclasses as _dc
+    from ..config import BCType as _BC
+    from ..mesh import Axis1D as _Ax
+    from .grid import AxisGeom as _AG
+    h = geom.x.h
+    ax = _Ax.make(bx + 2, 0.0, (bx + 2) * h)
+    x_slab = _AG.make(ax, _BC.PERIODIC, 0, geom.dtype)
+    return _dc.replace(geom, axes=(x_slab, geom.axes[1], geom.axes[2]))
+
+
+# geometry arrays that the operator library reads (per axis); Pallas
+# forbids closed-over array constants, so these are threaded as inputs
+_AXIS_ARRAY_FIELDS = ("d", "inv_d", "dc", "inv_dc", "centers", "faces",
+                      "pos_c_pad2", "pos_f_pad2")
+
+
+def _geom_arrays(geom):
+    return [getattr(ax, f) for ax in geom.axes for f in _AXIS_ARRAY_FIELDS]
+
+
+def _rebuild_geom(geom, vals):
+    import dataclasses as _dc
+    it = iter(vals)
+    axes = []
+    for ax in geom.axes:
+        kw = {f: next(it) for f in _AXIS_ARRAY_FIELDS}
+        axes.append(_dc.replace(ax, **kw))
+    return _dc.replace(geom, axes=tuple(axes))
+
+
+def _general_kernel(dt_ref, *refs, slab_geom, scheme, nu, fx):
+    """Predictor on an x-extended slab via the shared operator library
+    (ops.convective / ops.diffusive) — single source of truth with the
+    unfused path (the reference's CPU/GPU code-sharing paradigm,
+    scripts/check_code_sharing.sh)."""
+    from . import operators as _ops
+
+    ng = 3 * len(_AXIS_ARRAY_FIELDS)
+    geom_refs = refs[:ng]
+    ul, uc, ur, vl, vc, vr, wl, wc, wr, su, sv, sw = refs[ng:]
+    geom_live = _rebuild_geom(slab_geom, [r[:] for r in geom_refs])
+
+    def ext(l, c, r):
+        return jnp.concatenate([l[-1:], c[:], r[:1]], axis=0)
+
+    dt = dt_ref[0]
+    comps = (ext(ul, uc, ur), ext(vl, vc, vr), ext(wl, wc, wr))
+    conv = _ops.convective(comps, geom_live, scheme)
+    diff = _ops.diffusive(comps, jnp.asarray(nu, comps[0].dtype), geom_live)
+    su[:] = (comps[0] + dt * (-conv[0] + diff[0] + fx))[1:-1]
+    sv[:] = (comps[1] + dt * (-conv[1] + diff[1]))[1:-1]
+    sw[:] = (comps[2] + dt * (-conv[2] + diff[2]))[1:-1]
+
+
+def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
+                            interpret=False):
+    """Fused predictor for ANY y/z BCs (walls, stretched, outflow) with a
+    periodic-uniform x axis; x tiled into slabs with one halo plane from
+    the neighbor blocks. Covers the channel/duct hot path."""
+    Nx = u.shape[0]
+    if Nx % bx != 0:
+        bx = 1
+    G = Nx // bx
+    slab_geom = _slab_geometry(geom, bx)
+
+    def specs_for(arr):
+        blk = (bx,) + arr.shape[1:]
+        return [pl.BlockSpec(blk, lambda i, o=off: ((i + o) % G, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for off in (-1, 0, 1)]
+
+    garrs = [jnp.asarray(a, u.dtype) for a in _geom_arrays(slab_geom)]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in garrs]
+    for arr in (u, v, w):
+        in_specs += specs_for(arr)
+    out_specs = [pl.BlockSpec((bx,) + arr.shape[1:], lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+                 for arr in (u, v, w)]
+    out_shape = [jax.ShapeDtypeStruct(arr.shape, arr.dtype)
+                 for arr in (u, v, w)]
+    dt_arr = jnp.reshape(jnp.asarray(dt, u.dtype), (1,))
+    kernel = functools.partial(_general_kernel, slab_geom=slab_geom,
+                               scheme=scheme, nu=nu, fx=fx)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(dt_arr, *garrs, u, u, u, v, v, v, w, w, w)
+
+
 @functools.partial(jax.jit, static_argnames=("hx", "hy", "hz", "nu", "fx",
                                              "bx", "interpret"))
 def fused_predictor(u, v, w, dt, *, hx, hy, hz, nu, fx, bx=4,

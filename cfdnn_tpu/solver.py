@@ -96,20 +96,22 @@ class Simulation:
     # ------------------------------------------------------------------
 
     def _pallas_eligible(self) -> bool:
-        """Fused Pallas predictor applies on the periodic DNS fast path
-        (all axes periodic+uniform, O2 skew, laminar/scalar-nu, no
-        trip/IBM/recycling) on TPU — or anywhere when forced "on"
-        (interpret mode for tests)."""
+        """The fused Pallas predictor replaces the momentum RHS + star
+        computation (trip/BC/implicit/IBM/recycling still run after it).
+        Requirements: periodic uniform x (the slab axis), 3D, O2,
+        central/skew scheme, explicit diffusion, laminar (scalar nu).
+        Active on TPU, or anywhere when forced "on" (interpret mode)."""
         cfg = self.cfg
         if cfg.use_pallas == "off":
             return False
+        x = self.geom.axes[0]
         structural = (
-            all(ax.periodic and ax.uniform for ax in self.geom.axes)
-            and self.geom.axes[2].n > 1
+            x.periodic and x.uniform
+            and self.geom.axes[2].n > 1 and x.n >= 4
             and cfg.space_order == 2
-            and cfg.convective_scheme == ConvectiveScheme.SKEW
+            and cfg.convective_scheme in (ConvectiveScheme.SKEW,
+                                          ConvectiveScheme.CENTRAL)
             and cfg.turb_model == TurbulenceModel.NONE
-            and not cfg.trip_enabled and not cfg.recycling_inflow
             and not cfg.implicit_y_diffusion)
         if not structural:
             return False
@@ -218,19 +220,29 @@ class Simulation:
     def _euler_substep(self, comps, nu_t, dt, forces=None, t=0.0,
                        inlet=None):
         cfg = self.cfg
-        if self._pallas_predictor_ok and nu_t is None:
-            from .ops.pallas_kernels import fused_predictor
+        if (self._pallas_predictor_ok and nu_t is None
+                and cfg.force_ramp_time <= 0
+                and cfg.bulk_velocity_target <= 0):
             geom = self.geom
-            star = fused_predictor(
-                *comps, dt.astype(self.dtype) if hasattr(dt, "astype")
-                else jnp.asarray(dt, self.dtype),
-                hx=geom.x.h, hy=geom.y.h, hz=geom.z.h,
-                nu=float(cfg.nu), fx=float(-cfg.dp_dx / cfg.rho),
-                interpret=jax.devices()[0].platform == "cpu")
-            # periodic box: no BC/trip/IBM applies on this path
-            return star
-        rhs = self._momentum_rhs(comps, nu_t, t, dt)
-        star = tuple(c + dt * r for c, r in zip(comps, rhs))
+            interp = jax.devices()[0].platform == "cpu"
+            fx = float(-cfg.dp_dx / cfg.rho)
+            all_periodic = all(ax.periodic and ax.uniform
+                               for ax in geom.axes)
+            if all_periodic and cfg.convective_scheme == ConvectiveScheme.SKEW:
+                from .ops.pallas_kernels import fused_predictor
+                star = fused_predictor(
+                    *comps, jnp.asarray(dt, self.dtype),
+                    hx=geom.x.h, hy=geom.y.h, hz=geom.z.h,
+                    nu=float(cfg.nu), fx=fx, interpret=interp)
+            else:
+                from .ops.pallas_kernels import fused_predictor_general
+                star = fused_predictor_general(
+                    *comps, jnp.asarray(dt, self.dtype), geom=geom,
+                    scheme=cfg.convective_scheme, nu=float(cfg.nu), fx=fx,
+                    interpret=interp)
+        else:
+            rhs = self._momentum_rhs(comps, nu_t, t, dt)
+            star = tuple(c + dt * r for c, r in zip(comps, rhs))
         if self.trip is not None:
             star = self.trip.apply(star, dt, t)    # reference :1724-1810
         star = apply_velocity_bc(*star, self.geom)

@@ -82,9 +82,40 @@ def test_pallas_step_trajectory_matches_jnp():
 
 
 def test_pallas_not_eligible_off_fast_path():
-    """Wall-bounded / non-skew configs must not take the fused path."""
-    cfg = Config(Nx=16, Ny=16, Nz=16, use_pallas="on",
-                 nu=1e-3, nu_specified=True, dp_dx=-1e-3,
-                 dp_dx_specified=True, dtype="float64")
-    sim = Simulation(cfg)   # bc_y defaults to WALL
-    assert not sim._pallas_predictor_ok
+    """Configs the fused predictor cannot serve must not take it."""
+    from cfdnn_tpu.config import ConvectiveScheme as CS
+    base = dict(Nx=16, Ny=16, Nz=16, use_pallas="on",
+                nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                dp_dx_specified=True, dtype="float64")
+    # upwind (reach-2 stencil) is out
+    assert not Simulation(Config(
+        convective_scheme=CS.UPWIND2, **base))._pallas_predictor_ok
+    # implicit y diffusion changes the RHS (skip_y) — out
+    assert not Simulation(Config(
+        implicit_y_diffusion=True, **base))._pallas_predictor_ok
+    # 2D is out
+    assert not Simulation(Config(**{**base, "Nz": 1}))._pallas_predictor_ok
+    # wall-bounded IS eligible now (general slab kernel)
+    assert Simulation(Config(**base))._pallas_predictor_ok
+
+
+def test_pallas_wall_channel_trajectory_matches():
+    """Wall-y stretched channel: fused-predictor steps == jnp steps."""
+    base = dict(Nx=16, Ny=24, Nz=8, stretch_y=True, z_max=1.0,
+                nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
+                dtype="float64", convective_scheme=ConvectiveScheme.SKEW)
+    from cfdnn_tpu import perturbed_channel
+    sim_off = Simulation(Config(use_pallas="off", **base))
+    sim_on = Simulation(Config(use_pallas="on", **base))
+    assert sim_on._pallas_predictor_ok
+    s0 = perturbed_channel(sim_off.cfg, sim_off.mesh, amp=0.05)
+    s_off, s_on = s0, s0
+    for _ in range(4):
+        s_off, _ = sim_off.step(s_off)
+        s_on, d = sim_on.step(s_on)
+    np.testing.assert_allclose(np.asarray(s_on.u), np.asarray(s_off.u),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_on.v), np.asarray(s_off.v),
+                               rtol=0, atol=1e-12)
+    assert float(d.div_linf) < 1e-10
