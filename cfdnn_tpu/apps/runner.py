@@ -9,13 +9,10 @@ optional IBM body / validation hook, and calls `run_case`.
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 import time
 from typing import Callable, Optional
-
-import numpy as np
 
 from ..config import Config, SimulationMode
 from ..io.vtk import write_profiles, write_vtk

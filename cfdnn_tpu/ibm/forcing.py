@@ -15,7 +15,7 @@ F = sum (1-w) u / dt dV matches apply_forcing_device's accumulator
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,6 @@ Convention: phi < 0 inside the body, phi > 0 outside, phi = 0 on the surface.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import numpy as np
 

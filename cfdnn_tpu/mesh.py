@@ -19,7 +19,6 @@ faces carried in the array (v[:,0]=v[:,Ny]=0 for no-slip walls).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 

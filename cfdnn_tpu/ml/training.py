@@ -9,8 +9,7 @@ weight format the solver loads (turbulence/nn_core.py MLP.save/load).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

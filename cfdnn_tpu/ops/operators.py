@@ -19,7 +19,7 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from ..config import BCType, ConvectiveScheme
+from ..config import ConvectiveScheme
 from .bc import face_pair, pad_center, pad_normal, pad_tangential, sl
 from .grid import AxisGeom, Geometry
 

@@ -24,7 +24,7 @@ drives the discrete divergence to roundoff.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -220,9 +220,7 @@ class FDMPoissonSolver:
 
     def solve_with_stats(self, rhs):
         """solve() + residual observability (one extra operator apply)."""
-        import numpy as _np
         p = self.solve(rhs)
-        from ..ops import operators as _ops
         # residual via the modal symbol: L p - rhs (mean-free part)
         r = self._residual_norm(rhs, p)
         return p, PoissonStats(cycles=0, status="DIRECT", rel_residual=r)

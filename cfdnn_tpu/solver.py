@@ -11,16 +11,15 @@ machinery (SURVEY 2.2) and persistent GPU mapping.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import (BCType, Config, ConvectiveScheme, PoissonSolverType,
+from .config import (Config, ConvectiveScheme, PoissonSolverType,
                      TimeIntegrator, TurbulenceModel)
-from .fields import State, velocity_shapes, zero_state
+from .fields import State, zero_state
 from .mesh import Mesh
 from .ops import operators as ops
 from .ops.bc import apply_velocity_bc

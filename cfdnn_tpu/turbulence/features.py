@@ -9,11 +9,9 @@ feed the MXU-batched MLP directly.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 
-from .base import StrainRotation, cell_center_velocity, strain_rotation
+from .base import cell_center_velocity, strain_rotation
 
 C_MU = 0.09
 K_FLOOR = 1e-10

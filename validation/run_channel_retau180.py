@@ -51,9 +51,9 @@ def main():
         time_integrator=TimeIntegrator.RK3,
         convective_scheme=ConvectiveScheme.SKEW,
         implicit_y_diffusion=True,
-        trip_enabled=True, trip_amplitude=3.0, trip_duration=5.0,
-        trip_ramp_off_start=4.0,
-        filter_strength=0.05, filter_interval=10,
+        trip_enabled=True, trip_amplitude=4.0, trip_duration=10.0,
+        trip_ramp_off_start=8.0,
+        filter_strength=0.01, filter_interval=20,
         dtype=args.dtype, perf_mode=True, verbose=True,
     )
     sim = Simulation(cfg)
@@ -84,9 +84,11 @@ def main():
                 return 1
             wall = time.perf_counter() - t0
             ncell = cfg.Nx * cfg.Ny * cfg.Nz
+            w_rms = float(np.sqrt(np.mean(np.asarray(state.w) ** 2)))
             print(f"  step {it:7d} t={float(state.t):7.3f} "
                   f"dt={float(d.dt):.2e} ke={ke:.4f} "
                   f"Re_tau={st.Re_tau:6.1f} y+={st.y_plus_1:.2f} "
+                  f"w_rms={w_rms:.3f} "
                   f"state={clf.update(sim, state)} "
                   f"[{ncell * it / wall / 1e6:.0f} Mcells/s]")
 
