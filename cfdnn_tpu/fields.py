@@ -188,16 +188,41 @@ def init_turbulent_channel(cfg: Config, mesh: Mesh, U_bulk: float = 15.6,
                          st.u.shape)
     st = st.replace(u=u)
     if amp > 0.0:
-        key = key if key is not None else jax.random.PRNGKey(7)
-        ku, kv, kw = jax.random.split(key, 3)
+        # Band-limited (low-wavenumber) perturbations: white noise carries
+        # its energy at the grid scale and is dissipated within a few steps,
+        # so transition never takes hold; coherent large-scale rolls/streaks
+        # (random Fourier modes with kx <= 3, kz <= 4, wall-vanishing y
+        # envelopes) are the standard DNS trigger.
+        rng = np.random.default_rng(11)
         scale = amp * U_bulk
-        noise = lambda k, s: scale * jax.random.uniform(k, s, st.u.dtype,
-                                                        -1.0, 1.0)
-        v = noise(kv, st.v.shape)
+        eta_c = (mesh.y.centers - ymid) / delta        # [-1, 1]
+        eta_f = (mesh.y.faces - ymid) / delta
+        xg_f = mesh.x.faces[: st.u.shape[0]]
+        xg_c = mesh.x.centers
+        zg_c = mesh.z.centers
+        zg_f = mesh.z.faces[: st.w.shape[2]]
+
+        def modes(xs, ys, zs, n_modes=12, env_power=1):
+            out = np.zeros((len(xs), len(ys), len(zs)))
+            env = (1.0 - ys**2) ** env_power            # vanishes at walls
+            for _ in range(n_modes):
+                kx = rng.integers(0, 4) * 2 * np.pi / max(cfg.Lx, 1e-12)
+                kz = rng.integers(1, 5) * 2 * np.pi / max(cfg.Lz, 1e-12)
+                m = rng.integers(1, 4)
+                phx, phz = rng.uniform(0, 2 * np.pi, 2)
+                out += (np.cos(kx * xs + phx)[:, None, None]
+                        * (np.sin(m * np.pi * 0.5 * (ys + 1.0)) * env)[None, :, None]
+                        * np.cos(kz * zs + phz)[None, None, :])
+            return out / n_modes
+
+        du = scale * modes(xg_f, eta_c, zg_c)
+        dv = scale * modes(xg_c, eta_f, zg_c)
+        dw = scale * modes(xg_c, eta_c, zg_f)
+        v = st.v + jnp.asarray(dv, st.v.dtype)
         if cfg.bc_y == BCType.WALL:
             v = v.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
-        st = st.replace(u=st.u + noise(ku, st.u.shape), v=v,
-                        w=st.w + noise(kw, st.w.shape))
+        st = st.replace(u=st.u + jnp.asarray(du, st.u.dtype), v=v,
+                        w=st.w + jnp.asarray(dw, st.w.dtype))
     return st
 
 

@@ -57,7 +57,7 @@ def main():
         dtype=args.dtype, perf_mode=True, verbose=True,
     )
     sim = Simulation(cfg)
-    state = sim.initialize(init_turbulent_channel(cfg, sim.mesh, amp=0.15))
+    state = sim.initialize(init_turbulent_channel(cfg, sim.mesh, amp=0.3))
     state = sim.project_initial_velocity(state)
 
     # bulk time scale: U_b ~ 15.6 u_tau at Re_tau 180; flow-through = Lx/U_b
