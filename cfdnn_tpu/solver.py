@@ -207,7 +207,15 @@ class Simulation:
         rhs = div / dt
         if self.ibm is not None:
             rhs = self.ibm.mask_rhs(rhs)
-        p_corr = self.poisson.solve(rhs)
+        import os
+        if os.environ.get("CFDNN_POISSON_DIAGNOSTICS"):
+            # env-gated deep diagnostics (reference NNCFD_POISSON_DIAGNOSTICS,
+            # src/solver.cpp:2241-2246): per-solve relative residual
+            p_corr, stats = self.poisson.solve_with_stats(rhs)
+            jax.debug.print("[poisson] {} rel_residual={}",
+                            stats.status, stats.rel_residual)
+        else:
+            p_corr = self.poisson.solve(rhs)
         comps = ops.correct_velocity(comps, p_corr, dt, geom)
         if self.ibm is not None:
             comps, f = self.ibm.apply(comps, dt, accumulate=forces is not None)
@@ -456,6 +464,16 @@ class Simulation:
                 if res < tol * max(dtv, 1e-30):
                     break
         return state, diags
+
+    def solve_steady_with_snapshots(self, state: State,
+                                    snapshot_cb: Optional[Callable] = None,
+                                    snapshot_every: int = 0, **kw):
+        """solve_steady + periodic snapshot hook (reference
+        solve_steady_with_snapshots, src/solver.cpp:2861)."""
+        def cb(it, st, d):
+            if snapshot_every and it % snapshot_every == 0 and snapshot_cb:
+                snapshot_cb(it, st, d)
+        return self.solve_steady(state, callback=cb, **kw)
 
     def advance_unsteady(self, state: State, n_steps: int,
                          callback: Optional[Callable] = None):

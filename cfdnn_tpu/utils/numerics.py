@@ -1,0 +1,23 @@
+"""Overflow-safe numerics helpers (reference: include/numerics.hpp:1-30
+safe_divide / bounded_ratio, used throughout the turbulence closures)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+C_MU = 0.09
+K_FLOOR = 1e-10
+OMEGA_FLOOR = 1e-10
+
+
+def safe_divide(num, den, floor: float = 1e-20):
+    """num / den with |den| floored away from zero (sign-preserving)."""
+    d = jnp.where(jnp.abs(den) < floor,
+                  jnp.where(den < 0, -floor, floor), den)
+    return num / d
+
+
+def bounded_ratio(num, den, bound: float = 1e6, floor: float = 1e-20):
+    """safe_divide clipped to [-bound, bound] (turbulence-quantity ratios
+    like omega/k stay finite at the floors)."""
+    return jnp.clip(safe_divide(num, den, floor), -bound, bound)
