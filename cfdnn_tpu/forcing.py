@@ -152,6 +152,41 @@ def velocity_filter(comps, geom, strength: float):
 # ---------------------------------------------------------------------------
 
 
+def implicit_scalar_y_diffusion(f, nu_eff, dt, geom, wall_value=0.0):
+    """(I - dt d/dy nu d/dy) f_new = f + dt * wall source, for a
+    cell-centered scalar with Dirichlet `wall_value` at both y walls
+    (k = 0, omega = omega_wall — the transport IMEX companion of the
+    momentum solve; without it the k/omega y-diffusion is explicitly
+    unstable at the IMEX-enlarged dt)."""
+    yax = geom.axes[1]
+    if yax.periodic or yax.n <= 2:
+        return f
+    scalar_nu = jnp.ndim(nu_eff) == 0
+    inv_d = yax.inv_d
+    inv_dc = yax.inv_dc
+    if scalar_nu:
+        nu_f_lo = nu_f_hi = nu_eff
+    else:
+        nu_face = jnp.concatenate(
+            [nu_eff[:, :1, :], 0.5 * (nu_eff[:, :-1, :] + nu_eff[:, 1:, :]),
+             nu_eff[:, -1:, :]], axis=1)
+        nu_f_lo = nu_face[:, :-1, :]
+        nu_f_hi = nu_face[:, 1:, :]
+    g_lo = nu_f_lo * inv_dc[:, :-1, :] * inv_d
+    g_hi = nu_f_hi * inv_dc[:, 1:, :] * inv_d
+    lower = -dt * g_lo
+    upper = -dt * g_hi
+    diag = 1.0 + dt * (g_lo + g_hi)
+    # inhomogeneous Dirichlet: wall flux (f0 - wall_value)/dc0 adds a known
+    # source dt*g*wall_value at the wall rows (Thomas ignores lower[0]/
+    # upper[-1], so the unknown coupling is already correct)
+    ny = f.shape[1]
+    first = jnp.zeros(ny).at[0].set(1.0).reshape(1, -1, 1)
+    last = jnp.zeros(ny).at[-1].set(1.0).reshape(1, -1, 1)
+    rhs = f + dt * (g_lo * first + g_hi * last) * wall_value
+    return thomas(lower, diag, upper, rhs, axis=1)
+
+
 def implicit_y_diffusion(comps, nu_eff, dt, geom):
     """Solve (I - dt d/dy nu d/dy) u_new = u per component via batched
     Thomas; removes the y-diffusion CFL limit on stretched near-wall cells.

@@ -318,7 +318,11 @@ class Simulation:
         nu_max = jnp.asarray(cfg.nu, self.dtype)
         if nu_t is not None:
             nu_max = nu_max + jnp.max(nu_t)
-        inv_h2 = 1.0 / geom.x.h**2 + 1.0 / jnp.min(geom.y.d) ** 2
+        # implicit y-diffusion removes the y direction from the explicit
+        # stability limit (the IMEX purpose, reference solver_time.cpp:667)
+        inv_h2 = 1.0 / geom.x.h**2
+        if not cfg.implicit_y_diffusion:
+            inv_h2 = inv_h2 + 1.0 / jnp.min(geom.y.d) ** 2
         if geom.z.n > 1:
             inv_h2 = inv_h2 + 1.0 / jnp.min(geom.z.d) ** 2
         dt_visc = 0.25 / (nu_max * inv_h2)

@@ -103,8 +103,11 @@ def _axis_terms(f_pad, f, axis, ax, vel_c):
     return adv, lap, grad_c
 
 
-def _transport_terms(f, geom, vel_cc, wall_value):
-    """Sum upwind advection / laplacian / central gradients over all axes."""
+def _transport_terms(f, geom, vel_cc, wall_value, skip_y_lap=False):
+    """Sum upwind advection / laplacian / central gradients over all axes.
+
+    skip_y_lap drops the y-diffusion contribution (handled implicitly by
+    implicit_scalar_y_diffusion under IMEX, forcing.py)."""
     adv = jnp.zeros_like(f)
     lap = jnp.zeros_like(f)
     grads = []
@@ -116,7 +119,9 @@ def _transport_terms(f, geom, vel_cc, wall_value):
         wv = wall_value if ax.bc == BCType.WALL else None
         f_pad = _pad_scalar(f, axis, ax, wv)
         a, l, g = _axis_terms(f_pad, f, axis, ax, vel_cc[axis])
-        adv, lap = adv + a, lap + l
+        adv = adv + a
+        if not (skip_y_lap and axis == 1):
+            lap = lap + l
         grads.append(g)
     return adv, lap, grads
 
@@ -133,6 +138,20 @@ class SSTTransport(TurbulenceModelBase):
         self.y_wall = wall_distance(mesh, cfg, geom.dtype)
         # wall-adjacent distance y1 per wall for the omega wall value
         self.has_wall = cfg.bc_y == BCType.WALL
+        # Menter near-wall treatment: inside the viscous sublayer, omega is
+        # pinned to the analytic solution 6 nu / (beta1 y^2). A sequential
+        # split of the stiff destruction (point-implicit) and the stiff
+        # wall-diffusion (IMEX Thomas) otherwise lands on an unphysical
+        # fixed point on strongly stretched grids.
+        if self.has_wall:
+            u_tau_est = float(jnp.sqrt(abs(cfg.dp_dx) * 0.5 * cfg.Ly / cfg.rho)) \
+                if cfg.dp_dx != 0 else 1.0
+            y_plus = self.y_wall * u_tau_est / cfg.nu
+            first = jnp.zeros(mesh.Ny).at[0].set(1.0).at[-1].set(1.0)
+            self.om_pin_mask = jnp.logical_or(
+                y_plus < 3.0, first.reshape(1, -1, 1) > 0)
+            self.om_visc = 6.0 * cfg.nu / (constants.beta1
+                                           * jnp.maximum(self.y_wall, 1e-12) ** 2)
 
     def _omega_wall(self):
         """omega_wall = 10 x 6 nu / (beta1 y1^2) (reference :576-585)."""
@@ -167,8 +186,12 @@ class SSTTransport(TurbulenceModelBase):
             om_wall = jnp.minimum(
                 10.0 * 6.0 * self.nu / (c.beta1 * y1 * y1), c.omega_max)
 
-        adv_k, lap_k_unit, gk = _transport_terms(k, geom, vel_cc, 0.0)
-        adv_om, lap_om_unit, gom = _transport_terms(om, geom, vel_cc, om_wall)
+        imex = bool(getattr(sim.cfg, "implicit_y_diffusion", False)) \
+            and self.has_wall
+        adv_k, lap_k_unit, gk = _transport_terms(k, geom, vel_cc, 0.0,
+                                                 skip_y_lap=imex)
+        adv_om, lap_om_unit, gom = _transport_terms(om, geom, vel_cc, om_wall,
+                                                    skip_y_lap=imex)
 
         # cross-diffusion and F1 (reference :111-123)
         gkgo = sum(a * b for a, b in zip(gk, gom))
@@ -196,9 +219,18 @@ class SSTTransport(TurbulenceModelBase):
         src_om = alpha * (om / k) * P_k + nu_om * lap_om_unit - adv_om + CD
         k_new = (k + dt * src_k) / (1.0 + dt * c.beta_star * om)
         om_new = (om + dt * src_om) / (1.0 + dt * beta * om)
+        if imex:
+            from ..forcing import implicit_scalar_y_diffusion
+            k_new = implicit_scalar_y_diffusion(k_new, nu_k, dt, geom, 0.0)
+            om_new = implicit_scalar_y_diffusion(om_new, nu_om, dt, geom,
+                                                 om_wall)
 
         k_new = jnp.clip(k_new, c.k_min, c.k_max)
         om_new = jnp.clip(om_new, c.omega_min, c.omega_max)
+        if self.has_wall:
+            om_new = jnp.where(self.om_pin_mask,
+                               jnp.broadcast_to(self.om_visc, om_new.shape),
+                               om_new)
         return state.replace(k=k_new, omega=om_new)
 
     # -- closure: nu_t = a1 k / max(a1 om, S F2) (reference :244-305) -----
@@ -253,8 +285,12 @@ class KOmegaTransport(TurbulenceModelBase):
             om_wall = jnp.minimum(
                 10.0 * 6.0 * self.nu / (c.beta * y1 * y1), c.omega_max)
 
-        adv_k, lap_k, _ = _transport_terms(k, geom, vel_cc, 0.0)
-        adv_om, lap_om, _ = _transport_terms(om, geom, vel_cc, om_wall)
+        imex = bool(getattr(sim.cfg, "implicit_y_diffusion", False)) \
+            and self.has_wall
+        adv_k, lap_k, _ = _transport_terms(k, geom, vel_cc, 0.0,
+                                           skip_y_lap=imex)
+        adv_om, lap_om, _ = _transport_terms(om, geom, vel_cc, om_wall,
+                                             skip_y_lap=imex)
 
         nu_k = self.nu + c.sigma_k * nu_t
         nu_om = self.nu + c.sigma_omega * nu_t
@@ -264,6 +300,11 @@ class KOmegaTransport(TurbulenceModelBase):
         src_om = c.alpha * (om / k) * P_k + nu_om * lap_om - adv_om
         k_new = (k + dt * src_k) / (1.0 + dt * c.beta_star * om)
         om_new = (om + dt * src_om) / (1.0 + dt * c.beta * om)
+        if imex:
+            from ..forcing import implicit_scalar_y_diffusion
+            k_new = implicit_scalar_y_diffusion(k_new, nu_k, dt, geom, 0.0)
+            om_new = implicit_scalar_y_diffusion(om_new, nu_om, dt, geom,
+                                                 om_wall)
         return state.replace(
             k=jnp.clip(k_new, c.k_min, c.k_max),
             omega=jnp.clip(om_new, c.omega_min, c.omega_max))
