@@ -155,6 +155,74 @@ def momentum_balance_closure(sim, state) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Time-averaged statistics (reference: turbulence statistics accumulation,
+# src/solver_turbulence_diagnostics.cpp running stats)
+# ---------------------------------------------------------------------------
+
+
+class StatsAccumulator:
+    """Running time average of the plane-averaged channel statistics.
+
+    Accumulates first and second moments of the cell-centered velocity over
+    snapshots; `finalize()` returns a ChannelStats built from the
+    time-averaged fields (the proper input for the Stage-F momentum-balance
+    and stress-ordering gates, which are defined on averaged stresses)."""
+
+    def __init__(self, sim):
+        self.sim = sim
+        self.n = 0
+        self.sums = None   # [U, V, W, uu, vv, ww, uv] plane profiles
+
+    def update(self, state):
+        from .turbulence.base import cell_center_velocity
+        u, v, w = cell_center_velocity((state.u, state.v, state.w),
+                                       self.sim.geom)
+        prof = [jnp.mean(x, axis=(0, 2)) for x in (u, v, w)]
+        prof += [jnp.mean(u * u, axis=(0, 2)), jnp.mean(v * v, axis=(0, 2)),
+                 jnp.mean(w * w, axis=(0, 2)), jnp.mean(u * v, axis=(0, 2))]
+        prof = [np.asarray(p) for p in prof]
+        if self.sums is None:
+            self.sums = prof
+        else:
+            self.sums = [a + b for a, b in zip(self.sums, prof)]
+        self.n += 1
+
+    def finalize(self) -> ChannelStats:
+        assert self.n > 0, "no snapshots accumulated"
+        U, V, W, uu, vv, ww, uv = [s / self.n for s in self.sums]
+        u_rms = np.sqrt(np.maximum(uu - U**2, 0.0))
+        v_rms = np.sqrt(np.maximum(vv - V**2, 0.0))
+        w_rms = np.sqrt(np.maximum(ww - W**2, 0.0))
+        uv_f = uv - U * V
+        cfg, mesh = self.sim.cfg, self.sim.mesh
+        y = mesh.y.centers
+        d_lo = y[0] - mesh.y.lo
+        d_hi = mesh.y.hi - y[-1]
+        u_tau = float(np.sqrt(cfg.nu * 0.5 * (abs(U[0]) / d_lo
+                                              + abs(U[-1]) / d_hi)))
+        lv = cfg.nu / max(u_tau, 1e-30)
+        return ChannelStats(
+            y=np.asarray(y), U=U, u_rms=u_rms, v_rms=v_rms, w_rms=w_rms,
+            uv=uv_f, u_tau=u_tau,
+            Re_tau=float(u_tau * 0.5 * cfg.Ly / cfg.nu),
+            y_plus_1=float(d_lo / lv), dx_plus=float(mesh.x.h / lv),
+            dz_plus=float(mesh.z.h / lv) if mesh.Nz > 1 else 0.0)
+
+    def momentum_balance_closure(self) -> float:
+        """Closure defect from the TIME-AVERAGED total stress."""
+        st = self.finalize()
+        cfg = self.sim.cfg
+        dUdy = np.gradient(st.U, st.y)
+        tau_tot = cfg.nu * dUdy - st.uv
+        delta = 0.5 * cfg.Ly
+        ymid = 0.5 * (cfg.y_min + cfg.y_max)
+        tau_exact = st.u_tau**2 * (-(st.y - ymid) / delta)
+        sl_ = slice(2, -2)
+        return float(np.max(np.abs(tau_tot[sl_] - tau_exact[sl_]))
+                     / max(st.u_tau**2, 1e-30))
+
+
+# ---------------------------------------------------------------------------
 # Spanwise spectrum artifact check (reference Stage-F spectrum gates)
 # ---------------------------------------------------------------------------
 

@@ -117,3 +117,24 @@ def test_timing_stats_and_gate():
     # compute dominated by the jitted step (reference >=70% gate)
     stats.assert_device_dominant(0.7)
     assert "device utilization" in stats.report()
+
+
+def test_stats_accumulator_time_average():
+    """Time-averaged statistics: mean of snapshots, fluctuations from
+    second moments, closure defect computed on averaged stresses."""
+    sim = _channel(N=48)
+    state = init_poiseuille(sim.cfg, sim.mesh, fraction=1.0)
+    from cfdnn_tpu.diagnostics import StatsAccumulator
+    acc = StatsAccumulator(sim)
+    for _ in range(100):
+        state, _ = sim.step(state)
+    for _ in range(5):
+        state, _ = sim.step(state)
+        acc.update(state)
+    st = acc.finalize()
+    assert st.u_tau > 0 and np.isfinite(st.Re_tau)
+    # laminar: time-averaged fluctuations vanish (to the sqrt-cancellation
+    # floor of the two-moment formula, ~sqrt(eps)*U)
+    assert st.u_rms.max() < 1e-5
+    closure = acc.momentum_balance_closure()
+    assert closure < 0.10, closure
