@@ -131,19 +131,21 @@ def _predictor_kernel(dt_ref, ul, uc, ur, vl, vc, vr, wl, wc, wr,
 # ---------------------------------------------------------------------------
 
 
-def _slab_geometry(geom, bx: int):
-    """Geometry whose x axis is a fake periodic (bx+2)-slab; y/z real.
+def _slab_geometry(geom, bx: int, ng: int = 1):
+    """Geometry whose x axis is a fake periodic (bx+2ng)-slab; y/z real.
 
-    The operator functions only reach +-1 cells, so values computed at the
-    slab's interior bx planes are exact regardless of how the slab-edge
-    ghosts wrap — the two edge planes are discarded.
+    The operator functions reach at most `ng` cells in x (1 for O2 central/
+    skew, 2 for O4), so values computed at the slab's interior bx planes are
+    exact regardless of how the slab-edge ghosts wrap — the 2ng edge planes
+    are discarded.
     """
     import dataclasses as _dc
     from ..config import BCType as _BC
     from ..mesh import Axis1D as _Ax
     from .grid import AxisGeom as _AG
     h = geom.x.h
-    ax = _Ax.make(bx + 2, 0.0, (bx + 2) * h)
+    n = bx + 2 * ng
+    ax = _Ax.make(n, 0.0, n * h)
     x_slab = _AG.make(ax, _BC.PERIODIC, 0, geom.dtype)
     return _dc.replace(geom, axes=(x_slab, geom.axes[1], geom.axes[2]))
 
@@ -168,40 +170,44 @@ def _rebuild_geom(geom, vals):
     return _dc.replace(geom, axes=tuple(axes))
 
 
-def _general_kernel(dt_ref, *refs, slab_geom, scheme, nu, fx):
+def _general_kernel(dt_ref, *refs, slab_geom, scheme, nu, fx, ng=1):
     """Predictor on an x-extended slab via the shared operator library
     (ops.convective / ops.diffusive) — single source of truth with the
     unfused path (the reference's CPU/GPU code-sharing paradigm,
     scripts/check_code_sharing.sh)."""
     from . import operators as _ops
 
-    ng = 3 * len(_AXIS_ARRAY_FIELDS)
-    geom_refs = refs[:ng]
-    ul, uc, ur, vl, vc, vr, wl, wc, wr, su, sv, sw = refs[ng:]
+    n_geom = 3 * len(_AXIS_ARRAY_FIELDS)
+    geom_refs = refs[:n_geom]
+    ul, uc, ur, vl, vc, vr, wl, wc, wr, su, sv, sw = refs[n_geom:]
     geom_live = _rebuild_geom(slab_geom, [r[:] for r in geom_refs])
 
     def ext(l, c, r):
-        return jnp.concatenate([l[-1:], c[:], r[:1]], axis=0)
+        return jnp.concatenate([l[-ng:], c[:], r[:ng]], axis=0)
 
     dt = dt_ref[0]
     comps = (ext(ul, uc, ur), ext(vl, vc, vr), ext(wl, wc, wr))
     conv = _ops.convective(comps, geom_live, scheme)
     diff = _ops.diffusive(comps, jnp.asarray(nu, comps[0].dtype), geom_live)
-    su[:] = (comps[0] + dt * (-conv[0] + diff[0] + fx))[1:-1]
-    sv[:] = (comps[1] + dt * (-conv[1] + diff[1]))[1:-1]
-    sw[:] = (comps[2] + dt * (-conv[2] + diff[2]))[1:-1]
+    su[:] = (comps[0] + dt * (-conv[0] + diff[0] + fx))[ng:-ng]
+    sv[:] = (comps[1] + dt * (-conv[1] + diff[1]))[ng:-ng]
+    sw[:] = (comps[2] + dt * (-conv[2] + diff[2]))[ng:-ng]
 
 
 def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
                             interpret=False):
     """Fused predictor for ANY y/z BCs (walls, stretched, outflow) with a
-    periodic-uniform x axis; x tiled into slabs with one halo plane from
-    the neighbor blocks. Covers the channel/duct hot path."""
+    periodic-uniform x axis; x tiled into slabs with `ng` halo planes from
+    the neighbor blocks (ng = 2 for O4 stencils). Covers the channel/duct
+    hot path and the O4 DNS path."""
     Nx = u.shape[0]
-    if Nx % bx != 0:
-        bx = 1
+    ng = 2 if geom.space_order >= 4 else 1
+    if Nx % bx != 0 or bx < ng:
+        bx = max(ng, 1)
+        if Nx % bx != 0:
+            bx = 1 if ng == 1 else bx   # ng=2 requires even Nx
     G = Nx // bx
-    slab_geom = _slab_geometry(geom, bx)
+    slab_geom = _slab_geometry(geom, bx, ng)
 
     def specs_for(arr):
         blk = (bx,) + arr.shape[1:]
@@ -221,7 +227,7 @@ def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
                  for arr in (u, v, w)]
     dt_arr = jnp.reshape(jnp.asarray(dt, u.dtype), (1,))
     kernel = functools.partial(_general_kernel, slab_geom=slab_geom,
-                               scheme=scheme, nu=nu, fx=fx)
+                               scheme=scheme, nu=nu, fx=fx, ng=ng)
     return pl.pallas_call(
         kernel,
         grid=(G,),

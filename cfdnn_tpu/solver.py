@@ -106,8 +106,8 @@ class Simulation:
         x = self.geom.axes[0]
         structural = (
             x.periodic and x.uniform
-            and self.geom.axes[2].n > 1 and x.n >= 4
-            and cfg.space_order == 2
+            and self.geom.axes[2].n > 1 and x.n >= 8
+            and cfg.space_order in (2, 4)
             and cfg.convective_scheme in (ConvectiveScheme.SKEW,
                                           ConvectiveScheme.CENTRAL)
             and cfg.turb_model == TurbulenceModel.NONE
@@ -235,7 +235,8 @@ class Simulation:
             fx = float(-cfg.dp_dx / cfg.rho)
             all_periodic = all(ax.periodic and ax.uniform
                                for ax in geom.axes)
-            if all_periodic and cfg.convective_scheme == ConvectiveScheme.SKEW:
+            if (all_periodic and cfg.space_order == 2
+                    and cfg.convective_scheme == ConvectiveScheme.SKEW):
                 from .ops.pallas_kernels import fused_predictor
                 star = fused_predictor(
                     *comps, jnp.asarray(dt, self.dtype),
