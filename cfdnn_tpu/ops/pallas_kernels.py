@@ -170,7 +170,8 @@ def _rebuild_geom(geom, vals):
     return _dc.replace(geom, axes=tuple(axes))
 
 
-def _general_kernel(dt_ref, *refs, slab_geom, scheme, nu, fx, ng=1):
+def _general_kernel(dt_ref, *refs, slab_geom, scheme, nu, fx, ng=1,
+                    has_nut=False):
     """Predictor on an x-extended slab via the shared operator library
     (ops.convective / ops.diffusive) — single source of truth with the
     unfused path (the reference's CPU/GPU code-sharing paradigm,
@@ -179,7 +180,12 @@ def _general_kernel(dt_ref, *refs, slab_geom, scheme, nu, fx, ng=1):
 
     n_geom = 3 * len(_AXIS_ARRAY_FIELDS)
     geom_refs = refs[:n_geom]
-    ul, uc, ur, vl, vc, vr, wl, wc, wr, su, sv, sw = refs[n_geom:]
+    rest = refs[n_geom:]
+    if has_nut:
+        (ul, uc, ur, vl, vc, vr, wl, wc, wr,
+         nl, nc, nr, su, sv, sw) = rest
+    else:
+        ul, uc, ur, vl, vc, vr, wl, wc, wr, su, sv, sw = rest
     geom_live = _rebuild_geom(slab_geom, [r[:] for r in geom_refs])
 
     def ext(l, c, r):
@@ -187,15 +193,19 @@ def _general_kernel(dt_ref, *refs, slab_geom, scheme, nu, fx, ng=1):
 
     dt = dt_ref[0]
     comps = (ext(ul, uc, ur), ext(vl, vc, vr), ext(wl, wc, wr))
+    if has_nut:
+        nu_eff = jnp.asarray(nu, comps[0].dtype) + ext(nl, nc, nr)
+    else:
+        nu_eff = jnp.asarray(nu, comps[0].dtype)
     conv = _ops.convective(comps, geom_live, scheme)
-    diff = _ops.diffusive(comps, jnp.asarray(nu, comps[0].dtype), geom_live)
+    diff = _ops.diffusive(comps, nu_eff, geom_live)
     su[:] = (comps[0] + dt * (-conv[0] + diff[0] + fx))[ng:-ng]
     sv[:] = (comps[1] + dt * (-conv[1] + diff[1]))[ng:-ng]
     sw[:] = (comps[2] + dt * (-conv[2] + diff[2]))[ng:-ng]
 
 
 def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
-                            interpret=False):
+                            nu_t=None, interpret=False):
     """Fused predictor for ANY y/z BCs (walls, stretched, outflow) with a
     periodic-uniform x axis; x tiled into slabs with `ng` halo planes from
     the neighbor blocks (ng = 2 for O4 stencils). Covers the channel/duct
@@ -216,9 +226,10 @@ def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
                 for off in (-1, 0, 1)]
 
     garrs = [jnp.asarray(a, u.dtype) for a in _geom_arrays(slab_geom)]
+    fields = (u, v, w) if nu_t is None else (u, v, w, nu_t)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in garrs]
-    for arr in (u, v, w):
+    for arr in fields:
         in_specs += specs_for(arr)
     out_specs = [pl.BlockSpec((bx,) + arr.shape[1:], lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -227,7 +238,11 @@ def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
                  for arr in (u, v, w)]
     dt_arr = jnp.reshape(jnp.asarray(dt, u.dtype), (1,))
     kernel = functools.partial(_general_kernel, slab_geom=slab_geom,
-                               scheme=scheme, nu=nu, fx=fx, ng=ng)
+                               scheme=scheme, nu=nu, fx=fx, ng=ng,
+                               has_nut=nu_t is not None)
+    triple = []
+    for arr in fields:
+        triple += [arr, arr, arr]
     return pl.pallas_call(
         kernel,
         grid=(G,),
@@ -235,7 +250,7 @@ def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(dt_arr, *garrs, u, u, u, v, v, v, w, w, w)
+    )(dt_arr, *garrs, *triple)
 
 
 @functools.partial(jax.jit, static_argnames=("hx", "hy", "hz", "nu", "fx",

@@ -85,8 +85,9 @@ class Simulation:
         if isinstance(body, IBMBody):
             body = IBMForcing(self.mesh, body, self.cfg)
         self.ibm = body
-        # the fused predictor skips IBM application: drop the fast path
-        self._pallas_predictor_ok = False
+        # the fused predictor only replaces the RHS+star; IBM forcing still
+        # applies afterwards in _euler_substep, so the fast path stays valid
+        self._pallas_predictor_ok = self._pallas_eligible()
         self._step_jit = jax.jit(self._step_impl)
         self._nsteps_jit = jax.jit(self._nsteps_impl, static_argnums=(1,))
 
@@ -110,7 +111,6 @@ class Simulation:
             and cfg.space_order in (2, 4)
             and cfg.convective_scheme in (ConvectiveScheme.SKEW,
                                           ConvectiveScheme.CENTRAL)
-            and cfg.turb_model == TurbulenceModel.NONE
             and not cfg.implicit_y_diffusion)
         if not structural:
             return False
@@ -227,7 +227,7 @@ class Simulation:
     def _euler_substep(self, comps, nu_t, dt, forces=None, t=0.0,
                        inlet=None):
         cfg = self.cfg
-        if (self._pallas_predictor_ok and nu_t is None
+        if (self._pallas_predictor_ok
                 and cfg.force_ramp_time <= 0
                 and cfg.bulk_velocity_target <= 0):
             geom = self.geom
@@ -235,7 +235,7 @@ class Simulation:
             fx = float(-cfg.dp_dx / cfg.rho)
             all_periodic = all(ax.periodic and ax.uniform
                                for ax in geom.axes)
-            if (all_periodic and cfg.space_order == 2
+            if (all_periodic and cfg.space_order == 2 and nu_t is None
                     and cfg.convective_scheme == ConvectiveScheme.SKEW):
                 from .ops.pallas_kernels import fused_predictor
                 star = fused_predictor(
@@ -247,7 +247,7 @@ class Simulation:
                 star = fused_predictor_general(
                     *comps, jnp.asarray(dt, self.dtype), geom=geom,
                     scheme=cfg.convective_scheme, nu=float(cfg.nu), fx=fx,
-                    interpret=interp)
+                    nu_t=nu_t, interpret=interp)
         else:
             rhs = self._momentum_rhs(comps, nu_t, t, dt)
             star = tuple(c + dt * r for c, r in zip(comps, rhs))
