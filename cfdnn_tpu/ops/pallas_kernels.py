@@ -253,6 +253,59 @@ def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
     )(dt_arr, *garrs, *triple)
 
 
+def _nu_sgs_kernel(*refs, slab_geom, model_fn, ng):
+    """Cell-centered nu_sgs from the velocity gradient tensor, computed on
+    x-extended slabs via the shared turbulence algebra (the reference's
+    fused gradient+nu_sgs GPU kernels, turbulence_les.hpp update_gpu)."""
+    n_geom = 3 * len(_AXIS_ARRAY_FIELDS)
+    geom_refs = refs[:n_geom]
+    ul, uc, ur, vl, vc, vr, wl, wc, wr, out = refs[n_geom:]
+    geom_live = _rebuild_geom(slab_geom, [r[:] for r in geom_refs])
+
+    def ext(l, c, r):
+        return jnp.concatenate([l[-ng:], c[:], r[:ng]], axis=0)
+
+    comps = (ext(ul, uc, ur), ext(vl, vc, vr), ext(wl, wc, wr))
+    out[:] = model_fn(comps, geom_live)[ng:-ng]
+
+
+def fused_nu_sgs(u, v, w, *, geom, model_fn, bx=4, interpret=False):
+    """Run `model_fn(comps, geom) -> nu_sgs(cells)` as a fused x-slab
+    Pallas kernel (LES closures: one HBM pass over the velocity instead of
+    materialized gradient tensors). Requires periodic uniform x."""
+    Nx = u.shape[0]
+    ng = 1
+    if Nx % bx != 0:
+        bx = 1
+    G = Nx // bx
+    slab_geom = _slab_geometry(geom, bx, ng)
+
+    def specs_for(arr):
+        blk = (bx,) + arr.shape[1:]
+        return [pl.BlockSpec(blk, lambda i, o=off: ((i + o) % G, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for off in (-1, 0, 1)]
+
+    garrs = [jnp.asarray(a, u.dtype) for a in _geom_arrays(slab_geom)]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in garrs]
+    for arr in (u, v, w):
+        in_specs += specs_for(arr)
+    ny = geom.axes[1].n
+    nz = geom.axes[2].n
+    out_spec = pl.BlockSpec((bx, ny, nz), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_nu_sgs_kernel, slab_geom=slab_geom,
+                               model_fn=model_fn, ng=ng)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Nx, ny, nz), u.dtype),
+        interpret=interpret,
+    )(*garrs, u, u, u, v, v, v, w, w, w)
+
+
 @functools.partial(jax.jit, static_argnames=("hx", "hy", "hz", "nu", "fx",
                                              "bx", "interpret"))
 def fused_predictor(u, v, w, dt, *, hx, hy, hz, nu, fx, bx=4,

@@ -22,18 +22,34 @@ from .base import (TurbulenceModelBase, cell_center_velocity, filter_width,
 
 
 class LESModelBase(TurbulenceModelBase):
-    """Shared: gradient tensor -> per-cell nu_sgs (subclass hook)."""
+    """Shared: gradient tensor -> per-cell nu_sgs (subclass hook).
+
+    On TPU (periodic uniform x, use_pallas != off) the whole pipeline runs
+    as one fused x-slab Pallas kernel — the reference's per-model fused
+    gradient+nu_sgs GPU kernels (turbulence_les.hpp update_gpu)."""
 
     def __init__(self, cfg, mesh, geom):
         self.cfg = cfg
-        self.delta = None  # computed lazily from geometry
+        self._fuse = (cfg.use_pallas != "off"
+                      and geom.axes[0].periodic and geom.axes[0].uniform
+                      and geom.axes[0].n >= 8 and geom.axes[2].n > 1)
 
     def _nu_sgs(self, sr, delta):
         raise NotImplementedError
 
+    def _model_fn(self, comps, geom):
+        sr = strain_rotation(comps, geom)
+        return self._nu_sgs(sr, filter_width(geom))
+
     def nu_t(self, state, sim):
-        sr = strain_rotation((state.u, state.v, state.w), sim.geom)
-        return self._nu_sgs(sr, filter_width(sim.geom))
+        import jax
+        comps = (state.u, state.v, state.w)
+        on_cpu = jax.devices()[0].platform == "cpu"
+        if self._fuse and (not on_cpu or sim.cfg.use_pallas == "on"):
+            from ..ops.pallas_kernels import fused_nu_sgs
+            return fused_nu_sgs(*comps, geom=sim.geom,
+                                model_fn=self._model_fn, interpret=on_cpu)
+        return self._model_fn(comps, sim.geom)
 
 
 class SmagorinskyModel(LESModelBase):

@@ -119,3 +119,26 @@ def test_pallas_wall_channel_trajectory_matches():
     np.testing.assert_allclose(np.asarray(s_on.v), np.asarray(s_off.v),
                                rtol=0, atol=1e-12)
     assert float(d.div_linf) < 1e-10
+
+
+def test_fused_nu_sgs_matches_unfused():
+    """LES nu_sgs via the fused slab kernel == the plain jnp pipeline."""
+    from cfdnn_tpu import perturbed_channel
+    from cfdnn_tpu.config import TurbulenceModel
+    base = dict(Nx=16, Ny=12, Nz=8, z_max=1.0, stretch_y=True,
+                nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
+                dtype="float64")
+    for model in (TurbulenceModel.SMAGORINSKY, TurbulenceModel.WALE,
+                  TurbulenceModel.VREMAN, TurbulenceModel.SIGMA):
+        sim_on = Simulation(Config(use_pallas="on", turb_model=model, **base))
+        sim_off = Simulation(Config(use_pallas="off", turb_model=model, **base))
+        state = perturbed_channel(sim_on.cfg, sim_on.mesh, amp=0.1)
+        nut_on = np.asarray(sim_on.turb.nu_t(state, sim_on))
+        nut_off = np.asarray(sim_off.turb.nu_t(state, sim_off))
+        # sigma's trigonometric eigensolver (arccos) amplifies roundoff
+        # near degenerate singular values -> order-of-evaluation noise
+        tol = dict(rtol=1e-5, atol=1e-12) if model == TurbulenceModel.SIGMA \
+            else dict(rtol=0, atol=1e-14)
+        np.testing.assert_allclose(nut_on, nut_off, err_msg=model.value,
+                                   **tol)
