@@ -125,6 +125,32 @@ class RecyclingInflow:
         u = u.at[0, :, :].set(u[1, :, :] + self.dx0 * (dvdy + dwdz))
         return (u, v, w)
 
+    def stage_diagnostics(self, comps, inlet):
+        """Per-stage L2 telemetry of the recycling pipeline (reference
+        recycle stage diagnostics, solver.hpp:734-805): L2 after
+        copy+shift, after the AR1 filter, after mean correction, plus the
+        mean/rms of the inlet u plane."""
+        u = comps[0]
+        rec_u = jnp.roll(u[self.i_rec, :, :], self.shift_k, axis=-1)
+        L2 = lambda f: jnp.sqrt(jnp.mean(f * f))
+        out = {"L2_copy": L2(rec_u)}
+        filt = rec_u
+        if self.alpha > 0.0:
+            filt = self.alpha * inlet[0] + (1 - self.alpha) * rec_u
+        out["L2_ar1"] = L2(filt)
+        out["u_mean_before_corr"] = jnp.mean(filt)
+        bulk = jnp.sum(filt * self.area) / self.total_area
+        if self.target_bulk > 0:
+            scale = jnp.clip(self.target_bulk / jnp.maximum(bulk, 1e-10),
+                             0.9, 1.1)
+            filt = filt + bulk * (scale - 1.0)
+            out["scale_factor"] = scale
+        out["L2_mean"] = L2(filt)
+        out["u_mean_after_corr"] = jnp.mean(filt)
+        out["u_rms_after_corr"] = jnp.sqrt(
+            jnp.maximum(jnp.mean(filt**2) - jnp.mean(filt) ** 2, 0.0))
+        return {k: float(v) for k, v in out.items()}
+
     def fringe(self, comps, inlet):
         """Cosine blend toward the inlet planes over the fringe zone
         (:1354-1420): beta=1 at the inlet, 0 at the fringe end."""

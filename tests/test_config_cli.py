@@ -1,0 +1,78 @@
+"""Config system tests: file loading, CLI overrides, triad finalize,
+mode presets (reference: tests/test_config.cpp, src/config.cpp:108,333,636).
+"""
+
+import pytest
+
+from cfdnn_tpu import Config
+from cfdnn_tpu.config import (BCType, ConvectiveScheme, PoissonSolverType,
+                              TimeIntegrator, TurbulenceModel)
+
+
+def test_from_file_and_precedence(tmp_path):
+    f = tmp_path / "case.cfg"
+    f.write_text("""
+# comment
+Nx = 48
+Ny = 32
+nu = 0.002        # trailing comment
+turb_model = sst
+convective_scheme = skew
+adaptive_dt = false
+""")
+    cfg = Config.from_file(str(f))
+    assert cfg.Nx == 48 and cfg.Ny == 32
+    assert cfg.nu == 0.002 and cfg.nu_specified
+    assert cfg.turb_model == TurbulenceModel.SST
+    assert cfg.convective_scheme == ConvectiveScheme.SKEW
+    assert cfg.adaptive_dt is False
+    # CLI wins over file (reference precedence CLI > file > defaults)
+    cfg2 = Config().parse_args(["--config", str(f), "--Nx", "64"])
+    assert cfg2.Nx == 64 and cfg2.Ny == 32
+
+
+def test_parse_args_forms():
+    cfg = Config().parse_args([
+        "--Nx=128", "--Ny", "96", "--model", "wale",
+        "--time-integrator", "rk3", "--poisson_solver", "mg",
+        "--stretch_y", "--bc_x", "inflow",
+    ])
+    assert cfg.Nx == 128 and cfg.Ny == 96
+    assert cfg.turb_model == TurbulenceModel.WALE       # --model alias
+    assert cfg.time_integrator == TimeIntegrator.RK3    # dash -> underscore
+    assert cfg.poisson_solver == PoissonSolverType.MG
+    assert cfg.stretch_y is True                        # bare flag
+    assert cfg.bc_x == BCType.INFLOW
+
+
+def test_parse_args_rejects_unknown():
+    with pytest.raises(KeyError):
+        Config().parse_args(["--no_such_option", "1"])
+
+
+def test_finalize_triad():
+    # Re specified -> nu derived (delta = 1 convention)
+    cfg = Config(Re=500.0, Re_specified=True, y_min=-1.0, y_max=1.0).finalize()
+    assert cfg.nu == pytest.approx(1.0 / 500.0)
+    # nu specified -> Re derived
+    cfg = Config(nu=0.004, nu_specified=True).finalize()
+    assert cfg.Re == pytest.approx(250.0)
+    # inconsistent triple raises
+    with pytest.raises(ValueError):
+        Config(Re=100.0, nu=0.5, dp_dx=-1.0, Re_specified=True,
+               nu_specified=True, dp_dx_specified=True).finalize()
+
+
+def test_benchmark_preset():
+    cfg = Config(benchmark=True).finalize()
+    assert cfg.postprocess is False
+    assert cfg.write_fields is False
+    assert cfg.adaptive_dt is False
+    assert cfg.num_snapshots == 0
+
+
+def test_cfl_xz_defaults_to_cfl_max():
+    cfg = Config(CFL_max=0.7).finalize()
+    assert cfg.CFL_xz == pytest.approx(0.7)
+    cfg = Config(CFL_max=0.7, CFL_xz=0.3).finalize()
+    assert cfg.CFL_xz == pytest.approx(0.3)

@@ -110,3 +110,16 @@ def test_fringe_blend_localized():
     nf = sim.recycling.i_fringe
     assert u[0, 0, 0] > 0.9            # near inlet: ~inlet value
     assert np.all(u[nf:, :, :] == 0.0)  # untouched beyond the fringe
+
+
+def test_recycling_stage_diagnostics():
+    """Stage telemetry (reference solver.hpp:734-805 recycle_diag)."""
+    sim = Simulation(_cfg(recycle_target_bulk_u=0.4))
+    state = sim.initialize(perturbed_channel(sim.cfg, sim.mesh, amp=0.05))
+    d = sim.recycling.stage_diagnostics(
+        (state.u, state.v, state.w),
+        (state.inlet_u, state.inlet_v, state.inlet_w))
+    for key in ("L2_copy", "L2_ar1", "L2_mean", "u_mean_after_corr",
+                "u_rms_after_corr", "scale_factor"):
+        assert key in d and np.isfinite(d[key]), key
+    assert 0.9 <= d["scale_factor"] <= 1.1
