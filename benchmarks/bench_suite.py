@@ -125,8 +125,43 @@ def bench_les_ibm(n=128):
     _emit(f"les_ibm_{n}x{n//2}x{n}", s, n * (n // 2) * n)
 
 
+def bench_models(n=64):
+    """Per-closure step cost (reference: the RANS campaign table,
+    artifacts/profiling_results.md:7-19 — baseline 45 s ... nn_tbnn 129 s
+    per 50k steps on an L40S)."""
+    from cfdnn_tpu import Config, Simulation, perturbed_channel
+    from cfdnn_tpu.config import TurbulenceModel
+    from cfdnn_tpu.turbulence.nn_core import MLP
+    import tempfile
+    import jax as _jax
+
+    tmp = tempfile.mkdtemp()
+    for name, dims in (("mlp", [6, 32, 1]), ("tbnn", [5, 64, 4])):
+        m = MLP.from_dims(dims, key=_jax.random.PRNGKey(0))
+        m.Ws[-1] = 0.01 * m.Ws[-1]
+        m.means = jnp.zeros((dims[0],))
+        m.stds = jnp.ones((dims[0],))
+        m.save(f"{tmp}/{name}")
+
+    for model in TurbulenceModel:
+        kw = {}
+        if model == TurbulenceModel.NN_MLP:
+            kw["nn_weights_path"] = f"{tmp}/mlp"
+        elif model == TurbulenceModel.NN_TBNN:
+            kw["nn_weights_path"] = f"{tmp}/tbnn"
+        cfg = Config(Nx=n, Ny=n, Nz=n, turb_model=model,
+                     nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                     dp_dx_specified=True, dt=2e-4, adaptive_dt=False,
+                     benchmark=True, dtype="float32", **kw)
+        sim = Simulation(cfg)
+        s = _time_run(sim, perturbed_channel(cfg, sim.mesh, amp=0.02),
+                      steps=30, reps=2)
+        _emit(f"model_{model.value}_{n}cube", s, n**3)
+
+
 ALL = {"tgv": bench_tgv, "channel": bench_channel,
-       "poisson": bench_poisson, "les_ibm": bench_les_ibm}
+       "poisson": bench_poisson, "les_ibm": bench_les_ibm,
+       "models": bench_models}
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"

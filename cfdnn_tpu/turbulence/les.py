@@ -137,7 +137,8 @@ def _sym3_eigvals(m11, m22, m33, m12, m13, m23):
             - b12 * (b12 * b33 - b23 * b13)
             + b13 * (b12 * b23 - b22 * b13))
     r = jnp.clip(detB / 2.0, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
+    # arccos via atan2 (Mosaic TPU has no acos primitive)
+    phi = jnp.arctan2(jnp.sqrt(jnp.maximum(1.0 - r * r, 0.0)), r) / 3.0
     e1 = q + 2.0 * p * jnp.cos(phi)
     e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * np.pi / 3.0)
     e2 = 3.0 * q - e1 - e3
@@ -154,6 +155,9 @@ class SigmaModel(LESModelBase):
     def __init__(self, cfg, mesh, geom, Cs: float = 1.35):
         super().__init__(cfg, mesh, geom)
         self.Cs = Cs
+        # the trigonometric eigensolver needs arccos, which Mosaic TPU has
+        # no primitive for — sigma runs through the (well-fused) XLA path
+        self._fuse = False
 
     def _nu_sgs(self, sr, delta):
         g = sr.G
