@@ -306,6 +306,101 @@ def fused_nu_sgs(u, v, w, *, geom, model_fn, bx=4, interpret=False):
     )(*garrs, u, u, u, v, v, v, w, w, w)
 
 
+def _divergence_kernel(*refs, slab_geom, ng):
+    n_geom = 3 * len(_AXIS_ARRAY_FIELDS)
+    geom_refs = refs[:n_geom]
+    ul, uc, ur, vl, vc, vr, wl, wc, wr, out = refs[n_geom:]
+    geom_live = _rebuild_geom(slab_geom, [r[:] for r in geom_refs])
+
+    def ext(l, c, r):
+        return jnp.concatenate([l[-ng:], c[:], r[:ng]], axis=0)
+
+    from . import operators as _ops
+    comps = (ext(ul, uc, ur), ext(vl, vc, vr), ext(wl, wc, wr))
+    out[:] = _ops.divergence(comps, geom_live)[ng:-ng]
+
+
+def _correct_kernel(dt_ref, *refs, slab_geom, ng):
+    n_geom = 3 * len(_AXIS_ARRAY_FIELDS)
+    geom_refs = refs[:n_geom]
+    pl_, pc_, pr_, uc, vc, wc, su, sv, sw = refs[n_geom:]
+    geom_live = _rebuild_geom(slab_geom, [r[:] for r in geom_refs])
+    p_ext = jnp.concatenate([pl_[-ng:], pc_[:], pr_[:ng]], axis=0)
+    from . import operators as _ops
+    dt = dt_ref[0]
+    gx = _ops.pressure_grad_face(p_ext, 0, geom_live)[ng:-ng]
+    gy = _ops.pressure_grad_face(p_ext, 1, geom_live)[ng:-ng]
+    gz = _ops.pressure_grad_face(p_ext, 2, geom_live)[ng:-ng]
+    su[:] = uc[:] - dt * gx
+    sv[:] = vc[:] - dt * gy
+    sw[:] = wc[:] - dt * gz
+
+
+def _slab_call(kernel, geom, fields_tripled, fields_plain, out_shapes,
+               bx, ng, interpret, dt=None):
+    """Shared pallas_call assembly for the slab-stencil kernels."""
+    Nx = out_shapes[0].shape[0] if isinstance(out_shapes, list) else \
+        out_shapes.shape[0]
+    ref0 = fields_tripled[0] if fields_tripled else fields_plain[0]
+    Nx = ref0.shape[0]
+    if Nx % bx != 0 or bx < ng:
+        bx = 1
+    G = Nx // bx
+    slab_geom = _slab_geometry(geom, bx, ng)
+    garrs = [jnp.asarray(a, ref0.dtype) for a in _geom_arrays(slab_geom)]
+
+    def specs_for(arr):
+        blk = (bx,) + arr.shape[1:]
+        return [pl.BlockSpec(blk, lambda i, o=off: ((i + o) % G, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for off in (-1, 0, 1)]
+
+    in_specs = []
+    operands = []
+    if dt is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.reshape(jnp.asarray(dt, ref0.dtype), (1,)))
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in garrs]
+    operands += garrs
+    for arr in fields_tripled:
+        in_specs += specs_for(arr)
+        operands += [arr, arr, arr]
+    for arr in fields_plain:
+        in_specs.append(pl.BlockSpec((bx,) + arr.shape[1:],
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(arr)
+    shapes = out_shapes if isinstance(out_shapes, list) else [out_shapes]
+    out_specs = [pl.BlockSpec((bx,) + s.shape[1:], lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM) for s in shapes]
+    out = pl.pallas_call(
+        functools.partial(kernel, slab_geom=slab_geom, ng=ng),
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_specs if isinstance(out_shapes, list) else out_specs[0],
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*operands)
+    return out
+
+
+def fused_divergence(u, v, w, *, geom, bx=8, interpret=False):
+    """Staggered divergence as one slab kernel (periodic uniform x)."""
+    ny, nz = geom.axes[1].n, geom.axes[2].n
+    return _slab_call(_divergence_kernel, geom, [u, v, w], [],
+                      jax.ShapeDtypeStruct((u.shape[0] if geom.axes[0].periodic
+                                            else u.shape[0] - 1, ny, nz),
+                                           u.dtype),
+                      bx, 1, interpret)
+
+
+def fused_correct(u, v, w, p, dt, *, geom, bx=8, interpret=False):
+    """u -= dt grad(p) as one slab kernel (periodic uniform x)."""
+    shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in (u, v, w)]
+    return _slab_call(_correct_kernel, geom, [p], [u, v, w], shapes,
+                      bx, 1, interpret, dt=dt)
+
+
 @functools.partial(jax.jit, static_argnames=("hx", "hy", "hz", "nu", "fx",
                                              "bx", "interpret"))
 def fused_predictor(u, v, w, dt, *, hx, hy, hz, nu, fx, bx=4,

@@ -203,7 +203,14 @@ class Simulation:
         solid-cell masking before the solve and re-forcing of the corrected
         velocity (reference solver.cpp:2098-2125, 2457+)."""
         geom = self.geom
-        div = ops.divergence(comps, geom)
+        use_fused = (self._pallas_predictor_ok
+                     and geom.axes[0].periodic and geom.axes[0].uniform)
+        interp = use_fused and jax.devices()[0].platform == "cpu"
+        if use_fused:
+            from .ops.pallas_kernels import fused_divergence
+            div = fused_divergence(*comps, geom=geom, interpret=interp)
+        else:
+            div = ops.divergence(comps, geom)
         rhs = div / dt
         if self.ibm is not None:
             rhs = self.ibm.mask_rhs(rhs)
@@ -216,7 +223,12 @@ class Simulation:
                             stats.status, stats.rel_residual)
         else:
             p_corr = self.poisson.solve(rhs)
-        comps = ops.correct_velocity(comps, p_corr, dt, geom)
+        if use_fused:
+            from .ops.pallas_kernels import fused_correct
+            comps = fused_correct(*comps, p_corr, dt, geom=geom,
+                                  interpret=interp)
+        else:
+            comps = ops.correct_velocity(comps, p_corr, dt, geom)
         if self.ibm is not None:
             comps, f = self.ibm.apply(comps, dt, accumulate=forces is not None)
             if forces is not None:
