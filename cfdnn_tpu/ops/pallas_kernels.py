@@ -131,6 +131,21 @@ def _predictor_kernel(dt_ref, ul, uc, ur, vl, vc, vr, wl, wc, wr,
 # ---------------------------------------------------------------------------
 
 
+
+def _auto_bx(bx, Nx, ny, nz, n_halo_blocks=12):
+    """Shrink the x-slab so the kernel's VMEM working set fits.
+
+    Budget calibrated to the measured fit at 128^3 with bx=4 (about
+    4*128*128 cells per block across ~30 live buffers under the 16 MB
+    scoped-VMEM limit); also forces divisibility of Nx.
+    """
+    budget_cells = 4 * 128 * 128
+    cap = max(1, budget_cells // max(ny * nz, 1))
+    bx = min(bx, cap)
+    while bx > 1 and Nx % bx != 0:
+        bx -= 1
+    return max(bx, 1)
+
 def _slab_geometry(geom, bx: int, ng: int = 1):
     """Geometry whose x axis is a fake periodic (bx+2ng)-slab; y/z real.
 
@@ -212,10 +227,9 @@ def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
     hot path and the O4 DNS path."""
     Nx = u.shape[0]
     ng = 2 if geom.space_order >= 4 else 1
-    if Nx % bx != 0 or bx < ng:
-        bx = max(ng, 1)
-        if Nx % bx != 0:
-            bx = 1 if ng == 1 else bx   # ng=2 requires even Nx
+    bx = _auto_bx(bx, Nx, geom.axes[1].n, geom.axes[2].n)
+    if bx < ng:
+        bx = ng   # ng=2 requires bx >= 2 (and even Nx)
     G = Nx // bx
     slab_geom = _slab_geometry(geom, bx, ng)
 
@@ -275,8 +289,7 @@ def fused_nu_sgs(u, v, w, *, geom, model_fn, bx=4, interpret=False):
     materialized gradient tensors). Requires periodic uniform x."""
     Nx = u.shape[0]
     ng = 1
-    if Nx % bx != 0:
-        bx = 1
+    bx = _auto_bx(bx, Nx, geom.axes[1].n, geom.axes[2].n)
     G = Nx // bx
     slab_geom = _slab_geometry(geom, bx, ng)
 
@@ -343,8 +356,7 @@ def _slab_call(kernel, geom, fields_tripled, fields_plain, out_shapes,
         out_shapes.shape[0]
     ref0 = fields_tripled[0] if fields_tripled else fields_plain[0]
     Nx = ref0.shape[0]
-    if Nx % bx != 0 or bx < ng:
-        bx = 1
+    bx = _auto_bx(bx, Nx, geom.axes[1].n, geom.axes[2].n)
     G = Nx // bx
     slab_geom = _slab_geometry(geom, bx, ng)
     garrs = [jnp.asarray(a, ref0.dtype) for a in _geom_arrays(slab_geom)]
@@ -411,8 +423,7 @@ def fused_predictor(u, v, w, dt, *, hx, hy, hz, nu, fx, bx=4,
     chain (see predictor_slab_math).
     """
     Nx, Ny, Nz = u.shape
-    if Nx % bx != 0:
-        bx = 1
+    bx = _auto_bx(bx, Nx, Ny, Nz)
     G = Nx // bx
     blk = (bx, Ny, Nz)
 
