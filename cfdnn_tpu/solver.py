@@ -53,6 +53,11 @@ class Simulation:
 
     def __init__(self, cfg: Config, mesh: Optional[Mesh] = None):
         cfg = cfg.finalize()
+        if cfg.dtype == "float64" or cfg.poisson_dtype == "float64":
+            # float64 requests must actually get 64-bit arrays — without
+            # this JAX silently truncates every asarray to f32
+            if not jax.config.jax_enable_x64:
+                jax.config.update("jax_enable_x64", True)
         self.cfg = cfg
         self.mesh = mesh or Mesh.from_config(cfg)
         self.geom = Geometry.make(self.mesh, cfg)
@@ -129,7 +134,7 @@ class Simulation:
                    PoissonSolverType.FFT, PoissonSolverType.FFT2D,
                    PoissonSolverType.FFT1D):
             try:
-                return FDMPoissonSolver(self.mesh, cfg)
+                return FDMPoissonSolver(self.mesh, cfg, geom=self.geom)
             except ValueError:
                 if sel != PoissonSolverType.AUTO:
                     raise
