@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..utils.numerics import safe_tanh
 from .base import TurbulenceModelBase, strain_rotation, u_tau_wall, wall_distance
 
 
@@ -75,7 +76,7 @@ class GEPModel(TurbulenceModelBase):
         if self.variant == 0:      # WS2016_Channel
             f_gep = f_damp / (1.0 + 0.1 * ratio**2)
         elif self.variant == 1:    # WS2016_PeriodicHill
-            f_gep = jnp.tanh(y_plus / 50.0) / (1.0 + 0.2 * ratio**2)
+            f_gep = safe_tanh(y_plus / 50.0) / (1.0 + 0.2 * ratio**2)
         else:                      # Simple
             f_gep = f_damp
         l = self.kappa * y * f_gep

@@ -20,6 +20,7 @@ import dataclasses
 
 import jax.numpy as jnp
 
+from ..utils.numerics import safe_tanh
 from .base import strain_rotation
 from .transport import SSTConstants, SSTTransport
 
@@ -100,7 +101,7 @@ class EARSMBase(SSTTransport):
 
         # Re_t blending of nonlinear terms (:897-901)
         Re_t = k / (self.nu * om)
-        alpha = 0.5 * (1.0 + jnp.tanh((Re_t - self.Re_t_center) / self.Re_t_width))
+        alpha = 0.5 * (1.0 + safe_tanh((Re_t - self.Re_t_center) / self.Re_t_width))
         G2 = G2 * alpha
         G3 = G3 * alpha
 

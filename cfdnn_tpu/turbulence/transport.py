@@ -22,6 +22,7 @@ import dataclasses
 import jax.numpy as jnp
 
 from ..config import BCType
+from ..utils.numerics import safe_tanh
 from ..ops.bc import sl
 from .base import (TurbulenceModelBase, cell_center_velocity,
                    k_omega_channel_estimate, strain_rotation, wall_distance)
@@ -200,7 +201,7 @@ class SSTTransport(TurbulenceModelBase):
         arg1 = jnp.maximum(sqrt_k / (c.beta_star * om * y),
                            500.0 * self.nu / (y * y * om))
         arg1 = jnp.minimum(arg1, 4.0 * c.sigma_omega2 * k / (CD_omega * y * y))
-        F1 = jnp.tanh(arg1**4)
+        F1 = safe_tanh(arg1**4)
 
         beta = F1 * c.beta1 + (1.0 - F1) * c.beta2
         alpha = F1 * c.alpha1 + (1.0 - F1) * c.alpha2
@@ -243,7 +244,7 @@ class SSTTransport(TurbulenceModelBase):
         sr = strain_rotation((state.u, state.v, state.w), sim.geom)
         arg2 = jnp.maximum(2.0 * jnp.sqrt(k) / (c.beta_star * om * y),
                            500.0 * self.nu / (y * y * om))
-        F2 = jnp.tanh(arg2**2)
+        F2 = safe_tanh(arg2**2)
         nut = c.a1 * k / jnp.maximum(c.a1 * om, sr.S_mag * F2)
         return jnp.clip(nut, 0.0, 1000.0 * self.nu)
 

@@ -10,6 +10,14 @@ K_FLOOR = 1e-10
 OMEGA_FLOOR = 1e-10
 
 
+def safe_tanh(x, cap: float = 30.0):
+    """tanh with the argument clamped to +-cap (tanh(30) == 1.0 to 26
+    digits). SST/EARSM blending functions feed tanh arguments as large as
+    1e18; some accelerator libm emulations compute tanh via exp(2x) and
+    return NaN once that overflows, so never pass unbounded arguments."""
+    return jnp.tanh(jnp.clip(x, -cap, cap))
+
+
 def safe_divide(num, den, floor: float = 1e-20):
     """num / den with |den| floored away from zero (sign-preserving)."""
     d = jnp.where(jnp.abs(den) < floor,
