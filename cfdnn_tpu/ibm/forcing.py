@@ -59,6 +59,11 @@ class IBMForcing:
         _, phi_c = weights((xc, yc, zc))
         # solid cell-center mask for Poisson RHS (reference mask_rhs_device)
         self.fluid_cell = jnp.asarray(phi_c >= -self.band, dtype)
+        # strictly-fluid cells one stencil halo beyond the forcing band:
+        # direct forcing re-introduces divergence at masked faces by design
+        # (shared with the first fluid cells), so solenoidality diagnostics
+        # are only meaningful over this region
+        self.fluid_interior = jnp.asarray(phi_c > self.band + h, dtype)
         self.n_solid = int(np.sum(phi_c < -self.band))
         self.n_forcing = int(np.sum((phi_c <= 0.0) & (phi_c >= -self.band)))
         # cell volume for force reduction

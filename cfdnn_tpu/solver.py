@@ -382,6 +382,10 @@ class Simulation:
         zero = jnp.zeros((), self.dtype)
         if with_diags:
             div = ops.divergence(new_comps, geom)
+            if self.ibm is not None:
+                # direct forcing re-introduces divergence at body cells by
+                # design; report solenoidality of the fluid region
+                div = div * self.ibm.fluid_interior
             res = jnp.max(jnp.abs(new_comps[0] - comps[0]))
             ke = 0.5 * (jnp.mean(new_comps[0] ** 2)
                         + jnp.mean(new_comps[1] ** 2)
@@ -429,6 +433,8 @@ class Simulation:
             comps = (state.u, state.v, state.w)
             ke = 0.5 * sum(jnp.mean(c**2) for c in comps)
             div = ops.divergence(comps, self.geom)
+            if self.ibm is not None:
+                div = div * self.ibm.fluid_interior
             diags = StepDiagnostics(
                 residual=jnp.zeros((), self.dtype),
                 div_linf=jnp.max(jnp.abs(div)), dt=state.dt_prev, ke=ke,
