@@ -204,12 +204,13 @@ class Config:
     # transforms concentrate a smooth RHS into few O(N^1.5 ||rhs||)
     # coefficients, so f32/bf16 roundoff there costs ~3 digits of the
     # post-projection divergence; one pass restores the f32 floor
-    # (measured 128^3 TGV: 1.8e-3 -> 1.8e-6 with "high" matmuls). -1 = auto:
-    # 1 pass when the solve dtype is float32, 0 in float64 (already 1e-14).
+    # (measured 128^3 TGV: 1.8e-3 -> 1.8e-6 with "high" matmuls, ~37% step
+    # cost). -1 = auto: 0 in float64 (already 1e-14) and in f32 below 256^3
+    # ("high" matmuls alone reach ~8e-6), 1 on larger f32 grids.
     poisson_refine: int = -1
     # MXU precision of the eigenbasis matmuls: "default" (1-pass bf16,
-    # fastest, ~1.8e-3 div), "high" (3-pass, ~8e-6 div, ~6% step cost),
-    # "highest" (6-pass ~f32)
+    # fastest, ~1.8e-3 div at 128^3), "high" (3-pass, ~8e-6 div, ~2% step
+    # cost), "highest" (6-pass ~f32)
     poisson_matmul_precision: str = "high"
 
     # --- Guards / watchdogs ----------------------------------------------

@@ -135,7 +135,16 @@ class FDMPoissonSolver:
         self.geom = geom
         self.refine = cfg.poisson_refine
         if self.refine < 0:
-            self.refine = 0 if self.dtype == jnp.float64 else 1
+            # auto: f64 is already at 1e-14; in f32 the "high" transforms
+            # alone reach ~8e-6 divergence at 128^3 / ~1.8e-5 at 256^3, and
+            # the roundoff amplification grows ~sqrt(N) — one refinement
+            # pass keeps very large grids at the f32 floor (~2-4e-6) for
+            # ~35-50% step cost
+            if self.dtype == jnp.float64:
+                self.refine = 0
+            else:
+                self.refine = 1 if max(mesh.x.n, mesh.y.n, mesh.z.n) >= 384 \
+                    else 0
         if geom is None:
             self.refine = 0
         import jax as _jax
