@@ -15,6 +15,12 @@ from typing import Dict, Optional
 
 import numpy as np
 
+# native C encoder (transpose+byteswap+interleave in one GIL-released pass,
+# the analogue of the reference's C++ VTK layer); None => NumPy fallback
+from ..native import load_vtkio
+
+_vtkio = load_vtkio()
+
 
 def _vel_centers(state, geom):
     """Velocity interpolated to cell centers (host-side numpy)."""
@@ -79,21 +85,28 @@ def write_vtk(path: str, state, mesh, geom, cfg,
         line(f"SPACING {dx} {dy} {dz}\n")
         line(f"POINT_DATA {Nx * Ny * Nz}\n")
 
+        f64c = lambda a: np.ascontiguousarray(a, dtype=np.float64)
+
         line("VECTORS velocity double\n")
-        vel = np.stack([c_order(u), c_order(v), c_order(w)], axis=-1)
-        if binary:
+        if binary and _vtkio is not None:
+            fh.write(_vtkio.encode_vectors(f64c(u), f64c(v), f64c(w),
+                                           Nx, Ny, Nz))
+        elif binary:
+            vel = np.stack([c_order(u), c_order(v), c_order(w)], axis=-1)
             fh.write(vel.astype(">f8").tobytes())
         else:
+            vel = np.stack([c_order(u), c_order(v), c_order(w)], axis=-1)
             np.savetxt(fh, vel.reshape(-1, 3), fmt="%.9g")
 
         for name, arr in scalars.items():
             line(f"\nSCALARS {name} double 1\n")
             line("LOOKUP_TABLE default\n")
-            flat = c_order(arr).reshape(-1)
-            if binary:
-                fh.write(flat.astype(">f8").tobytes())
+            if binary and _vtkio is not None:
+                fh.write(_vtkio.encode_scalar(f64c(arr), Nx, Ny, Nz))
+            elif binary:
+                fh.write(c_order(arr).reshape(-1).astype(">f8").tobytes())
             else:
-                np.savetxt(fh, flat, fmt="%.9g")
+                np.savetxt(fh, c_order(arr).reshape(-1), fmt="%.9g")
 
     if not mesh.y.uniform:
         np.savetxt(path + ".ycoords.txt", mesh.y.centers, fmt="%.16e")

@@ -90,3 +90,26 @@ def test_mesh_shape_respected():
     assert m.shape == {"z": 4}
     with pytest.raises(ValueError):
         device_mesh(100)
+
+
+def test_sharded_step_with_poisson_refinement():
+    """cfg.poisson_refine inserts a stencil-Laplacian pass inside the FDM
+    solve; it must stay rank-invariant under the z-sharded mesh (GSPMD
+    halo collectives around the refinement stencil)."""
+    cfg = _cfg(poisson_refine=1, dtype="float32")
+    sim = Simulation(cfg)
+    assert sim.poisson.refine == 1
+    state0 = perturbed_channel(cfg, sim.mesh, amp=0.05)
+
+    ref = state0
+    for _ in range(3):
+        ref, ref_d = sim.step(ref)
+
+    mesh = device_mesh(8)
+    st = shard_state(state0, mesh)
+    step = sharded_step(sim, mesh)
+    for _ in range(3):
+        st, d = step(st)
+    np.testing.assert_allclose(np.asarray(st.u), np.asarray(ref.u),
+                               rtol=0, atol=1e-5)
+    assert np.isfinite(float(d.ke))
