@@ -135,3 +135,56 @@ def test_tgv_o4_more_accurate_than_o2():
         ke_exact = ke0 * np.exp(-4.0 * cfg.nu * t)
         errs[order] = abs(float(d.ke) - ke_exact) / ke_exact
     assert errs[4] < errs[2], errs
+
+
+# ---------------------------------------------------------------------------
+# Temporal order of the fractional-step integrators (reference:
+# tests/test_fractional_step_temporal_convergence.cpp, test_time_integrators)
+# ---------------------------------------------------------------------------
+
+class TestTemporalConvergence:
+    """Self-convergence in dt on the exact-solution 2D Taylor-Green vortex
+    (the spatial error is identical across dt runs and cancels against the
+    tiny-dt reference)."""
+
+    def _final_u(self, ti, dt, T=0.25, N=32):
+        from cfdnn_tpu import Simulation
+        from cfdnn_tpu.config import TimeIntegrator
+        cfg = Config(Nx=N, Ny=N, Nz=1, y_min=0.0, y_max=2 * np.pi,
+                     bc_x=BCType.PERIODIC, bc_y=BCType.PERIODIC,
+                     nu=0.05, nu_specified=True, dp_dx=0.0,
+                     dp_dx_specified=True, dt=dt, adaptive_dt=False,
+                     time_integrator=ti, dtype="float64")
+        sim = Simulation(cfg)
+        mesh = sim.mesh
+        xf = mesh.x.faces[:-1]
+        yc = mesh.y.centers
+        xc = mesh.x.centers
+        yf = mesh.y.faces[:-1]
+        u = -np.cos(xf)[:, None, None] * np.sin(yc)[None, :, None]
+        v = np.sin(xc)[:, None, None] * np.cos(yf)[None, :, None]
+        st = sim.initial_state().replace(
+            u=jnp.asarray(u), v=jnp.asarray(v))
+        n = int(round(T / dt))
+        st, _ = sim.run(st, n)
+        return np.asarray(st.u)
+
+    @pytest.mark.parametrize("ti,expected", [("rk2", 1.8), ("rk3", 1.8)])
+    def test_rk_temporal_order(self, ti, expected):
+        from cfdnn_tpu.config import TimeIntegrator
+        t = TimeIntegrator(ti)
+        ref = self._final_u(t, 0.25 / 512)
+        errs = [np.max(np.abs(self._final_u(t, 0.25 / n) - ref))
+                for n in (16, 32)]
+        order = np.log2(errs[0] / errs[1])
+        # per-stage projection keeps the scheme ~2nd order in time
+        assert order > expected, (errs, order)
+
+    def test_euler_first_order(self):
+        from cfdnn_tpu.config import TimeIntegrator
+        t = TimeIntegrator.EULER
+        ref = self._final_u(t, 0.25 / 512)
+        errs = [np.max(np.abs(self._final_u(t, 0.25 / n) - ref))
+                for n in (16, 32)]
+        order = np.log2(errs[0] / errs[1])
+        assert 0.7 < order < 1.5, (errs, order)
