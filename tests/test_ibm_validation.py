@@ -97,3 +97,40 @@ def test_cylinder_strouhal_re100(record_qoi):
     st = D / (period * U_inf)
     record_qoi("ibm_cylinder_strouhal_re100", st)
     assert 0.13 <= st <= 0.20, f"St = {st} outside the reference gate"
+
+
+@pytest.mark.slow
+def test_sphere_drag_re50(record_qoi):
+    """Sphere drag at Re=50 (reference tests/test_ibm_sphere_drag.cpp):
+    published Cd ~ 1.57 (Clift-Grace-Weber correlation gives 1.57); a
+    generous band on a CI-sized grid with blockage."""
+    from cfdnn_tpu.ibm import SphereBody
+    U_inf, D, Re = 1.0, 1.0, 50.0
+    nu = U_inf * D / Re
+    cfg = Config(
+        Nx=72, Ny=48, Nz=48,
+        x_min=0.0, x_max=12.0, y_min=-4.0, y_max=4.0,
+        z_min=-4.0, z_max=4.0,
+        bc_x=BCType.PERIODIC, bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
+        nu=nu, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
+        dt=5e-3, adaptive_dt=False, dtype="float32",
+    )
+    sim = Simulation(cfg)
+    sim.set_ibm_forcing(SphereBody(3.0, 0.0, 0.0, 0.5 * D))
+    assert sim.ibm.n_forcing > 0 and sim.ibm.n_solid > 0
+
+    state = sim.initial_state()
+    state = state.replace(u=jnp.full_like(state.u, U_inf))
+
+    n_steps, avg_start = 1200, 800
+    q_A = 0.5 * U_inf**2 * (np.pi * (0.5 * D) ** 2)
+    cds = []
+    for it in range(n_steps):
+        state, d = sim.step(state)
+        if it >= avg_start:
+            cds.append(float(d.fx) / q_A)
+    assert np.isfinite(float(d.ke)), "blow-up"
+    cd = float(np.mean(cds))
+    record_qoi("ibm_sphere_cd_re50", cd)
+    # published ~1.57; wide band for the coarse grid + periodic blockage
+    assert 0.8 < cd < 3.0, f"Cd = {cd} outside the Re=50 sphere gate"
