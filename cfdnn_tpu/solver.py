@@ -290,6 +290,29 @@ class Simulation:
                 forces.append(f)
         return star
 
+    def _nan_sentinel(self, tag, comps, dt):
+        """Env-gated per-stage NaN sentinel with exact (i,j,k,component)
+        location + dt context (reference solver_time.cpp:1339-1377 per-RK-
+        stage sentinels). Enable with CFDNN_NAN_SENTINEL=1; zero cost when
+        off (checked at trace time)."""
+        import os
+        if not os.environ.get("CFDNN_NAN_SENTINEL"):
+            return
+        for name, a in zip(("u", "v", "w"), comps):
+            bad = ~jnp.isfinite(a)
+            n = jnp.sum(bad)
+            flat = jnp.argmax(bad)
+            _, ny, nz = a.shape
+            i, r = flat // (ny * nz), flat % (ny * nz)
+            jax.lax.cond(
+                n > 0,
+                lambda n=n, i=i, j=r // nz, k=r % nz, name=name: \
+                    jax.debug.print(
+                        "[nan-sentinel] stage={} comp={} nonfinite={} "
+                        "first=({}, {}, {}) dt={}",
+                        tag, name, n, i, j, k, dt),
+                lambda: None)
+
     def _advance_velocity(self, comps, nu_t, dt, p, forces=None, t=0.0,
                           inlet=None):
         """One full time step of the velocity field with per-stage projection."""
@@ -298,27 +321,34 @@ class Simulation:
             ca * x + cb * y for x, y in zip(a, b))
         if ti == TimeIntegrator.EULER:
             star = self._euler_substep(comps, nu_t, dt, forces, t, inlet)
+            self._nan_sentinel("euler:star", star, dt)
             out, pc = self._project(star, dt, forces, inlet)
+            self._nan_sentinel("euler:proj", out, dt)
             return out, p + pc
         if ti == TimeIntegrator.RK2:
             s1 = self._euler_substep(comps, nu_t, dt, forces, t, inlet)
             s1, pc1 = self._project(s1, dt, forces, inlet)
+            self._nan_sentinel("rk2:s1", s1, dt)
             s2 = self._euler_substep(s1, nu_t, dt, forces, t, inlet)
             s2 = blend(comps, 0.5, s2, 0.5)
             s2 = apply_velocity_bc(*s2, self.geom)
             s2, pc2 = self._project(s2, dt, forces, inlet)
+            self._nan_sentinel("rk2:s2", s2, dt)
             return s2, p + pc1 + pc2
         # SSP-RK3 (reference solver_time.cpp:1303)
         s1 = self._euler_substep(comps, nu_t, dt, forces, t, inlet)
         s1, pc1 = self._project(s1, dt, forces, inlet)
+        self._nan_sentinel("rk3:s1", s1, dt)
         s2 = self._euler_substep(s1, nu_t, dt, forces, t, inlet)
         s2 = blend(comps, 0.75, s2, 0.25)
         s2 = apply_velocity_bc(*s2, self.geom)
         s2, pc2 = self._project(s2, dt, forces, inlet)
+        self._nan_sentinel("rk3:s2", s2, dt)
         s3 = self._euler_substep(s2, nu_t, dt, forces, t, inlet)
         s3 = blend(comps, 1.0 / 3.0, s3, 2.0 / 3.0)
         s3 = apply_velocity_bc(*s3, self.geom)
         s3, pc3 = self._project(s3, dt, forces, inlet)
+        self._nan_sentinel("rk3:s3", s3, dt)
         return s3, p + pc1 + pc2 + pc3
 
     def _adaptive_dt(self, comps, nu_t):

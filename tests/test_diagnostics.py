@@ -142,3 +142,30 @@ def test_stats_accumulator_time_average():
     assert st.u_rms.max() < 1e-5
     closure = acc.momentum_balance_closure()
     assert closure < 0.10, closure
+
+
+def test_nan_sentinel_reports_location():
+    """CFDNN_NAN_SENTINEL=1 prints per-stage nonfinite counts with exact
+    (i,j,k,component) + dt context (reference solver_time.cpp:1339-1377
+    per-RK-stage NaN sentinels)."""
+    import os
+    import subprocess
+    import sys
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from cfdnn_tpu import Config, Simulation, perturbed_channel\n"
+        "cfg = Config(Nx=8, Ny=12, Nz=4, nu=0.01, nu_specified=True,\n"
+        "             dp_dx=-1e-3, dp_dx_specified=True, dt=1e30,\n"
+        "             adaptive_dt=False, dtype='float32')\n"
+        "sim = Simulation(cfg)\n"
+        "st = perturbed_channel(cfg, sim.mesh, amp=0.5)\n"
+        "for _ in range(2):\n"
+        "    st, d = sim.step(st)\n"
+        "jax.block_until_ready(st.u)\n"
+    )
+    env = dict(os.environ, CFDNN_NAN_SENTINEL="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = r.stdout + r.stderr
+    assert "[nan-sentinel]" in out and "first=(" in out, out[-2000:]

@@ -174,3 +174,27 @@ def test_frame_invariance_galilean_nut():
         shifted = state.replace(u=state.u + 1.7)
         nut1 = np.asarray(sim.turb.nu_t(shifted, sim))
         np.testing.assert_allclose(nut0, nut1, atol=1e-12, err_msg=str(model))
+
+
+@pytest.mark.parametrize("model", ALL_MODELS, ids=[m.value for m in ALL_MODELS])
+def test_closure_stable_duct(model, tmp_path):
+    """Cross-geometry sweep (reference test_turbulence_cross_geometry.cpp):
+    every closure must also run on a duct — walls in BOTH y and z, a BC
+    combination the channel sweep never exercises (different wall-distance
+    field, z-Dirichlet velocity BCs, FDM eig transform on two axes)."""
+    kw = {}
+    if model == TurbulenceModel.NN_MLP:
+        kw["nn_weights_path"] = _synthetic_mlp(tmp_path, [6, 16, 1], "mlp")
+    elif model == TurbulenceModel.NN_TBNN:
+        kw["nn_weights_path"] = _synthetic_mlp(tmp_path, [5, 16, 4], "tbnn")
+    cfg = _channel_cfg(Nx=8, Ny=20, Nz=20, bc_z=BCType.WALL,
+                       turb_model=model, **kw)
+    sim = Simulation(cfg)
+    state = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.01))
+    for _ in range(5):
+        state, d = sim.step(state)
+    assert np.isfinite(float(d.ke)), f"{model} NaN on duct after 5 steps"
+    nut = sim.turb.nu_t(state, sim)
+    if nut is not None:
+        assert np.all(np.isfinite(np.asarray(nut)))
+        assert np.all(np.asarray(nut) >= 0.0)
