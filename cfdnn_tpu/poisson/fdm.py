@@ -189,10 +189,22 @@ class FDMPoissonSolver:
             for a, (t, b) in enumerate(zip(self.tr, bcs))
         )
         scale = np.max(np.abs(lam_total)) or 1.0
-        null = np.abs(lam_total) < 1e-12 * scale
-        with np.errstate(divide="ignore", invalid="ignore"):
-            inv = np.where(null, 0.0, 1.0 / np.where(null, 1.0, lam_total))
-        self.inv_lam = jnp.asarray(inv, self.dtype)
+        # Store the modal symbol factored as three 1-D eigenvalue vectors
+        # (combined on the fly inside solve — XLA fuses the broadcast-add
+        # into the scaling multiply). A materialized N^3 inv_lam would be
+        # baked into the compiled program as a constant (512^3 => a 512 MB
+        # HLO that overflows compile-RPC limits) AND cost one full extra
+        # HBM read per solve.
+        self._null_thr = float(1e-12 * scale)
+        lam_vecs = []
+        for i, t in enumerate(self.tr):
+            v = t.lam
+            if self.fft_axes and i == self.fft_axes[-1]:
+                v = v[: shape[i] // 2 + 1]
+            s = [1, 1, 1]
+            s[i] = len(v)
+            lam_vecs.append(jnp.asarray(v.reshape(s), self.dtype))
+        self._lam_vecs = tuple(lam_vecs)
         self.mats = {
             i: (
                 jnp.asarray(self.tr[i].Vinv, self.dtype),
@@ -205,6 +217,19 @@ class FDMPoissonSolver:
         ) + f",{self.transform})"
 
     # -- helpers ----------------------------------------------------------
+
+    def _lam_total(self):
+        """Modal symbol L(kx,ky,kz) assembled from the per-axis vectors
+        inside the trace (broadcast-add; fused by XLA — never materialized
+        outside the consuming op)."""
+        a, b, c = self._lam_vecs
+        return a + b + c
+
+    def _inv_lam(self):
+        """1/L with (near-)null modes pinned to zero => mean-free solve."""
+        L = self._lam_total()
+        null = jnp.abs(L) < self._null_thr
+        return jnp.where(null, 0.0, 1.0 / jnp.where(null, 1.0, L))
 
     _EINSUM_SUBS = {0: "ab,byz->ayz", 1: "ab,xbz->xaz", 2: "ab,xyb->xya"}
 
@@ -255,7 +280,7 @@ class FDMPoissonSolver:
             f = self._apply_mat(self.mats[i][0], f, i)
         if self.fft_axes:
             f = jnp.fft.rfftn(f, axes=self.fft_axes)
-        f = f * self.inv_lam
+        f = f * self._inv_lam()
         if self.fft_axes:
             sizes = [rhs.shape[a] for a in self.fft_axes]
             f = jnp.fft.irfftn(f, s=sizes, axes=self.fft_axes)
@@ -281,8 +306,8 @@ class FDMPoissonSolver:
             g = self._apply_mat(self.mats[i][0], g, i)
         if self.fft_axes:
             g = jnp.fft.rfftn(g, axes=self.fft_axes)
-        lam = jnp.where(self.inv_lam == 0.0, 0.0, 1.0 / jnp.where(
-            self.inv_lam == 0.0, 1.0, self.inv_lam))
+        lam = jnp.where(jnp.abs(self._lam_total()) < self._null_thr,
+                        0.0, self._lam_total())
         num = jnp.linalg.norm((lam * f - g).reshape(-1))
         den = jnp.maximum(jnp.linalg.norm(g.reshape(-1)), 1e-300)
         return num / den
