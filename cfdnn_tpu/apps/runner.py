@@ -33,6 +33,14 @@ def run_case(name: str, cfg: Config, argv=None,
         sim.set_ibm_forcing(body(cfg, sim.mesh) if callable(body) else body)
     state = ic(cfg, sim.mesh) if ic else sim.initial_state()
     state = sim.initialize(state)
+    if cfg.resume and cfg.checkpoint_dir:
+        from ..io.checkpoint import latest_checkpoint, load_checkpoint
+        d = latest_checkpoint(cfg.checkpoint_dir)
+        if d is not None:
+            state = load_checkpoint(d, cfg)
+            if cfg.verbose:
+                print(f"[{name}] resumed from {d} "
+                      f"(step {int(state.step)}, t={float(state.t):.4f})")
 
     if cfg.verbose:
         print(f"[{name}] {cfg.Nx}x{cfg.Ny}x{cfg.Nz} "
@@ -51,6 +59,10 @@ def run_case(name: str, cfg: Config, argv=None,
         if snap_every and it % snap_every == 0 and cfg.write_fields:
             write_vtk(os.path.join(cfg.output_dir, f"{name}_{it:07d}.vtk"),
                       st, sim.mesh, sim.geom, cfg)
+        if (cfg.checkpoint_dir and cfg.checkpoint_interval
+                and it % cfg.checkpoint_interval == 0):
+            from ..io.checkpoint import save_checkpoint
+            save_checkpoint(cfg.checkpoint_dir, st, cfg)
         if callback:
             callback(it, st, d)
 

@@ -173,6 +173,11 @@ class Config:
 
     # --- Output ----------------------------------------------------------
     output_dir: str = "output/"
+    # Checkpoint/resume (exceeds the reference — SURVEY 5.4: it has no
+    # restart path). checkpoint_interval=0 disables periodic saves.
+    checkpoint_dir: str = ""
+    checkpoint_interval: int = 0
+    resume: bool = False
     output_freq: int = 100
     num_snapshots: int = 10
     verbose: bool = True

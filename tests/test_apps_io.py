@@ -93,3 +93,22 @@ def test_vtk_ascii_2d(tmp_path):
     assert "ASCII" in head
     data = read_vtk_scalars(path)
     assert np.all(np.isfinite(data["pressure"]))
+
+
+def test_app_checkpoint_resume(tmp_path):
+    """--checkpoint_dir/--checkpoint_interval save during a run and
+    --resume continues from the latest checkpoint (exceeds the reference,
+    which has no restart path — SURVEY 5.4)."""
+    ck = str(tmp_path / "ck")
+    args = ["--Nx", "12", "--Ny", "16", "--Nz", "4", "--max_steps", "6",
+            "--adaptive_dt", "false", "--dt", "1e-3",
+            "--write_fields", "false", "--verbose", "false",
+            "--checkpoint_dir", ck, "--checkpoint_interval", "3"]
+    sim, st1, _ = channel.main(args)
+    assert int(st1.step) == 6
+    import os
+    assert any(x.startswith("ckpt_") for x in os.listdir(ck))
+    sim, st2, _ = channel.main(args + ["--resume", "true"])
+    # resumed from step 6 and ran 6 more
+    assert int(st2.step) == 12
+    assert float(st2.t) > float(st1.t)
