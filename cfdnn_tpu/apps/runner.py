@@ -50,19 +50,26 @@ def run_case(name: str, cfg: Config, argv=None,
     n_snap = cfg.num_snapshots
     snap_every = max(1, cfg.max_steps // n_snap) if n_snap > 0 else 0
     t0 = time.perf_counter()
+    step0 = int(state.step)       # nonzero after --resume
+    last_ck = [step0]
 
     def console(it, st, d):
+        gstep = step0 + it        # global step: resume-safe file numbering
         if cfg.verbose and it % cfg.output_freq == 0:
             print(f"  step {it:7d}  t={float(st.t):.4f} "
                   f"dt={float(d.dt):.2e} res={float(d.residual):.3e} "
                   f"div={float(d.div_linf):.3e} ke={float(d.ke):.6f}")
         if snap_every and it % snap_every == 0 and cfg.write_fields:
-            write_vtk(os.path.join(cfg.output_dir, f"{name}_{it:07d}.vtk"),
+            write_vtk(os.path.join(cfg.output_dir,
+                                   f"{name}_{gstep:07d}.vtk"),
                       st, sim.mesh, sim.geom, cfg)
+        # ">= interval since last save" (not modulo): steady mode invokes
+        # the callback only every diag_interval steps
         if (cfg.checkpoint_dir and cfg.checkpoint_interval
-                and it % cfg.checkpoint_interval == 0):
+                and gstep - last_ck[0] >= cfg.checkpoint_interval):
             from ..io.checkpoint import save_checkpoint
             save_checkpoint(cfg.checkpoint_dir, st, cfg)
+            last_ck[0] = gstep
         if callback:
             callback(it, st, d)
 

@@ -210,8 +210,9 @@ class Config:
     # coefficients, so f32/bf16 roundoff there costs ~3 digits of the
     # post-projection divergence; one pass restores the f32 floor
     # (measured 128^3 TGV: 1.8e-3 -> 1.8e-6 with "high" matmuls, ~37% step
-    # cost). -1 = auto: 0 in float64 (already 1e-14) and in f32 below 256^3
-    # ("high" matmuls alone reach ~8e-6), 1 on larger f32 grids.
+    # cost). -1 = auto: 0 in float64 (already 1e-14) and in f32 below 384^3
+    # ("high" matmuls alone reach ~8e-6 at 128^3 / ~1.8e-5 at 256^3), 1 on
+    # larger f32 grids.
     poisson_refine: int = -1
     # MXU precision of the eigenbasis matmuls: "default" (1-pass bf16,
     # fastest, ~1.8e-3 div at 128^3), "high" (3-pass, ~8e-6 div, ~2% step

@@ -62,8 +62,17 @@ class IBMForcing:
         # strictly-fluid cells one stencil halo beyond the forcing band:
         # direct forcing re-introduces divergence at masked faces by design
         # (shared with the first fluid cells), so solenoidality diagnostics
-        # are only meaningful over this region
-        self.fluid_interior = jnp.asarray(phi_c > self.band + h, dtype)
+        # are only meaningful over this region. The halo must use the LOCAL
+        # cell size — on stretched meshes the global min spacing would
+        # leave first-fluid cells inside the "interior".
+        local_h = np.maximum(
+            np.asarray(mesh.x.d)[:, None, None],
+            np.asarray(mesh.y.d)[None, :, None])
+        if not is2d:
+            local_h = np.maximum(local_h,
+                                 np.asarray(mesh.z.d)[None, None, :])
+        self.fluid_interior = jnp.asarray(phi_c > self.band + local_h,
+                                          dtype)
         self.n_solid = int(np.sum(phi_c < -self.band))
         self.n_forcing = int(np.sum((phi_c <= 0.0) & (phi_c >= -self.band)))
         # cell volume for force reduction

@@ -39,28 +39,42 @@ def save_checkpoint(path: str, state: State, cfg: Config,
     """
     step = int(state.step) if step is None else step
     d = os.path.join(path, f"ckpt_{step:09d}")
-    os.makedirs(d, exist_ok=True)
+    # write into a temp dir and rename at the end so a run killed mid-save
+    # never leaves a half-written "latest" checkpoint
+    tmp = d + ".tmp"
+    if os.path.isdir(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
     arrays = _state_to_numpy(state)
     try:
         import orbax.checkpoint as ocp
         ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(os.path.join(os.path.abspath(d), "state"), arrays,
+        ckptr.save(os.path.join(os.path.abspath(tmp), "state"), arrays,
                    force=True)
     except Exception:
-        np.savez(os.path.join(d, "state.npz"), **arrays)
+        np.savez(os.path.join(tmp, "state.npz"), **arrays)
     cfg_dict = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}
     cfg_json = {k: (v.value if hasattr(v, "value") else v)
                 for k, v in cfg_dict.items()
                 if not isinstance(v, tuple)}
-    with open(os.path.join(d, "config.json"), "w") as fh:
+    with open(os.path.join(tmp, "config.json"), "w") as fh:
         json.dump(cfg_json, fh, indent=1, default=str)
+    if os.path.isdir(d):
+        import shutil
+        shutil.rmtree(d)
+    os.rename(tmp, d)
     return d
 
 
 def latest_checkpoint(path: str) -> Optional[str]:
+    """Newest COMPLETE checkpoint (config.json is renamed into place last,
+    so its presence marks a fully-written directory)."""
     if not os.path.isdir(path):
         return None
-    cks = sorted(x for x in os.listdir(path) if x.startswith("ckpt_"))
+    cks = sorted(x for x in os.listdir(path)
+                 if x.startswith("ckpt_") and not x.endswith(".tmp")
+                 and os.path.exists(os.path.join(path, x, "config.json")))
     return os.path.join(path, cks[-1]) if cks else None
 
 

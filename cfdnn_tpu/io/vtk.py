@@ -16,10 +16,17 @@ from typing import Dict, Optional
 import numpy as np
 
 # native C encoder (transpose+byteswap+interleave in one GIL-released pass,
-# the analogue of the reference's C++ VTK layer); None => NumPy fallback
-from ..native import load_vtkio
+# the analogue of the reference's C++ VTK layer); None => NumPy fallback.
+# Loaded (and compiled, first time) lazily on the first binary write so
+# importing the apps never pays the cc subprocess.
+_vtkio_cache = []
 
-_vtkio = load_vtkio()
+
+def _native():
+    if not _vtkio_cache:
+        from ..native import load_vtkio
+        _vtkio_cache.append(load_vtkio())
+    return _vtkio_cache[0]
 
 
 def _vel_centers(state, geom):
@@ -86,6 +93,7 @@ def write_vtk(path: str, state, mesh, geom, cfg,
         line(f"POINT_DATA {Nx * Ny * Nz}\n")
 
         f64c = lambda a: np.ascontiguousarray(a, dtype=np.float64)
+        _vtkio = _native() if binary else None
 
         line("VECTORS velocity double\n")
         if binary and _vtkio is not None:

@@ -27,14 +27,27 @@ def _build(stem: str, source: str) -> bool:
     cc = os.environ.get("CC", "cc")
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     out = os.path.join(_DIR, stem + suffix)
+    tmp = out + ".build"
+    # compile to a temp name and rename on success so an interrupted build
+    # never leaves a truncated .so that would silently disable the native
+    # path forever
     cmd = [cc, "-O3", "-shared", "-fPIC",
            "-I", sysconfig.get_paths()["include"],
-           os.path.join(_DIR, source), "-o", out]
+           os.path.join(_DIR, source), "-o", tmp]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
-        return r.returncode == 0 and os.path.exists(out)
+        if r.returncode == 0 and os.path.exists(tmp):
+            os.replace(tmp, out)
+            return True
+        return False
     except (OSError, subprocess.TimeoutExpired):
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def load_vtkio():

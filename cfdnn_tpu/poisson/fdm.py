@@ -148,11 +148,16 @@ class FDMPoissonSolver:
         if geom is None:
             self.refine = 0
         import jax as _jax
-        self.precision = {
+        _precisions = {
             "default": None,
             "high": _jax.lax.Precision.HIGH,
             "highest": _jax.lax.Precision.HIGHEST,
-        }[cfg.poisson_matmul_precision]
+        }
+        if cfg.poisson_matmul_precision not in _precisions:
+            raise ValueError(
+                f"poisson_matmul_precision={cfg.poisson_matmul_precision!r}"
+                f" — expected one of {sorted(_precisions)}")
+        self.precision = _precisions[cfg.poisson_matmul_precision]
         if transform == "auto":
             import jax
             try:
@@ -172,23 +177,15 @@ class FDMPoissonSolver:
         self.fft_axes = tuple(i for i, t in enumerate(self.tr) if t.kind == "fft")
         self.eig_axes = tuple(i for i, t in enumerate(self.tr) if t.kind == "eig")
         shape = [mesh.x.n, mesh.y.n, mesh.z.n]
-        lam_total = np.zeros(tuple(shape))
-        for i, t in enumerate(self.tr):
-            s = [1, 1, 1]
-            s[i] = len(t.lam)
-            lam_total = lam_total + t.lam.reshape(s)
-        if self.fft_axes:
-            ra = self.fft_axes[-1]
-            n = shape[ra]
-            idx = [slice(None)] * 3
-            idx[ra] = slice(0, n // 2 + 1)
-            lam_total = lam_total[tuple(idx)]
         # invert, pinning (near-)null modes to zero => mean-free solution
         self.all_neumann = all(
             t.kind != "eig" or pressure_bc_kinds(cfg, a) == ("neumann", "neumann")
             for a, (t, b) in enumerate(zip(self.tr, bcs))
         )
-        scale = np.max(np.abs(lam_total)) or 1.0
+        # every per-axis Laplacian eigenvalue is <= 0, so the extreme of
+        # the Kronecker-sum symbol is the sum of per-axis extremes — no
+        # need to materialize the N^3 lam_total on the host
+        scale = sum(float(np.max(np.abs(t.lam))) for t in self.tr) or 1.0
         # Store the modal symbol factored as three 1-D eigenvalue vectors
         # (combined on the fly inside solve — XLA fuses the broadcast-add
         # into the scaling multiply). A materialized N^3 inv_lam would be
