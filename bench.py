@@ -1,29 +1,51 @@
 #!/usr/bin/env python
-"""Headline benchmark: 128^3 all-periodic TGV step throughput on one TPU chip.
+"""Headline benchmark: the BASELINE.json north-star metric —
+cell-updates/sec/chip on the 128^3 TGV *and* the Re_tau=180-style
+wall-bounded channel, reported as one combined number (geometric mean of
+the per-config ratios vs the reference's published H200 results).
 
-Mirrors the reference's headline number (H200, FFT Poisson, full step:
-1.7 ms/step = 1,267 Mcells/s — docs/POISSON_SOLVER_GUIDE.md:378-384) on the
-same configuration: 128^3 periodic box, skew convection, FFT pressure solve,
-one projection per step (Euler). Prints ONE JSON line with
-cell-updates/sec/chip and the ratio vs the reference baseline.
+Reference baselines (BASELINE.md):
+  * 128^3 all-periodic (TGV-like), FFT Poisson: 1.7 ms/step = 1,267 Mcells/s
+    (docs/POISSON_SOLVER_GUIDE.md:378-384)
+  * 128^3 channel (periodic x/z, walls + stretched y), MG + CUDA graph:
+    4.6 ms/step = 452 Mcells/s (docs/SOLVER_GUIDE.md:495-503)
+
+Prints ONE JSON line with cells/s (geomean across the two configs) and
+vs_baseline (geomean of ratios), plus per-config sub-metrics and the f32
+post-projection divergence of the channel step (the BASELINE metric's
+"div-free residual" clause).
 """
 
 import json
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
-BASELINE_MCELLS = 1267.0  # reference H200 128^3 periodic FFT step
+BASELINE_TGV_MCELLS = 1267.0      # H200, 128^3 periodic, FFT Poisson
+BASELINE_CHANNEL_MCELLS = 452.0   # H200, 128^3 channel, MG + CUDA graph
 
 
-def main():
+def _time_steps(sim, state, steps=100, reps=3):
+    """Best-of-reps seconds/step after a compile+warmup run of the same
+    static step count (the shared-TPU tunnel adds timing noise)."""
+    state, d = sim.run(state, steps)
+    jax.block_until_ready(state)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, d = sim.run(state, steps)
+        jax.block_until_ready(state)
+        best = min(best, time.perf_counter() - t0)
+    assert np.isfinite(float(d.ke)), "NaN in benchmark run"
+    return best / steps, d
+
+
+def bench_tgv(n=128):
     from cfdnn_tpu import (Config, Simulation, BCType, TimeIntegrator,
                            ConvectiveScheme, init_taylor_green)
 
-    n = 128
     cfg = Config(
         Nx=n, Ny=n, Nz=n,
         bc_x=BCType.PERIODIC, bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
@@ -35,31 +57,47 @@ def main():
         benchmark=True, dtype="float32",
     )
     sim = Simulation(cfg)
-    state = init_taylor_green(cfg, sim.mesh)
+    s, _ = _time_steps(sim, init_taylor_green(cfg, sim.mesh))
+    return s, n**3, None
 
-    # warmup + compile (same static step count as the timed call)
-    steps = 100
-    state, d = sim.run(state, steps)
-    jax.block_until_ready(state)
 
-    # best of 3 repetitions (the shared-TPU tunnel adds timing noise)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        state, d = sim.run(state, steps)
-        jax.block_until_ready(state)
-        best = min(best, time.perf_counter() - t0)
+def bench_channel(n=128):
+    from cfdnn_tpu import Config, Simulation, perturbed_channel
 
-    ke = float(d.ke)
-    assert np.isfinite(ke), "NaN in benchmark run"
-    ms_per_step = best * 1e3 / steps
-    mcells = n**3 / best * steps / 1e6
+    cfg = Config(
+        Nx=n, Ny=n, Nz=n, stretch_y=True,
+        nu=1e-4, nu_specified=True, dp_dx=-1e-3, dp_dx_specified=True,
+        dt=2e-4, adaptive_dt=False,
+        benchmark=True, dtype="float32",
+    )
+    sim = Simulation(cfg)
+    s, d = _time_steps(sim, perturbed_channel(cfg, sim.mesh, amp=0.05))
+    return s, n**3, float(d.div_linf)
+
+
+def main():
+    s_tgv, cells_tgv, _ = bench_tgv()
+    s_ch, cells_ch, div_ch = bench_channel()
+
+    m_tgv = cells_tgv / s_tgv / 1e6
+    m_ch = cells_ch / s_ch / 1e6
+    r_tgv = m_tgv / BASELINE_TGV_MCELLS
+    r_ch = m_ch / BASELINE_CHANNEL_MCELLS
+
+    value = float(np.sqrt(m_tgv * m_ch))          # geomean cells/s
+    vs = float(np.sqrt(r_tgv * r_ch))             # geomean of ratios
     print(json.dumps({
-        "metric": "cell_updates_per_sec_chip_128cube_tgv",
-        "value": mcells * 1e6,
+        "metric": "cell_updates_per_sec_chip_128cube_tgv_plus_channel",
+        "value": value * 1e6,
         "unit": "cells/s",
-        "vs_baseline": mcells / BASELINE_MCELLS,
-        "ms_per_step": ms_per_step,
+        "vs_baseline": vs,
+        "tgv_mcells_per_s": m_tgv,
+        "tgv_ms_per_step": s_tgv * 1e3,
+        "tgv_vs_baseline": r_tgv,
+        "channel_mcells_per_s": m_ch,
+        "channel_ms_per_step": s_ch * 1e3,
+        "channel_vs_baseline": r_ch,
+        "channel_div_linf_f32": div_ch,
         "device": str(jax.devices()[0]),
     }))
 
