@@ -27,9 +27,14 @@ BASELINE_TGV_MCELLS = 1267.0      # H200, 128^3 periodic, FFT Poisson
 BASELINE_CHANNEL_MCELLS = 452.0   # H200, 128^3 channel, MG + CUDA graph
 
 
-def _time_steps(sim, state, steps=100, reps=3):
+def _time_steps(sim, state, steps=1000, reps=3):
     """Best-of-reps seconds/step after a compile+warmup run of the same
-    static step count (the shared-TPU tunnel adds timing noise)."""
+    static step count (the shared-TPU tunnel adds timing noise).
+
+    steps=1000 per dispatch: the n-step loop is a single on-device
+    lax.scan, so a long run amortizes the ~25 ms/call tunnel dispatch +
+    transfer overhead that would otherwise dominate (device-trace busy
+    time at 128^3 is 0.197 ms/step; 100-step calls report 0.49 ms)."""
     state, d = sim.run(state, steps)
     jax.block_until_ready(state)
     best = float("inf")
