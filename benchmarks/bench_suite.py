@@ -19,7 +19,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _time_run(sim, state, steps=50, reps=3):
+def _time_run(sim, state, steps=1000, reps=3):
+    """The n-step loop is one on-device lax.scan; long runs amortize the
+    ~25 ms/dispatch tunnel overhead (device-trace busy time at 128^3 is
+    0.197 ms/step while 100-step dispatches report 0.49 ms wall)."""
     state, d = sim.run(state, steps)
     jax.block_until_ready(state)
     best = float("inf")
@@ -94,17 +97,26 @@ def bench_poisson(n=128):
         ("mg_6cycles", MGPoissonSolver(mesh_ch, cfg_ch).solve),
     ]
     for name, solve in solvers:
-        f = jax.jit(lambda r, s=solve: s(r) + 0.0 * r)
+        # scan many solves inside ONE dispatch: per-call tunnel overhead
+        # (~25 ms) would otherwise swamp a ~0.1-2 ms solve. The MG body
+        # is itself a while_loop, so keep its scan short (compile time).
+        nsolv = 200 if name.startswith("fdm") else 5
+
+        @jax.jit
+        def f(r, s=solve, L=nsolv):
+            def body(c, _):
+                return s(c), None
+            out, _ = jax.lax.scan(body, r, None, length=L)
+            return out
+
         o = f(rhs)
         jax.block_until_ready(o)
         best = float("inf")
         for _ in range(3):
-            o = rhs
             t0 = time.perf_counter()
-            for _ in range(20):
-                o = f(o)
+            o = f(rhs)
             jax.block_until_ready(o)
-            best = min(best, (time.perf_counter() - t0) / 20)
+            best = min(best, (time.perf_counter() - t0) / nsolv)
         _emit(f"poisson_{name}_{n}cube", best, n**3)
 
 
@@ -121,7 +133,7 @@ def bench_les_ibm(n=128):
                  benchmark=True, dtype="float32")
     sim = Simulation(cfg)
     sim.set_ibm_forcing(CylinderBody(1.0, 0.0, 0.25))
-    s = _time_run(sim, perturbed_channel(cfg, sim.mesh, amp=0.05), steps=20)
+    s = _time_run(sim, perturbed_channel(cfg, sim.mesh, amp=0.05), steps=500)
     _emit(f"les_ibm_{n}x{n//2}x{n}", s, n * (n // 2) * n)
 
 
@@ -155,7 +167,7 @@ def bench_models(n=64):
                      benchmark=True, dtype="float32", **kw)
         sim = Simulation(cfg)
         s = _time_run(sim, perturbed_channel(cfg, sim.mesh, amp=0.02),
-                      steps=30, reps=2)
+                      steps=200, reps=2)
         _emit(f"model_{model.value}_{n}cube", s, n**3)
 
 
