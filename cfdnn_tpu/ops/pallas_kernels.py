@@ -132,6 +132,9 @@ def _predictor_kernel(dt_ref, ul, uc, ur, vl, vc, vr, wl, wc, wr,
 
 
 
+_SLAB_BUDGET_CELLS = 4 * 128 * 128
+
+
 def _auto_bx(bx, Nx, ny, nz, n_halo_blocks=12):
     """Shrink the x-slab so the kernel's VMEM working set fits.
 
@@ -139,12 +142,22 @@ def _auto_bx(bx, Nx, ny, nz, n_halo_blocks=12):
     4*128*128 cells per block across ~30 live buffers under the 16 MB
     scoped-VMEM limit); also forces divisibility of Nx.
     """
-    budget_cells = 4 * 128 * 128
-    cap = max(1, budget_cells // max(ny * nz, 1))
+    cap = max(1, _SLAB_BUDGET_CELLS // max(ny * nz, 1))
     bx = min(bx, cap)
     while bx > 1 and Nx % bx != 0:
         bx -= 1
     return max(bx, 1)
+
+
+def slab_fits(geom) -> bool:
+    """Whether the MINIMUM slab block (bx = ng) fits the VMEM budget.
+
+    Above ~384^2 y-z planes even a one-plane block times ~30 live buffers
+    overflows the 16 MB scoped-VMEM limit, so the fused kernels must not
+    be selected — the caller falls back to the jnp operator path and lets
+    XLA tile. Gate discovered at 512^3 (bx floored to 1, still OOM)."""
+    ng = 2 if getattr(geom, "space_order", 2) >= 4 else 1
+    return ng * geom.axes[1].n * geom.axes[2].n <= _SLAB_BUDGET_CELLS
 
 def _slab_geometry(geom, bx: int, ng: int = 1):
     """Geometry whose x axis is a fake periodic (bx+2ng)-slab; y/z real.

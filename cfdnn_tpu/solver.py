@@ -117,6 +117,9 @@ class Simulation:
             and cfg.convective_scheme in (ConvectiveScheme.SKEW,
                                           ConvectiveScheme.CENTRAL)
             and not cfg.implicit_y_diffusion)
+        if structural:
+            from .ops.pallas_kernels import slab_fits
+            structural = slab_fits(self.geom)
         if not structural:
             return False
         if cfg.use_pallas == "on":

@@ -29,6 +29,7 @@ import numpy as np
 from ..config import BCType, Config
 from ..mesh import Mesh
 from ..ops import operators as ops
+from ..utils.numerics import safe_sqrt
 
 
 Array = jnp.ndarray
@@ -89,7 +90,7 @@ def strain_rotation(comps, geom) -> StrainRotation:
     S = ((S11, S12, S13), (S12, S22, S23), (S13, S23, S33))
     return StrainRotation(
         S=S, O12=O12, O13=O13, O23=O23,
-        S_mag=jnp.sqrt(2.0 * SS), O_mag=jnp.sqrt(2.0 * OO), G=G,
+        S_mag=safe_sqrt(2.0 * SS), O_mag=safe_sqrt(2.0 * OO), G=G,
     )
 
 

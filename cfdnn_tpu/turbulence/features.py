@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .base import cell_center_velocity, strain_rotation
+from ..utils.numerics import safe_sqrt
 
 C_MU = 0.09
 K_FLOOR = 1e-10
@@ -24,7 +25,7 @@ def scalar_features(comps, geom, y_wall, nu: float, delta: float,
     [ |S| d/u, |O| d/u, y/d, O/S, Re_S = |S| d^2/nu, |u|/u ]."""
     sr = strain_rotation(comps, geom)
     ucc = cell_center_velocity(comps, geom)
-    u_mag = jnp.sqrt(ucc[0] ** 2 + ucc[1] ** 2 + ucc[2] ** 2)
+    u_mag = safe_sqrt(ucc[0] ** 2 + ucc[1] ** 2 + ucc[2] ** 2)
     S, Om = sr.S_mag, sr.O_mag
     ratio = jnp.where(S > 1e-10, Om / jnp.maximum(S, 1e-10), 0.0)
     shape = S.shape

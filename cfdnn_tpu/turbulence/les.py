@@ -30,9 +30,11 @@ class LESModelBase(TurbulenceModelBase):
 
     def __init__(self, cfg, mesh, geom):
         self.cfg = cfg
+        from ..ops.pallas_kernels import slab_fits
         self._fuse = (cfg.use_pallas != "off"
                       and geom.axes[0].periodic and geom.axes[0].uniform
-                      and geom.axes[0].n >= 8 and geom.axes[2].n > 1)
+                      and geom.axes[0].n >= 8 and geom.axes[2].n > 1
+                      and slab_fits(geom))
 
     def _nu_sgs(self, sr, delta):
         raise NotImplementedError

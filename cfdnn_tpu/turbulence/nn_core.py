@@ -142,3 +142,20 @@ class MLP:
         meta["architecture"]["activations"] = self.activations
         with open(os.path.join(directory, "metadata.json"), "w") as fh:
             json.dump(meta, fh, indent=2)
+
+
+def _mlp_flatten(m: MLP):
+    return ((m.Ws, m.bs, m.means, m.stds), tuple(m.activations))
+
+
+def _mlp_unflatten(acts, children):
+    Ws, bs, means, stds = children
+    return MLP(Ws=list(Ws), bs=list(bs), activations=list(acts),
+               means=means, stds=stds)
+
+
+# MLP is a pytree: weights/biases/scaling are leaves, activation names are
+# static. This is what makes the solver differentiable end-to-end with
+# respect to a closure's parameters (ml/adjoint.py) — the reference's
+# offline-only training loop (L10) has no analogue of this.
+jax.tree_util.register_pytree_node(MLP, _mlp_flatten, _mlp_unflatten)

@@ -18,6 +18,19 @@ def safe_tanh(x, cap: float = 30.0):
     return jnp.tanh(jnp.clip(x, -cap, cap))
 
 
+def safe_sqrt(x):
+    """sqrt(max(x, 0)) whose gradient is 0 (not inf/NaN) at x <= 0.
+
+    d/dx sqrt(x) = 1/(2 sqrt(x)) blows up at x = 0, so reverse-mode AD
+    through strain magnitudes NaNs wherever the flow is locally at rest
+    (e.g. the channel centerline by symmetry). The double-where pattern
+    keeps the forward value exact and pins the subgradient to zero there,
+    which is the physically sensible choice for |S|-type quantities.
+    """
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def safe_divide(num, den, floor: float = 1e-20):
     """num / den with |den| floored away from zero (sign-preserving)."""
     d = jnp.where(jnp.abs(den) < floor,
