@@ -426,6 +426,168 @@ def fused_correct(u, v, w, p, dt, *, geom, bx=8, interpret=False):
                       bx, 1, interpret, dt=dt)
 
 
+# ---------------------------------------------------------------------------
+# 2-D (x,z) tiling: large grids whose full y-z planes overflow VMEM
+# ---------------------------------------------------------------------------
+#
+# Above ~384^2 planes the 1-D x-slab kernels cannot fit even one plane
+# (slab_fits). When z is ALSO periodic+uniform (the TGV and channel hot
+# paths), the same fake-periodic halo trick applies along z: the grid is
+# (Gx, Gz), each field contributes 3x3 neighbor blocks (x-offset, z-offset),
+# and the kernel assembles a (bx+2ng, ny, bz+2ng) extended tile. Corner
+# blocks are required: skew convection composes x- and z-interpolations, so
+# the stencil reaches diagonally.
+#
+# PERF NOTE (measured 512^3, v5e): this tiling LOSES to the XLA operator
+# fallback by ~7x (1285 vs 174 ms/step). Each grid step fetches 27 blocks
+# (9 per field) with no inter-step dedupe, and the z-halo concatenation
+# produces (.., bz+2)-lane arrays that Mosaic pads to the next 128-lane
+# tile, roughly doubling the vector work. Kept as an explicit opt-in
+# (use_pallas="on") and as groundwork for a manual-DMA windowed variant;
+# auto mode prefers the jnp fallback above the slab budget.
+
+
+def _slab_geometry_xz(geom, bx: int, bz: int, ng: int = 1):
+    """Geometry with BOTH x and z replaced by fake periodic slab axes."""
+    import dataclasses as _dc
+    from ..config import BCType as _BC
+    from ..mesh import Axis1D as _Ax
+    from .grid import AxisGeom as _AG
+
+    def slab(ax_geom, b, axis):
+        h = ax_geom.h
+        n = b + 2 * ng
+        return _AG.make(_Ax.make(n, 0.0, n * h), _BC.PERIODIC, axis,
+                        geom.dtype)
+
+    return _dc.replace(geom, axes=(slab(geom.axes[0], bx, 0), geom.axes[1],
+                                   slab(geom.axes[2], bz, 2)))
+
+
+# The 16 MB scoped-VMEM default is a compiler cap, not the hardware (v5e
+# has 128 MB); the xz kernels raise it via CompilerParams and budget
+# accordingly (~40 live block buffers + ext temporaries stay under it).
+_XZ_VMEM_LIMIT = 100 * 1024 * 1024
+_XZ_BUDGET_CELLS = 2 * 512 * 128
+
+
+def _auto_bxz(Nx, ny, Nz, ng: int = 1):
+    """Pick (bx, bz) for the 2-D tiling: bz a divisor of Nz near the
+    128-lane width (so blocks stay lane-aligned), then bx as large as the
+    per-block budget allows. Returns None if nothing divides cleanly."""
+    bz = 0
+    for cand in (128, 256, 64, 512, 32):
+        if Nz % cand == 0 and cand <= Nz:
+            bz = cand
+            break
+    if bz == 0:
+        return None
+    cap = max(ng, _XZ_BUDGET_CELLS // max(ny * bz, 1))
+    bx = min(8, cap)
+    while bx > ng and Nx % bx != 0:
+        bx -= 1
+    if Nx % bx != 0:
+        return None
+    return bx, bz
+
+
+def _ext_xz(rs, ng):
+    """Assemble the (bx+2ng, ny, bz+2ng) tile from 9 neighbor blocks laid
+    out row-major in (x-offset, z-offset) order."""
+    def zcat(a, b, c):
+        return jnp.concatenate([a[:, :, -ng:], b[:, :, :], c[:, :, :ng]],
+                               axis=2)
+
+    top = zcat(rs[0][:], rs[1][:], rs[2][:])[-ng:]
+    mid = zcat(rs[3][:], rs[4][:], rs[5][:])
+    bot = zcat(rs[6][:], rs[7][:], rs[8][:])[:ng]
+    return jnp.concatenate([top, mid, bot], axis=0)
+
+
+def _general_kernel_xz(dt_ref, *refs, slab_geom, scheme, nu, fx, ng=1,
+                       has_nut=False):
+    """2-D-tiled predictor via the shared operator library (same single
+    source of truth as _general_kernel; x AND z fake-periodic)."""
+    from . import operators as _ops
+
+    n_geom = 3 * len(_AXIS_ARRAY_FIELDS)
+    geom_refs = refs[:n_geom]
+    rest = refs[n_geom:]
+    nf = 4 if has_nut else 3
+    blocks = [rest[9 * i: 9 * (i + 1)] for i in range(nf)]
+    outs = rest[9 * nf:]
+    geom_live = _rebuild_geom(slab_geom, [r[:] for r in geom_refs])
+
+    dt = dt_ref[0]
+    comps = tuple(_ext_xz(b, ng) for b in blocks[:3])
+    if has_nut:
+        nu_eff = jnp.asarray(nu, comps[0].dtype) + _ext_xz(blocks[3], ng)
+    else:
+        nu_eff = jnp.asarray(nu, comps[0].dtype)
+    conv = _ops.convective(comps, geom_live, scheme)
+    diff = _ops.diffusive(comps, nu_eff, geom_live)
+    rhs = (conv[0], conv[1], conv[2], diff[0], diff[1], diff[2])
+    su, sv, sw = outs
+    su[:] = (comps[0] + dt * (-rhs[0] + rhs[3] + fx))[ng:-ng, :, ng:-ng]
+    sv[:] = (comps[1] + dt * (-rhs[1] + rhs[4]))[ng:-ng, :, ng:-ng]
+    sw[:] = (comps[2] + dt * (-rhs[2] + rhs[5]))[ng:-ng, :, ng:-ng]
+
+
+def fused_predictor_general_xz(u, v, w, dt, *, geom, scheme, nu, fx,
+                               nu_t=None, interpret=False):
+    """Fused predictor with 2-D (x,z) tiling for grids whose y-z planes
+    overflow the 1-D slab budget. Requires periodic-uniform x AND z; any
+    y BC (walls/stretched). Returns None if no clean tiling exists."""
+    Nx = u.shape[0]
+    ny = geom.axes[1].n
+    Nz = geom.axes[2].n
+    ng = 2 if geom.space_order >= 4 else 1
+    picked = _auto_bxz(Nx, ny, Nz, ng)
+    if picked is None:
+        return None
+    bx, bz = picked
+    Gx, Gz = Nx // bx, Nz // bz
+    slab_geom = _slab_geometry_xz(geom, bx, bz, ng)
+
+    def specs_for(arr):
+        blk = (bx,) + arr.shape[1:2] + (bz,)
+        return [pl.BlockSpec(blk,
+                             lambda i, j, oi=oi, oj=oj: ((i + oi) % Gx, 0,
+                                                         (j + oj) % Gz),
+                             memory_space=pltpu.VMEM)
+                for oi in (-1, 0, 1) for oj in (-1, 0, 1)]
+
+    garrs = [jnp.asarray(a, u.dtype) for a in _geom_arrays(slab_geom)]
+    fields = (u, v, w) if nu_t is None else (u, v, w, nu_t)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in garrs]
+    for arr in fields:
+        in_specs += specs_for(arr)
+    out_specs = [pl.BlockSpec((bx, arr.shape[1], bz),
+                              lambda i, j: (i, 0, j),
+                              memory_space=pltpu.VMEM)
+                 for arr in (u, v, w)]
+    out_shape = [jax.ShapeDtypeStruct(arr.shape, arr.dtype)
+                 for arr in (u, v, w)]
+    dt_arr = jnp.reshape(jnp.asarray(dt, u.dtype), (1,))
+    kernel = functools.partial(_general_kernel_xz, slab_geom=slab_geom,
+                               scheme=scheme, nu=nu, fx=fx, ng=ng,
+                               has_nut=nu_t is not None)
+    operands = [dt_arr] + garrs
+    for arr in fields:
+        operands += [arr] * 9
+    return pl.pallas_call(
+        kernel,
+        grid=(Gx, Gz),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_XZ_VMEM_LIMIT),
+        interpret=interpret,
+    )(*operands)
+
+
 @functools.partial(jax.jit, static_argnames=("hx", "hy", "hz", "nu", "fx",
                                              "bx", "interpret"))
 def fused_predictor(u, v, w, dt, *, hx, hy, hz, nu, fx, bx=4,

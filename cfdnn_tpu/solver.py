@@ -100,35 +100,52 @@ class Simulation:
     # Construction helpers
     # ------------------------------------------------------------------
 
-    def _pallas_eligible(self) -> bool:
+    def _pallas_eligible(self):
         """The fused Pallas predictor replaces the momentum RHS + star
         computation (trip/BC/implicit/IBM/recycling still run after it).
-        Requirements: periodic uniform x (the slab axis), 3D, O2,
-        central/skew scheme, explicit diffusion, laminar (scalar nu).
-        Active on TPU, or anywhere when forced "on" (interpret mode)."""
+        Requirements: periodic uniform x (the slab axis), 3D, O2/O4,
+        central/skew scheme, explicit diffusion.
+        Active on TPU, or anywhere when forced "on" (interpret mode).
+
+        Returns the tiling mode: "slab" (1-D x-slabs, full y-z planes in
+        VMEM), "xz" (2-D tiles for grids whose planes overflow the slab
+        budget; needs periodic-uniform z too), or False.
+
+        "xz" is OPT-IN ONLY (use_pallas="on"): measured at 512^3 the
+        9-neighbor-block fetch amplification plus misaligned-lane halo
+        concatenation make it ~7x slower than the XLA operator fallback
+        (1285 vs 174 ms/step), so auto mode prefers the fallback there."""
         cfg = self.cfg
         if cfg.use_pallas == "off":
             return False
         x = self.geom.axes[0]
+        z = self.geom.axes[2]
         structural = (
             x.periodic and x.uniform
-            and self.geom.axes[2].n > 1 and x.n >= 8
+            and z.n > 1 and x.n >= 8
             and cfg.space_order in (2, 4)
             and cfg.convective_scheme in (ConvectiveScheme.SKEW,
                                           ConvectiveScheme.CENTRAL)
             and not cfg.implicit_y_diffusion)
-        if structural:
-            from .ops.pallas_kernels import slab_fits
-            structural = slab_fits(self.geom)
         if not structural:
             return False
+        from .ops.pallas_kernels import _auto_bxz, slab_fits
+        if slab_fits(self.geom):
+            mode = "slab"
+        elif (cfg.use_pallas == "on" and z.periodic and z.uniform
+              and _auto_bxz(x.n, self.geom.axes[1].n, z.n,
+                            2 if cfg.space_order >= 4 else 1) is not None):
+            mode = "xz"
+        else:
+            return False
         if cfg.use_pallas == "on":
-            return True
+            return mode
         import jax as _jax
         try:
-            return _jax.devices()[0].platform != "cpu"
+            on_acc = _jax.devices()[0].platform != "cpu"
         except Exception:
-            return False
+            on_acc = False
+        return mode if on_acc else False
 
     def _make_poisson(self):
         cfg = self.cfg
@@ -211,7 +228,7 @@ class Simulation:
         solid-cell masking before the solve and re-forcing of the corrected
         velocity (reference solver.cpp:2098-2125, 2457+)."""
         geom = self.geom
-        use_fused = (self._pallas_predictor_ok
+        use_fused = (self._pallas_predictor_ok == "slab"
                      and geom.axes[0].periodic and geom.axes[0].uniform)
         interp = use_fused and jax.devices()[0].platform == "cpu"
         if use_fused:
@@ -255,7 +272,13 @@ class Simulation:
             fx = float(-cfg.dp_dx / cfg.rho)
             all_periodic = all(ax.periodic and ax.uniform
                                for ax in geom.axes)
-            if (all_periodic and cfg.space_order == 2 and nu_t is None
+            if self._pallas_predictor_ok == "xz":
+                from .ops.pallas_kernels import fused_predictor_general_xz
+                star = fused_predictor_general_xz(
+                    *comps, jnp.asarray(dt, self.dtype), geom=geom,
+                    scheme=cfg.convective_scheme, nu=float(cfg.nu), fx=fx,
+                    nu_t=nu_t, interpret=interp)
+            elif (all_periodic and cfg.space_order == 2 and nu_t is None
                     and cfg.convective_scheme == ConvectiveScheme.SKEW):
                 from .ops.pallas_kernels import fused_predictor
                 star = fused_predictor(

@@ -142,3 +142,49 @@ def test_fused_nu_sgs_matches_unfused():
             else dict(rtol=0, atol=1e-14)
         np.testing.assert_allclose(nut_on, nut_off, err_msg=model.value,
                                    **tol)
+
+
+def test_fused_predictor_xz_matches_operators():
+    """2-D (x,z)-tiled predictor == jnp operators to machine epsilon for
+    wall / stretched / periodic y, skew + central, with and without nu_t.
+    (Opt-in kernel for grids whose y-z planes overflow the slab budget.)"""
+    import jax
+    import jax.numpy as jnp
+    from cfdnn_tpu.config import BCType
+    from cfdnn_tpu.ops import operators as ops
+    from cfdnn_tpu.ops.grid import Geometry
+    from cfdnn_tpu.ops.pallas_kernels import fused_predictor_general_xz
+    from cfdnn_tpu.mesh import Mesh
+
+    for bc_y, stretch in [(BCType.WALL, True), (BCType.PERIODIC, False)]:
+        cfg = Config(Nx=16, Ny=24, Nz=32, bc_y=bc_y, stretch_y=stretch,
+                     nu=0.01, nu_specified=True, dt=1e-3,
+                     adaptive_dt=False, dtype="float64")
+        mesh = Mesh.from_config(cfg)
+        geom = Geometry.make(mesh, cfg)
+        from cfdnn_tpu.fields import init_taylor_green
+        st = init_taylor_green(cfg, mesh)
+        key = jax.random.PRNGKey(0)
+        u = jax.random.normal(key, st.u.shape, jnp.float64) * 0.1
+        v = jax.random.normal(key, st.v.shape, jnp.float64) * 0.1
+        w = jax.random.normal(key, st.w.shape, jnp.float64) * 0.1
+        nu_t = jnp.abs(jax.random.normal(
+            key, (cfg.Nx, cfg.Ny, cfg.Nz), jnp.float64)) * 0.01
+        for scheme in (ConvectiveScheme.SKEW, ConvectiveScheme.CENTRAL):
+            for nut in (None, nu_t):
+                comps = (u, v, w)
+                nu_eff = (jnp.asarray(0.01, jnp.float64) if nut is None
+                          else 0.01 + nut)
+                conv = ops.convective(comps, geom, scheme)
+                diff = ops.diffusive(comps, nu_eff, geom)
+                dt = 1e-3
+                ref = [comps[i] + dt * (-conv[i] + diff[i]
+                                        + (0.5 if i == 0 else 0.0))
+                       for i in range(3)]
+                out = fused_predictor_general_xz(
+                    u, v, w, dt, geom=geom, scheme=scheme, nu=0.01,
+                    fx=0.5, nu_t=nut, interpret=True)
+                assert out is not None
+                for o, r in zip(out, ref):
+                    np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                               rtol=0, atol=1e-14)
