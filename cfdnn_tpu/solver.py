@@ -111,10 +111,11 @@ class Simulation:
         VMEM), "xz" (2-D tiles for grids whose planes overflow the slab
         budget; needs periodic-uniform z too), or False.
 
-        "xz" is OPT-IN ONLY (use_pallas="on"): measured at 512^3 the
-        9-neighbor-block fetch amplification plus misaligned-lane halo
-        concatenation make it ~7x slower than the XLA operator fallback
-        (1285 vs 174 ms/step), so auto mode prefers the fallback there."""
+        Measured at 512^3 TGV on v5e (warm): xz 110.6 ms/step (1213
+        Mcells/s) vs 171.1 ms for the XLA operator fallback — a 1.55x
+        step win, at the cost of a one-time ~6 min Mosaic compile of the
+        27-input kernel. Auto mode selects it for production-scale runs
+        where steps dwarf the compile."""
         cfg = self.cfg
         if cfg.use_pallas == "off":
             return False
@@ -132,7 +133,7 @@ class Simulation:
         from .ops.pallas_kernels import _auto_bxz, slab_fits
         if slab_fits(self.geom):
             mode = "slab"
-        elif (cfg.use_pallas == "on" and z.periodic and z.uniform
+        elif (z.periodic and z.uniform
               and _auto_bxz(x.n, self.geom.axes[1].n, z.n,
                             2 if cfg.space_order >= 4 else 1) is not None):
             mode = "xz"
