@@ -7,6 +7,35 @@ recycling inflow), designed for TPU: device-resident state pytrees, one jitted
 step, MXU-batched NN inference, shard_map/GSPMD multi-chip scaling.
 """
 
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compile cache (opt-out: CFDNN_NO_COMPILE_CACHE=1).
+
+    Large-grid Pallas kernels cost minutes of one-time Mosaic compile
+    (the 512^3 2-D-tiled predictor alone is ~6 min); caching makes every
+    later process with the same shapes start in seconds. No reference
+    analogue — nvcc compiles ahead of time; XLA compiles per shape."""
+    if _os.environ.get("CFDNN_NO_COMPILE_CACHE"):
+        return
+    import jax
+    if jax.config.jax_compilation_cache_dir:
+        return   # user already configured one
+    cache = _os.path.join(_os.path.expanduser("~"), ".cache", "cfdnn_tpu",
+                          "xla")
+    try:
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        # cache everything that took >1s to compile, regardless of size
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass   # cache is an optimization, never a requirement
+
+
+_enable_compilation_cache()
+
 from .config import (BCType, Config, ConvectiveScheme, PoissonSolverType,
                      SimulationMode, TimeIntegrator, TurbulenceModel)
 from .fields import (State, init_poiseuille, init_taylor_green,

@@ -588,6 +588,130 @@ def fused_predictor_general_xz(u, v, w, dt, *, geom, scheme, nu, fx,
     )(*operands)
 
 
+# -- xz divergence / correction: axis-aligned stencils -> 5 blocks --------
+#
+# divergence and the pressure-gradient correction never reach diagonally,
+# so the corner blocks of the 3x3 neighborhood are unnecessary: 5 blocks
+# per haloed field (x-left, z-left, center, z-right, x-right). The corner
+# entries of the assembled tile are filled from the x-neighbor blocks'
+# own z-wrap — wrong values, but provably unread by axis-aligned stencils.
+
+_XZ_NC_OFFSETS = ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0))
+
+
+def _ext_xz_nc(rs, ng):
+    """(bx+2ng, ny, bz+2ng) tile from 5 no-corner neighbor blocks ordered
+    as _XZ_NC_OFFSETS: (x-left, z-left, center, z-right, x-right)."""
+    xl, zl, cc, zr, xr = (r[:] for r in rs)
+
+    def zwrap(a):
+        return jnp.concatenate([a[:, :, -ng:], a, a[:, :, :ng]], axis=2)
+
+    mid = jnp.concatenate([zl[:, :, -ng:], cc, zr[:, :, :ng]], axis=2)
+    return jnp.concatenate([zwrap(xl[-ng:]), mid, zwrap(xr[:ng])], axis=0)
+
+
+def _divergence_kernel_xz(*refs, slab_geom, ng):
+    from . import operators as _ops
+    n_geom = 3 * len(_AXIS_ARRAY_FIELDS)
+    geom_refs = refs[:n_geom]
+    rest = refs[n_geom:]
+    blocks = [rest[5 * i: 5 * (i + 1)] for i in range(3)]
+    out = rest[15]
+    geom_live = _rebuild_geom(slab_geom, [r[:] for r in geom_refs])
+    comps = tuple(_ext_xz_nc(b, ng) for b in blocks)
+    out[:] = _ops.divergence(comps, geom_live)[ng:-ng, :, ng:-ng]
+
+
+def _correct_kernel_xz(dt_ref, *refs, slab_geom, ng):
+    from . import operators as _ops
+    n_geom = 3 * len(_AXIS_ARRAY_FIELDS)
+    geom_refs = refs[:n_geom]
+    rest = refs[n_geom:]
+    p_ext = _ext_xz_nc(rest[:5], ng)
+    uc, vc, wc, su, sv, sw = rest[5:]
+    geom_live = _rebuild_geom(slab_geom, [r[:] for r in geom_refs])
+    dt = dt_ref[0]
+    gx = _ops.pressure_grad_face(p_ext, 0, geom_live)[ng:-ng, :, ng:-ng]
+    gy = _ops.pressure_grad_face(p_ext, 1, geom_live)[ng:-ng, :, ng:-ng]
+    gz = _ops.pressure_grad_face(p_ext, 2, geom_live)[ng:-ng, :, ng:-ng]
+    su[:] = uc[:] - dt * gx
+    sv[:] = vc[:] - dt * gy
+    sw[:] = wc[:] - dt * gz
+
+
+def _slab_call_xz(kernel, geom, fields_haloed, fields_plain, out_shapes,
+                  interpret, dt=None):
+    """Shared pallas_call assembly for the 5-block (no-corner) xz kernels.
+    Returns None when no clean (bx, bz) tiling exists."""
+    ref0 = (fields_haloed or fields_plain)[0]
+    Nx = ref0.shape[0]
+    ny = geom.axes[1].n
+    Nz = geom.axes[2].n
+    ng = 1
+    picked = _auto_bxz(Nx, ny, Nz, ng)
+    if picked is None:
+        return None
+    bx, bz = picked
+    Gx, Gz = Nx // bx, Nz // bz
+    slab_geom = _slab_geometry_xz(geom, bx, bz, ng)
+    garrs = [jnp.asarray(a, ref0.dtype) for a in _geom_arrays(slab_geom)]
+
+    def specs_for(arr):
+        blk = (bx, arr.shape[1], bz)
+        return [pl.BlockSpec(blk,
+                             lambda i, j, oi=oi, oj=oj: ((i + oi) % Gx, 0,
+                                                         (j + oj) % Gz),
+                             memory_space=pltpu.VMEM)
+                for oi, oj in _XZ_NC_OFFSETS]
+
+    in_specs = []
+    operands = []
+    if dt is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.reshape(jnp.asarray(dt, ref0.dtype), (1,)))
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in garrs]
+    operands += garrs
+    for arr in fields_haloed:
+        in_specs += specs_for(arr)
+        operands += [arr] * 5
+    for arr in fields_plain:
+        in_specs.append(pl.BlockSpec((bx, arr.shape[1], bz),
+                                     lambda i, j: (i, 0, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(arr)
+    shapes = out_shapes if isinstance(out_shapes, list) else [out_shapes]
+    out_specs = [pl.BlockSpec((bx, s.shape[1], bz), lambda i, j: (i, 0, j),
+                              memory_space=pltpu.VMEM) for s in shapes]
+    return pl.pallas_call(
+        functools.partial(kernel, slab_geom=slab_geom, ng=ng),
+        grid=(Gx, Gz),
+        in_specs=in_specs,
+        out_specs=out_specs if isinstance(out_shapes, list) else out_specs[0],
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_XZ_VMEM_LIMIT),
+        interpret=interpret,
+    )(*operands)
+
+
+def fused_divergence_xz(u, v, w, *, geom, interpret=False):
+    """Staggered divergence with 2-D (x,z) tiling (periodic-uniform x,z).
+    Returns None when no clean tiling exists."""
+    ny, nz = geom.axes[1].n, geom.axes[2].n
+    return _slab_call_xz(
+        _divergence_kernel_xz, geom, [u, v, w], [],
+        jax.ShapeDtypeStruct((u.shape[0], ny, nz), u.dtype), interpret)
+
+
+def fused_correct_xz(u, v, w, p, dt, *, geom, interpret=False):
+    """u -= dt grad(p) with 2-D (x,z) tiling (periodic-uniform x,z).
+    Returns None when no clean tiling exists."""
+    shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in (u, v, w)]
+    return _slab_call_xz(_correct_kernel_xz, geom, [p], [u, v, w], shapes,
+                         interpret, dt=dt)
+
+
 @functools.partial(jax.jit, static_argnames=("hx", "hy", "hz", "nu", "fx",
                                              "bx", "interpret"))
 def fused_predictor(u, v, w, dt, *, hx, hy, hz, nu, fx, bx=4,

@@ -229,10 +229,14 @@ class Simulation:
         solid-cell masking before the solve and re-forcing of the corrected
         velocity (reference solver.cpp:2098-2125, 2457+)."""
         geom = self.geom
-        use_fused = (self._pallas_predictor_ok == "slab"
+        mode = self._pallas_predictor_ok
+        use_fused = (mode in ("slab", "xz")
                      and geom.axes[0].periodic and geom.axes[0].uniform)
         interp = use_fused and jax.devices()[0].platform == "cpu"
-        if use_fused:
+        if mode == "xz":
+            from .ops.pallas_kernels import fused_divergence_xz
+            div = fused_divergence_xz(*comps, geom=geom, interpret=interp)
+        elif use_fused:
             from .ops.pallas_kernels import fused_divergence
             div = fused_divergence(*comps, geom=geom, interpret=interp)
         else:
@@ -249,7 +253,11 @@ class Simulation:
                             stats.status, stats.rel_residual)
         else:
             p_corr = self.poisson.solve(rhs)
-        if use_fused:
+        if mode == "xz":
+            from .ops.pallas_kernels import fused_correct_xz
+            comps = fused_correct_xz(*comps, p_corr, dt, geom=geom,
+                                     interpret=interp)
+        elif use_fused:
             from .ops.pallas_kernels import fused_correct
             comps = fused_correct(*comps, p_corr, dt, geom=geom,
                                   interpret=interp)

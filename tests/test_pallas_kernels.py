@@ -188,3 +188,64 @@ def test_fused_predictor_xz_matches_operators():
                 for o, r in zip(out, ref):
                     np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                                rtol=0, atol=1e-14)
+
+
+def test_fused_divergence_correct_xz_match_operators():
+    """5-block (no-corner) xz divergence/correction == jnp operators."""
+    import jax
+    import jax.numpy as jnp
+    from cfdnn_tpu.config import BCType
+    from cfdnn_tpu.fields import init_taylor_green
+    from cfdnn_tpu.mesh import Mesh
+    from cfdnn_tpu.ops import operators as ops
+    from cfdnn_tpu.ops.grid import Geometry
+    from cfdnn_tpu.ops.pallas_kernels import (fused_correct_xz,
+                                              fused_divergence_xz)
+
+    for bc_y, stretch in [(BCType.WALL, True), (BCType.PERIODIC, False)]:
+        cfg = Config(Nx=16, Ny=24, Nz=32, bc_y=bc_y, stretch_y=stretch,
+                     nu=0.01, nu_specified=True, dt=1e-3,
+                     adaptive_dt=False, dtype="float64")
+        mesh = Mesh.from_config(cfg)
+        geom = Geometry.make(mesh, cfg)
+        st = init_taylor_green(cfg, mesh)
+        key = jax.random.PRNGKey(0)
+        u = jax.random.normal(key, st.u.shape, jnp.float64)
+        v = jax.random.normal(key, st.v.shape, jnp.float64)
+        w = jax.random.normal(key, st.w.shape, jnp.float64)
+        p = jax.random.normal(key, (cfg.Nx, cfg.Ny, cfg.Nz), jnp.float64)
+        dref = ops.divergence((u, v, w), geom)
+        dxz = fused_divergence_xz(u, v, w, geom=geom, interpret=True)
+        np.testing.assert_allclose(np.asarray(dxz), np.asarray(dref),
+                                   rtol=0, atol=1e-13)
+        cref = ops.correct_velocity((u, v, w), p, 1e-3, geom)
+        cxz = fused_correct_xz(u, v, w, p, 1e-3, geom=geom, interpret=True)
+        for a, b in zip(cxz, cref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-14)
+
+
+def test_xz_step_trajectory_matches_jnp(monkeypatch):
+    """Full steps in forced-xz mode == the jnp path, via a shrunken slab
+    budget so a small grid takes the oversized-plane route."""
+    from cfdnn_tpu import perturbed_channel
+    from cfdnn_tpu.ops import pallas_kernels as pk
+
+    monkeypatch.setattr(pk, "_SLAB_BUDGET_CELLS", 8)   # force !slab_fits
+    base = dict(Nx=16, Ny=12, Nz=32, stretch_y=True,
+                nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
+                dtype="float64", convective_scheme=ConvectiveScheme.SKEW)
+    sim_off = Simulation(Config(use_pallas="off", **base))
+    sim_on = Simulation(Config(use_pallas="on", **base))
+    assert sim_on._pallas_predictor_ok == "xz"
+    s0 = perturbed_channel(sim_off.cfg, sim_off.mesh, amp=0.05)
+    s_off, s_on = s0, s0
+    for _ in range(4):
+        s_off, _ = sim_off.step(s_off)
+        s_on, d = sim_on.step(s_on)
+    np.testing.assert_allclose(np.asarray(s_on.u), np.asarray(s_off.u),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_on.w), np.asarray(s_off.w),
+                               rtol=0, atol=1e-12)
+    assert float(d.div_linf) < 1e-10
