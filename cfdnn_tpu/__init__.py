@@ -14,9 +14,12 @@ def _enable_compilation_cache():
     """Persistent XLA compile cache (opt-out: CFDNN_NO_COMPILE_CACHE=1).
 
     Large-grid Pallas kernels cost minutes of one-time Mosaic compile
-    (the 512^3 2-D-tiled predictor alone is ~6 min); caching makes every
+    (the 512^3 2-D-tiled predictor alone is ~5 min); caching makes every
     later process with the same shapes start in seconds. No reference
-    analogue — nvcc compiles ahead of time; XLA compiles per shape."""
+    analogue — nvcc compiles ahead of time; XLA compiles per shape.
+    Note: deployments whose PJRT plugin compiles on a remote service may
+    bypass this client-side cache; it is still effective for the standard
+    libtpu and CPU runtimes (including the f64 validation suite)."""
     if _os.environ.get("CFDNN_NO_COMPILE_CACHE"):
         return
     import jax
