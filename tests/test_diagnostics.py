@@ -169,3 +169,36 @@ def test_nan_sentinel_reports_location():
     assert r.returncode == 0, r.stderr[-2000:]
     out = r.stdout + r.stderr
     assert "[nan-sentinel]" in out and "first=(" in out, out[-2000:]
+
+
+def test_energy_spectrum_3d_parseval_and_peak():
+    """Shell-summed E(k) equals the mean KE density (Parseval), and the
+    TGV initial condition peaks at shell k=2 (|k|=(1,1,1) modes -> rint
+    sqrt(3) = 2)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from cfdnn_tpu import init_taylor_green
+    from cfdnn_tpu.config import BCType
+    from cfdnn_tpu.diagnostics import energy_spectrum_3d
+    from cfdnn_tpu.turbulence.base import cell_center_velocity
+
+    L = 2 * math.pi
+    cfg = Config(Nx=32, Ny=32, Nz=32, x_max=L, y_max=L, z_max=L,
+                 bc_y=BCType.PERIODIC, nu=1 / 1600, nu_specified=True,
+                 dt=1e-3, adaptive_dt=False, dtype="float64")
+    sim = Simulation(cfg)
+    state = init_taylor_green(cfg, sim.mesh)
+    k, E = energy_spectrum_3d(sim, state)
+    cc = cell_center_velocity((state.u, state.v, state.w), sim.geom)
+    ke = float(0.5 * sum(jnp.mean(c ** 2) for c in cc))
+    assert abs(E.sum() - ke) <= 1e-12 * max(ke, 1e-30)
+    assert int(k[np.argmax(E)]) == 2
+    # wall-bounded boxes are rejected
+    cfg_wall = Config(Nx=8, Ny=8, Nz=8, nu=0.01, nu_specified=True,
+                      dt=1e-3, adaptive_dt=False, dtype="float64")
+    sim_wall = Simulation(cfg_wall)
+    with pytest.raises(ValueError):
+        energy_spectrum_3d(sim_wall, init_taylor_green(cfg_wall,
+                                                       sim_wall.mesh))
