@@ -132,15 +132,24 @@ def _predictor_kernel(dt_ref, ul, uc, ur, vl, vc, vr, wl, wc, wr,
 
 
 
-_SLAB_BUDGET_CELLS = 4 * 128 * 128
+# The scoped-VMEM ceiling is a COMPILER default (16 MB), not the hardware
+# (v5e has 128 MB). The slab kernels raise it via CompilerParams, which
+# lets one-plane slabs of y-z planes up to ~640^2 run (512^3 in slab
+# mode with bx=1: measured 77.1 ms/step = 1740 Mcells/s, vs 102 for the
+# 2-D xz tiling and 171 for the jnp fallback). Block SIZING keeps the
+# original 16 MB-calibrated budget — bx=4 at 256^3 measured ~10% slower
+# than the tuned bx=1, so bigger blocks are not automatically better.
+_SLAB_VMEM_LIMIT = 100 * 1024 * 1024
+_SLAB_BUDGET_CELLS = 4 * 128 * 128       # bx sizing (measured-optimal)
+_SLAB_FIT_CELLS = 6 * 256 * 256          # eligibility under the raised cap
 
 
 def _auto_bx(bx, Nx, ny, nz, n_halo_blocks=12):
     """Shrink the x-slab so the kernel's VMEM working set fits.
 
     Budget calibrated to the measured fit at 128^3 with bx=4 (about
-    4*128*128 cells per block across ~30 live buffers under the 16 MB
-    scoped-VMEM limit); also forces divisibility of Nx.
+    4*128*128 cells per block across ~30 live buffers); also forces
+    divisibility of Nx.
     """
     cap = max(1, _SLAB_BUDGET_CELLS // max(ny * nz, 1))
     bx = min(bx, cap)
@@ -150,14 +159,12 @@ def _auto_bx(bx, Nx, ny, nz, n_halo_blocks=12):
 
 
 def slab_fits(geom) -> bool:
-    """Whether the MINIMUM slab block (bx = ng) fits the VMEM budget.
-
-    Above ~384^2 y-z planes even a one-plane block times ~30 live buffers
-    overflows the 16 MB scoped-VMEM limit, so the fused kernels must not
-    be selected — the caller falls back to the jnp operator path and lets
-    XLA tile. Gate discovered at 512^3 (bx floored to 1, still OOM)."""
+    """Whether the MINIMUM slab block (bx = ng) fits under the raised
+    scoped-VMEM cap. Beyond ~640^2 y-z planes even a one-plane block
+    times ~30 live buffers overflows it; the caller then takes the 2-D
+    (x,z) tiling or the jnp operator path."""
     ng = 2 if getattr(geom, "space_order", 2) >= 4 else 1
-    return ng * geom.axes[1].n * geom.axes[2].n <= _SLAB_BUDGET_CELLS
+    return ng * geom.axes[1].n * geom.axes[2].n <= _SLAB_FIT_CELLS
 
 def _slab_geometry(geom, bx: int, ng: int = 1):
     """Geometry whose x axis is a fake periodic (bx+2ng)-slab; y/z real.
@@ -276,6 +283,8 @@ def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SLAB_VMEM_LIMIT),
         interpret=interpret,
     )(dt_arr, *garrs, *triple)
 
@@ -328,6 +337,8 @@ def fused_nu_sgs(u, v, w, *, geom, model_fn, bx=4, interpret=False):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((Nx, ny, nz), u.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SLAB_VMEM_LIMIT),
         interpret=interpret,
     )(*garrs, u, u, u, v, v, v, w, w, w)
 
@@ -404,6 +415,8 @@ def _slab_call(kernel, geom, fields_tripled, fields_plain, out_shapes,
         in_specs=in_specs,
         out_specs=out_specs if isinstance(out_shapes, list) else out_specs[0],
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SLAB_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
     return out
@@ -588,6 +601,61 @@ def fused_predictor_general_xz(u, v, w, dt, *, geom, scheme, nu, fx,
     )(*operands)
 
 
+def _nu_sgs_kernel_xz(*refs, slab_geom, model_fn, ng):
+    n_geom = 3 * len(_AXIS_ARRAY_FIELDS)
+    geom_refs = refs[:n_geom]
+    rest = refs[n_geom:]
+    blocks = [rest[9 * i: 9 * (i + 1)] for i in range(3)]
+    out = rest[27]
+    geom_live = _rebuild_geom(slab_geom, [r[:] for r in geom_refs])
+    comps = tuple(_ext_xz(b, ng) for b in blocks)
+    out[:] = model_fn(comps, geom_live)[ng:-ng, :, ng:-ng]
+
+
+def fused_nu_sgs_xz(u, v, w, *, geom, model_fn, interpret=False):
+    """LES nu_sgs with 2-D (x,z) tiling for oversized planes (the
+    cell-centered gradient tensor composes x/z interpolations, so the
+    full 3x3 neighborhood is required). Returns None if no tiling."""
+    Nx = u.shape[0]
+    ny = geom.axes[1].n
+    Nz = geom.axes[2].n
+    ng = 1
+    picked = _auto_bxz(Nx, ny, Nz, ng)
+    if picked is None:
+        return None
+    bx, bz = picked
+    Gx, Gz = Nx // bx, Nz // bz
+    slab_geom = _slab_geometry_xz(geom, bx, bz, ng)
+    garrs = [jnp.asarray(a, u.dtype) for a in _geom_arrays(slab_geom)]
+
+    def specs_for(arr):
+        blk = (bx, arr.shape[1], bz)
+        return [pl.BlockSpec(blk,
+                             lambda i, j, oi=oi, oj=oj: ((i + oi) % Gx, 0,
+                                                         (j + oj) % Gz),
+                             memory_space=pltpu.VMEM)
+                for oi in (-1, 0, 1) for oj in (-1, 0, 1)]
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in garrs]
+    operands = list(garrs)
+    for arr in (u, v, w):
+        in_specs += specs_for(arr)
+        operands += [arr] * 9
+    out_spec = pl.BlockSpec((bx, ny, bz), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_nu_sgs_kernel_xz, slab_geom=slab_geom,
+                          model_fn=model_fn, ng=ng),
+        grid=(Gx, Gz),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Nx, ny, Nz), u.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_XZ_VMEM_LIMIT),
+        interpret=interpret,
+    )(*operands)
+
+
 # -- xz divergence / correction: axis-aligned stencils -> 5 blocks --------
 #
 # divergence and the pressure-gradient correction never reach diagonally,
@@ -746,5 +814,7 @@ def fused_predictor(u, v, w, dt, *, hx, hy, hz, nu, fx, bx=4,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + specs,
         out_specs=[out_spec] * 3,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SLAB_VMEM_LIMIT),
         interpret=interpret,
     )(dt_arr, u, u, u, v, v, v, w, w, w)

@@ -30,11 +30,18 @@ class LESModelBase(TurbulenceModelBase):
 
     def __init__(self, cfg, mesh, geom):
         self.cfg = cfg
-        from ..ops.pallas_kernels import slab_fits
-        self._fuse = (cfg.use_pallas != "off"
+        from ..ops.pallas_kernels import _auto_bxz, slab_fits
+        structural = (cfg.use_pallas != "off"
                       and geom.axes[0].periodic and geom.axes[0].uniform
-                      and geom.axes[0].n >= 8 and geom.axes[2].n > 1
-                      and slab_fits(geom))
+                      and geom.axes[0].n >= 8 and geom.axes[2].n > 1)
+        if structural and slab_fits(geom):
+            self._fuse = "slab"
+        elif (structural and geom.axes[2].periodic and geom.axes[2].uniform
+              and _auto_bxz(geom.axes[0].n, geom.axes[1].n,
+                            geom.axes[2].n) is not None):
+            self._fuse = "xz"   # oversized y-z planes: 2-D tiling
+        else:
+            self._fuse = False
 
     def _nu_sgs(self, sr, delta):
         raise NotImplementedError
@@ -48,6 +55,11 @@ class LESModelBase(TurbulenceModelBase):
         comps = (state.u, state.v, state.w)
         on_cpu = jax.devices()[0].platform == "cpu"
         if self._fuse and (not on_cpu or sim.cfg.use_pallas == "on"):
+            if self._fuse == "xz":
+                from ..ops.pallas_kernels import fused_nu_sgs_xz
+                return fused_nu_sgs_xz(*comps, geom=sim.geom,
+                                       model_fn=self._model_fn,
+                                       interpret=on_cpu)
             from ..ops.pallas_kernels import fused_nu_sgs
             return fused_nu_sgs(*comps, geom=sim.geom,
                                 model_fn=self._model_fn, interpret=on_cpu)

@@ -231,7 +231,7 @@ def test_xz_step_trajectory_matches_jnp(monkeypatch):
     from cfdnn_tpu import perturbed_channel
     from cfdnn_tpu.ops import pallas_kernels as pk
 
-    monkeypatch.setattr(pk, "_SLAB_BUDGET_CELLS", 8)   # force !slab_fits
+    monkeypatch.setattr(pk, "_SLAB_FIT_CELLS", 8)   # force !slab_fits
     base = dict(Nx=16, Ny=12, Nz=32, stretch_y=True,
                 nu=1e-3, nu_specified=True, dp_dx=-1e-3,
                 dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
@@ -249,3 +249,28 @@ def test_xz_step_trajectory_matches_jnp(monkeypatch):
     np.testing.assert_allclose(np.asarray(s_on.w), np.asarray(s_off.w),
                                rtol=0, atol=1e-12)
     assert float(d.div_linf) < 1e-10
+
+
+def test_fused_nu_sgs_xz_matches_unfused(monkeypatch):
+    """LES nu_sgs via the 2-D-tiled kernel == the plain jnp pipeline,
+    forced onto the xz route by a shrunken slab budget."""
+    from cfdnn_tpu import perturbed_channel
+    from cfdnn_tpu.config import TurbulenceModel
+    from cfdnn_tpu.ops import pallas_kernels as pk
+
+    monkeypatch.setattr(pk, "_SLAB_FIT_CELLS", 8)
+    base = dict(Nx=16, Ny=12, Nz=32, stretch_y=True,
+                nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
+                dtype="float64")
+    for model in (TurbulenceModel.SMAGORINSKY, TurbulenceModel.WALE):
+        sim_on = Simulation(Config(use_pallas="on", turb_model=model,
+                                   **base))
+        assert sim_on.turb._fuse == "xz"
+        sim_off = Simulation(Config(use_pallas="off", turb_model=model,
+                                    **base))
+        state = perturbed_channel(sim_on.cfg, sim_on.mesh, amp=0.1)
+        nut_on = np.asarray(sim_on.turb.nu_t(state, sim_on))
+        nut_off = np.asarray(sim_off.turb.nu_t(state, sim_off))
+        np.testing.assert_allclose(nut_on, nut_off, rtol=0, atol=1e-14,
+                                   err_msg=model.value)
