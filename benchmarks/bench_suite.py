@@ -171,12 +171,32 @@ def bench_models(n=64):
         _emit(f"model_{model.value}_{n}cube", s, n**3)
 
 
+def bench_large(n=512):
+    """Production-scale single-chip TGV (one-plane slab kernels under the
+    raised scoped-VMEM cap; README 512^3 rows). NOT in `all`: the Mosaic
+    compile is ~2 min and the run needs ~8 GB of HBM headroom."""
+    from cfdnn_tpu import (BCType, Config, Simulation, init_taylor_green)
+    cfg = Config(Nx=n, Ny=n, Nz=n, bc_y=BCType.PERIODIC,
+                 x_max=2 * np.pi, y_max=2 * np.pi, z_max=2 * np.pi,
+                 nu=0.000625, nu_specified=True, dt=1e-3,
+                 adaptive_dt=False, benchmark=True,
+                 dtype="float32").finalize()
+    sim = Simulation(cfg)
+    s = _time_run(sim, init_taylor_green(cfg, sim.mesh), steps=20, reps=3)
+    _emit(f"tgv_{n}cube_large", s, n**3,
+          {"pallas_mode": str(sim._pallas_predictor_ok)})
+
+
 ALL = {"tgv": bench_tgv, "channel": bench_channel,
        "poisson": bench_poisson, "les_ibm": bench_les_ibm,
        "models": bench_models}
+EXTRA = {"large": bench_large}
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     for name, fn in ALL.items():
         if which in (name, "all"):
+            fn()
+    for name, fn in EXTRA.items():
+        if which == name:
             fn()

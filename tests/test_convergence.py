@@ -188,3 +188,33 @@ class TestTemporalConvergence:
                 for n in (16, 32)]
         order = np.log2(errs[0] / errs[1])
         assert 0.7 < order < 1.5, (errs, order)
+
+
+@pytest.mark.slow
+def test_duct_laminar_bulk_vs_series(record_qoi):
+    """Steady laminar square-duct bulk velocity vs the exact Fourier-series
+    solution (reference duct validation, app/main_duct.cpp): rest start,
+    walls in BOTH y and z, O2 at a 32x32 cross-section lands within 0.5%.
+    """
+    from cfdnn_tpu import zero_state
+    from cfdnn_tpu.config import BCType, SimulationMode
+    from cfdnn_tpu.ops.operators import f2c_mean
+
+    cfg = Config(Nx=8, Ny=32, Nz=32, x_max=1.0, y_min=-1.0, y_max=1.0,
+                 z_min=-1.0, z_max=1.0, bc_y=BCType.WALL, bc_z=BCType.WALL,
+                 nu=0.05, nu_specified=True, dp_dx=-1.0,
+                 dp_dx_specified=True, dt=2e-3, adaptive_dt=False,
+                 simulation_mode=SimulationMode.STEADY, tol=1e-9,
+                 max_steps=20000, dtype="float64")
+    sim = Simulation(cfg)
+    state, diags = sim.solve_steady(zero_state(cfg))
+    u_c = np.asarray(f2c_mean(state.u, 0, sim.geom.axes[0]))
+    u_bulk = float(u_c.mean())
+    a = 1.0
+    G = 1.0 / cfg.rho
+    s = sum(np.tanh(n * np.pi / 2.0) / n**5 for n in range(1, 80, 2))
+    Q = (G * a**4 / (3.0 * cfg.nu)) * (1.0 - 192.0 / np.pi**5 * s) * 4.0
+    u_exact = Q / (cfg.Ly * cfg.Lz)
+    rel = abs(u_bulk - u_exact) / u_exact
+    record_qoi("duct_bulk_rel_err_steady", rel)
+    assert rel < 5e-3, (u_bulk, u_exact, rel)
