@@ -355,6 +355,11 @@ class Config:
             return float(raw)
         if ftype in ("bool", bool):
             return raw.lower() in ("1", "true", "yes", "on")
+        ft = str(ftype)
+        if ft.startswith(("Tuple[int", "tuple[int")):
+            return tuple(int(x) for x in raw.split(","))
+        if ft.startswith(("Tuple[str", "tuple[str")):
+            return tuple(raw.split(","))
         return raw
 
     @classmethod

@@ -50,6 +50,19 @@ def shard_state(state, mesh: Mesh, axis: str = Z_AXIS):
     return jax.device_put(state, state_shardings(state, mesh, axis))
 
 
+def diag_shardings(mesh: Mesh):
+    """Replicated shardings for the scalar StepDiagnostics pytree."""
+    from ..solver import StepDiagnostics
+    import jax.numpy as jnp
+    return jax.tree.map(
+        lambda _: NamedSharding(mesh, P()),
+        StepDiagnostics(
+            residual=jnp.zeros(()), div_linf=jnp.zeros(()),
+            dt=jnp.zeros(()), ke=jnp.zeros(()),
+            nan_flag=jnp.zeros((), bool)),
+    )
+
+
 def sharded_step(sim, mesh: Mesh, axis: str = Z_AXIS):
     """Jit the simulation step with explicit in/out shardings over `mesh`.
 
@@ -59,14 +72,5 @@ def sharded_step(sim, mesh: Mesh, axis: str = Z_AXIS):
     """
     ex_state = sim.initial_state()
     sh = state_shardings(ex_state, mesh, axis)
-    from ..solver import StepDiagnostics
-    import jax.numpy as jnp
-    diag_sh = jax.tree.map(
-        lambda _: NamedSharding(mesh, P()),
-        StepDiagnostics(
-            residual=jnp.zeros(()), div_linf=jnp.zeros(()),
-            dt=jnp.zeros(()), ke=jnp.zeros(()),
-            nan_flag=jnp.zeros((), bool)),
-    )
     return jax.jit(sim._step_impl, in_shardings=(sh,),
-                   out_shardings=(sh, diag_sh))
+                   out_shardings=(sh, diag_shardings(mesh)))

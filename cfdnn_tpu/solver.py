@@ -76,6 +76,22 @@ class Simulation:
             from .recycling import RecyclingInflow
             self.recycling = RecyclingInflow(cfg, self.mesh, self.dtype)
         self._pallas_predictor_ok = self._pallas_eligible()
+        self._build_jits()
+
+    def _build_jits(self) -> None:
+        """Compile the step entries. With Config.mesh_shape > (1,) a
+        device mesh is built (the reference's mpirun -np N launch,
+        decomposition.hpp:28-44 — here a config knob: `--mesh_shape 8` on
+        any app CLI); `initialize` places the state z-sharded onto it and
+        GSPMD partitions the step from the input shardings."""
+        n_dev = 1
+        for d in (self.cfg.mesh_shape or (1,)):
+            n_dev *= int(d)
+        self.device_mesh = None
+        if n_dev > 1:
+            from .parallel.sharding import device_mesh
+            self._mesh_axis = (self.cfg.mesh_axes or ("z",))[0]
+            self.device_mesh = device_mesh(n_dev, axis=self._mesh_axis)
         self._step_jit = jax.jit(self._step_impl)
         self._nsteps_jit = jax.jit(self._nsteps_impl, static_argnums=(1,))
 
@@ -93,8 +109,7 @@ class Simulation:
         # the fused predictor only replaces the RHS+star; IBM forcing still
         # applies afterwards in _euler_substep, so the fast path stays valid
         self._pallas_predictor_ok = self._pallas_eligible()
-        self._step_jit = jax.jit(self._step_impl)
-        self._nsteps_jit = jax.jit(self._nsteps_impl, static_argnums=(1,))
+        self._build_jits()
 
     # ------------------------------------------------------------------
     # Construction helpers
@@ -118,6 +133,14 @@ class Simulation:
         where steps dwarf the compile."""
         cfg = self.cfg
         if cfg.use_pallas == "off":
+            return False
+        n_dev = 1
+        for d in (cfg.mesh_shape or (1,)):
+            n_dev *= int(d)
+        if n_dev > 1:
+            # GSPMD cannot partition a Pallas custom call across the mesh;
+            # the jnp operator path shards cleanly (shard_map-wrapped
+            # kernels are future work)
             return False
         x = self.geom.axes[0]
         z = self.geom.axes[2]
@@ -179,6 +202,9 @@ class Simulation:
             iu, iv, iw = self.recycling.init_buffers(
                 (state.u, state.v, state.w))
             state = state.replace(inlet_u=iu, inlet_v=iv, inlet_w=iw)
+        if self.device_mesh is not None:
+            from .parallel.sharding import shard_state
+            state = shard_state(state, self.device_mesh, self._mesh_axis)
         return state
 
     def project_initial_velocity(self, state: State) -> State:
