@@ -22,6 +22,12 @@ def _enable_compilation_cache():
     libtpu and CPU runtimes (including the f64 validation suite)."""
     if _os.environ.get("CFDNN_NO_COMPILE_CACHE"):
         return
+    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+        # CPU AOT cache entries encode the compile host's microarch
+        # features; under remote-compile helpers the loader warns the
+        # machine types mismatch ("could lead to SIGILL"). CPU compiles
+        # are cheap anyway — cache only accelerator programs.
+        return
     import jax
     if jax.config.jax_compilation_cache_dir:
         return   # user already configured one
