@@ -217,7 +217,7 @@ class Config:
     # MXU precision of the eigenbasis matmuls: "default" (1-pass bf16,
     # fastest, ~1.8e-3 div at 128^3), "high" (3-pass, ~8e-6 div, ~2% step
     # cost), "highest" (6-pass ~f32)
-    poisson_matmul_precision: str = "high"
+    poisson_matmul_precision: str = "auto"  # "auto" | "default" | "high" | "highest"
 
     # --- Guards / watchdogs ----------------------------------------------
     turb_guard_enabled: bool = True

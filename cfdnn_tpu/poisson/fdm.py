@@ -133,31 +133,42 @@ class FDMPoissonSolver:
         Laplacian."""
         self.dtype = jnp.dtype(dtype or cfg.poisson_dtype or cfg.dtype)
         self.geom = geom
-        self.refine = cfg.poisson_refine
-        if self.refine < 0:
-            # auto: f64 is already at 1e-14; in f32 the "high" transforms
-            # alone reach ~8e-6 divergence at 128^3 / ~1.8e-5 at 256^3, and
-            # the roundoff amplification grows ~sqrt(N) — one refinement
-            # pass keeps very large grids at the f32 floor (~2-4e-6) for
-            # ~35-50% step cost
-            if self.dtype == jnp.float64:
-                self.refine = 0
-            else:
-                self.refine = 1 if max(mesh.x.n, mesh.y.n, mesh.z.n) >= 384 \
-                    else 0
-        if geom is None:
-            self.refine = 0
         import jax as _jax
         _precisions = {
             "default": None,
             "high": _jax.lax.Precision.HIGH,
             "highest": _jax.lax.Precision.HIGHEST,
         }
-        if cfg.poisson_matmul_precision not in _precisions:
+        big = max(mesh.x.n, mesh.y.n, mesh.z.n) >= 384
+        prec = cfg.poisson_matmul_precision
+        if prec == "auto":
+            # Measured on v5e at 512^3 (f32, smooth RHS): one HIGHEST
+            # (bf16x6) solve = 33.7 ms at rel residual 1.36e-4, vs
+            # HIGH + 1 refinement = 54.4 ms at 7.7e-5 — refinement's
+            # extra digit is not worth 60% more solve time, and HIGHEST
+            # alone bounds the error as cond(L)*eps_bf16x6. Below 384 the
+            # transforms are bandwidth-bound and HIGH already sits at the
+            # f32 floor, so the extra passes would be pure cost.
+            prec = "highest" if (big and self.dtype != jnp.float64) \
+                else "high"
+        if prec not in _precisions:
             raise ValueError(
                 f"poisson_matmul_precision={cfg.poisson_matmul_precision!r}"
-                f" — expected one of {sorted(_precisions)}")
-        self.precision = _precisions[cfg.poisson_matmul_precision]
+                f" — expected one of {sorted(_precisions) + ['auto']}")
+        self.precision = _precisions[prec]
+        self.precision_name = prec
+        self.refine = cfg.poisson_refine
+        if self.refine < 0:
+            # auto: f64 is already at 1e-14; in f32 the auto-HIGHEST
+            # transforms hold large grids at ~1e-4 relative residual
+            # without refinement (see above); a user-forced HIGH at large
+            # N still gets one refinement pass to recover the lost digits
+            if self.dtype == jnp.float64 or prec == "highest":
+                self.refine = 0
+            else:
+                self.refine = 1 if big else 0
+        if geom is None:
+            self.refine = 0
         if transform == "auto":
             import jax
             try:
