@@ -17,18 +17,21 @@ def _enable_compilation_cache():
     (the 512^3 2-D-tiled predictor alone is ~5 min); caching makes every
     later process with the same shapes start in seconds. No reference
     analogue — nvcc compiles ahead of time; XLA compiles per shape.
-    Note: deployments whose PJRT plugin compiles on a remote service may
-    bypass this client-side cache; it is still effective for the standard
-    libtpu and CPU runtimes (including the f64 validation suite)."""
+    Notes: deployments whose PJRT plugin compiles on a remote service may
+    bypass this client-side cache, and CPU runs (e.g. the f64 validation
+    suite) are deliberately NOT cached — see below."""
     if _os.environ.get("CFDNN_NO_COMPILE_CACHE"):
         return
-    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
-        # CPU AOT cache entries encode the compile host's microarch
-        # features; under remote-compile helpers the loader warns the
-        # machine types mismatch ("could lead to SIGILL"). CPU compiles
-        # are cheap anyway — cache only accelerator programs.
-        return
     import jax
+    plats = (_os.environ.get("JAX_PLATFORMS", "")
+             + "," + str(jax.config.jax_platforms or ""))
+    if "cpu" in plats.lower():
+        # CPU AOT cache entries encode the compile host's microarch
+        # features; loading them on a different machine (shared home dir,
+        # remote-compile helper) warns of machine-type mismatch and "could
+        # lead to SIGILL". CPU compiles are cheap anyway — cache only
+        # accelerator programs.
+        return
     if jax.config.jax_compilation_cache_dir:
         return   # user already configured one
     cache = _os.path.join(_os.path.expanduser("~"), ".cache", "cfdnn_tpu",

@@ -39,7 +39,12 @@ def rollout(sim, params, state, n_steps: int, remat: bool = True):
             "rollout(params=...) requires an NN closure (nn_mlp / nn_tbnn);"
             f" got {type(model).__name__}")
     saved = model.mlp
+    saved_mode = sim._pallas_predictor_ok
     model.mlp = params
+    # pallas_call has no reverse-mode AD rule, so the fused TPU fast paths
+    # cannot sit inside a jax.grad region — trace the jnp operator path
+    # (identical math; the Pallas kernels are parity-tested against it)
+    sim._pallas_predictor_ok = False
     try:
         def one(c, _):
             s, _d = sim._step_impl(c, with_diags=False)
@@ -49,6 +54,7 @@ def rollout(sim, params, state, n_steps: int, remat: bool = True):
         state, _ = jax.lax.scan(body, state, None, length=n_steps)
     finally:
         model.mlp = saved
+        sim._pallas_predictor_ok = saved_mode
     return state
 
 

@@ -451,13 +451,14 @@ def fused_correct(u, v, w, p, dt, *, geom, bx=8, interpret=False):
 # blocks are required: skew convection composes x- and z-interpolations, so
 # the stencil reaches diagonally.
 #
-# PERF NOTE (measured 512^3 TGV, v5e, warm): 110.6 ms/step (1213 Mcells/s)
-# vs 171.1 ms for the XLA operator fallback — a 1.55x step win despite the
-# 27-block fetch amplification and the 128-lane padding of the (bz+2)-lane
-# halo concats. The cost is a one-time ~6 min Mosaic compile of the
-# 27-input kernel, acceptable for production-scale runs. (Beware when
-# benchmarking: an unwarmed timing at this size measures the compile, not
-# the step.)
+# PERF NOTE (512^3 TGV, v5e, warm, benchmark mode): the xz tiling runs
+# 102.0 ms/step vs 171.1 for the XLA operator fallback — but the 1-D slab
+# kernels under the raised VMEM cap beat both at 55.1 ms/step, so xz is
+# only auto-selected beyond the slab fit (~640^2 planes). Costs: ~5 min
+# one-time Mosaic compile of the 27-input kernel, 27-block fetch
+# amplification, and 128-lane padding of the (bz+2)-lane halo concats.
+# (Beware when benchmarking: an unwarmed timing at this size measures the
+# compile, not the step.)
 
 
 def _slab_geometry_xz(geom, bx: int, bz: int, ng: int = 1):

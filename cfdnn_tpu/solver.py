@@ -84,11 +84,17 @@ class Simulation:
         decomposition.hpp:28-44 — here a config knob: `--mesh_shape 8` on
         any app CLI); `initialize` places the state z-sharded onto it and
         GSPMD partitions the step from the input shardings."""
+        shape = tuple(int(d) for d in (self.cfg.mesh_shape or (1,)))
         n_dev = 1
-        for d in (self.cfg.mesh_shape or (1,)):
-            n_dev *= int(d)
+        for d in shape:
+            n_dev *= d
         self.device_mesh = None
         if n_dev > 1:
+            if sum(d > 1 for d in shape) > 1:
+                raise NotImplementedError(
+                    f"mesh_shape={shape}: only 1-D (z-slab) decomposition "
+                    "is implemented — use mesh_shape=(N,) (the reference "
+                    "is also 1-D, decomposition.hpp:28-44)")
             from .parallel.sharding import device_mesh
             self._mesh_axis = (self.cfg.mesh_axes or ("z",))[0]
             self.device_mesh = device_mesh(n_dev, axis=self._mesh_axis)
@@ -126,11 +132,11 @@ class Simulation:
         VMEM), "xz" (2-D tiles for grids whose planes overflow the slab
         budget; needs periodic-uniform z too), or False.
 
-        Measured at 512^3 TGV on v5e (warm): xz 110.6 ms/step (1213
-        Mcells/s) vs 171.1 ms for the XLA operator fallback — a 1.55x
-        step win, at the cost of a one-time ~6 min Mosaic compile of the
-        27-input kernel. Auto mode selects it for production-scale runs
-        where steps dwarf the compile."""
+        Measured at 512^3 TGV on v5e (warm, benchmark mode): slab 55.1
+        ms/step, xz 102.0, XLA operator fallback 171.1 — so "slab" covers
+        everything its VMEM fit allows (~640^2 planes) and "xz" takes the
+        larger grids. Both cost minutes of one-time Mosaic compile at
+        production sizes (see ops/pallas_kernels.py PERF NOTE)."""
         cfg = self.cfg
         if cfg.use_pallas == "off":
             return False

@@ -31,7 +31,11 @@ class LESModelBase(TurbulenceModelBase):
     def __init__(self, cfg, mesh, geom):
         self.cfg = cfg
         from ..ops.pallas_kernels import _auto_bxz, slab_fits
+        n_dev = 1
+        for d in (cfg.mesh_shape or (1,)):
+            n_dev *= int(d)
         structural = (cfg.use_pallas != "off"
+                      and n_dev == 1   # GSPMD can't partition a custom call
                       and geom.axes[0].periodic and geom.axes[0].uniform
                       and geom.axes[0].n >= 8 and geom.axes[2].n > 1)
         if structural and slab_fits(geom):

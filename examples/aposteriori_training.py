@@ -23,7 +23,6 @@ import jax.numpy as jnp  # noqa: E402
 from cfdnn_tpu import Config, Simulation, init_poiseuille  # noqa: E402
 from cfdnn_tpu.config import TurbulenceModel  # noqa: E402
 from cfdnn_tpu.ml.adjoint import fit_closure, rollout  # noqa: E402
-from cfdnn_tpu.turbulence.base import wall_distance  # noqa: E402
 from cfdnn_tpu.turbulence.nn_core import MLP  # noqa: E402
 from cfdnn_tpu.turbulence.nn_models import NNMLPModel  # noqa: E402
 
@@ -37,13 +36,7 @@ def build_sim(mlp):
     )
     sim = Simulation(cfg.with_(turb_model=TurbulenceModel.NONE))
     sim.cfg = cfg
-    model = NNMLPModel.__new__(NNMLPModel)
-    model.mlp = mlp
-    model.nu = cfg.nu
-    model.delta = 0.5 * cfg.Ly
-    model.nu_t_max = cfg.nu_t_max
-    model.y_wall = wall_distance(sim.mesh, cfg, sim.geom.dtype)
-    sim.turb = model
+    sim.turb = NNMLPModel(cfg, sim.mesh, sim.geom, mlp=mlp)
     return sim
 
 

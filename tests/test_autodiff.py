@@ -38,14 +38,7 @@ def _mlp_sim():
     from cfdnn_tpu.turbulence.nn_models import NNMLPModel
     sim = Simulation(cfg.with_(turb_model=TurbulenceModel.NONE))
     sim.cfg = cfg
-    model = NNMLPModel.__new__(NNMLPModel)
-    model.mlp = mlp
-    model.nu = cfg.nu
-    model.delta = 0.5 * cfg.Ly
-    model.nu_t_max = cfg.nu_t_max
-    from cfdnn_tpu.turbulence.base import wall_distance
-    model.y_wall = wall_distance(sim.mesh, cfg, sim.geom.dtype)
-    sim.turb = model
+    sim.turb = NNMLPModel(cfg, sim.mesh, sim.geom, mlp=mlp)
     return sim, mlp
 
 
