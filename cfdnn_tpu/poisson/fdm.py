@@ -48,10 +48,11 @@ class PoissonStats:
 
 @dataclasses.dataclass
 class _AxisTransform:
-    kind: str                      # 'fft' | 'eig' | 'none'
+    kind: str                      # 'fft' | 'eig' | 'fht' | 'none'
     lam: np.ndarray                # eigenvalues (modal Laplacian symbol)
     V: Optional[np.ndarray] = None     # eig: inverse-transform matrix
     Vinv: Optional[np.ndarray] = None  # eig: forward-transform matrix
+    fht: Optional[object] = None       # fht: FHTAxis constants
 
 
 def _periodic_eig(ax, order: int) -> _AxisTransform:
@@ -178,15 +179,36 @@ class FDMPoissonSolver:
             transform = "matmul" if on_tpu else "fft"
         self.transform = transform
         bcs = (cfg.bc_x, cfg.bc_y, cfg.bc_z)
+
+        def _build_axis(a, axd, bc):
+            kinds = pressure_bc_kinds(cfg, a)
+            if transform == "fht" and bc == BCType.PERIODIC and axd.n > 1:
+                # four-step Hartley: factorized cas matmuls, digit-permuted
+                # modal order (poisson/fht.py); falls back to the dense
+                # eigenbasis when N does not factor
+                from .fht import FHTAxis
+                base = _axis_transform(axd, bc, kinds,
+                                       order=cfg.space_order,
+                                       periodic_matmul=False)
+                fx = FHTAxis.make(axd.n, self.dtype)
+                if fx is not None and axd.n >= 32:
+                    return _AxisTransform(kind="fht",
+                                          lam=fx.lam_permuted(base.lam),
+                                          fht=fx)
+                return _axis_transform(axd, bc, kinds,
+                                       order=cfg.space_order,
+                                       periodic_matmul=True)
+            return _axis_transform(axd, bc, kinds, order=cfg.space_order,
+                                   periodic_matmul=(transform == "matmul"))
+
         self.tr = [
-            _axis_transform(axd, bc, pressure_bc_kinds(cfg, a),
-                            order=cfg.space_order,
-                            periodic_matmul=(transform == "matmul"))
+            _build_axis(a, axd, bc)
             for a, (axd, bc) in enumerate(zip((mesh.x, mesh.y, mesh.z), bcs))
         ]
         # rfft on the *last* FFT axis for the real-input bandwidth saving
         self.fft_axes = tuple(i for i, t in enumerate(self.tr) if t.kind == "fft")
         self.eig_axes = tuple(i for i, t in enumerate(self.tr) if t.kind == "eig")
+        self.fht_axes = tuple(i for i, t in enumerate(self.tr) if t.kind == "fht")
         shape = [mesh.x.n, mesh.y.n, mesh.z.n]
         # invert, pinning (near-)null modes to zero => mean-free solution
         self.all_neumann = all(
@@ -283,15 +305,20 @@ class FDMPoissonSolver:
         reduction pass saved on each end (global reductions measure ~25x
         an elementwise pass on TPU).
         """
+        from .fht import fht_forward, fht_inverse
         f = rhs.astype(self.dtype)
         for i in self.eig_axes:
             f = self._apply_mat(self.mats[i][0], f, i)
+        for i in self.fht_axes:
+            f = fht_forward(f, i, self.tr[i].fht, precision=self.precision)
         if self.fft_axes:
             f = jnp.fft.rfftn(f, axes=self.fft_axes)
         f = f * self._inv_lam()
         if self.fft_axes:
             sizes = [rhs.shape[a] for a in self.fft_axes]
             f = jnp.fft.irfftn(f, s=sizes, axes=self.fft_axes)
+        for i in self.fht_axes:
+            f = fht_inverse(f, i, self.tr[i].fht, precision=self.precision)
         for i in self.eig_axes:
             f = self._apply_mat(self.mats[i][1], f, i)
         return f.astype(rhs.dtype)
@@ -304,16 +331,20 @@ class FDMPoissonSolver:
         return p, PoissonStats(cycles=0, status="DIRECT", rel_residual=r)
 
     def _residual_norm(self, rhs, p):
-        f = p.astype(self.dtype)
-        for i in self.eig_axes:
-            f = self._apply_mat(self.mats[i][0], f, i)
-        if self.fft_axes:
-            f = jnp.fft.rfftn(f, axes=self.fft_axes)
-        g = rhs.astype(self.dtype)
-        for i in self.eig_axes:
-            g = self._apply_mat(self.mats[i][0], g, i)
-        if self.fft_axes:
-            g = jnp.fft.rfftn(g, axes=self.fft_axes)
+        from .fht import fht_forward
+
+        def fwd(f):
+            for i in self.eig_axes:
+                f = self._apply_mat(self.mats[i][0], f, i)
+            for i in self.fht_axes:
+                f = fht_forward(f, i, self.tr[i].fht,
+                                precision=self.precision)
+            if self.fft_axes:
+                f = jnp.fft.rfftn(f, axes=self.fft_axes)
+            return f
+
+        f = fwd(p.astype(self.dtype))
+        g = fwd(rhs.astype(self.dtype))
         lam = jnp.where(jnp.abs(self._lam_total()) < self._null_thr,
                         0.0, self._lam_total())
         num = jnp.linalg.norm((lam * f - g).reshape(-1))

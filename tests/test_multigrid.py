@@ -190,3 +190,41 @@ def test_float64_config_enables_x64(tmp_path):
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, env=env, timeout=300)
     assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_fht_transform_matches_matmul():
+    """Four-step fast-Hartley Poisson (transform="fht") == the dense
+    eigenbasis path to machine precision, incl. O4 symbols and mixed
+    wall/stretched axes (poisson/fht.py; opt-in — see its PERF NOTE)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from cfdnn_tpu.config import BCType
+    from cfdnn_tpu.mesh import Mesh
+    from cfdnn_tpu.ops import operators as ops
+    from cfdnn_tpu.ops.grid import Geometry
+    from cfdnn_tpu.poisson.fdm import FDMPoissonSolver
+
+    rng = np.random.default_rng(0)
+    L = 2 * math.pi
+    for dims, bc_y, stretch, order in [
+            ((64, 64, 64), BCType.PERIODIC, False, 2),
+            ((64, 48, 32), BCType.WALL, True, 2),
+            ((64, 64, 64), BCType.PERIODIC, False, 4)]:
+        cfg = Config(Nx=dims[0], Ny=dims[1], Nz=dims[2], x_max=L,
+                     y_max=L if bc_y == BCType.PERIODIC else 1.0,
+                     z_max=L, bc_y=bc_y, stretch_y=stretch,
+                     space_order=order, nu=1e-3, nu_specified=True,
+                     dt=1e-3, adaptive_dt=False, dtype="float64")
+        mesh = Mesh.from_config(cfg)
+        geom = Geometry.make(mesh, cfg)
+        rhs = jnp.asarray(rng.standard_normal(dims))
+        rhs = rhs - jnp.mean(rhs)
+        s = FDMPoissonSolver(mesh, cfg, transform="fht", geom=geom)
+        assert "fht" in s.name
+        p = s.solve(rhs)
+        r = np.asarray(ops.laplacian(p, geom)) - np.asarray(rhs)
+        r -= r.mean()
+        assert np.abs(r).max() < 5e-12, (dims, bc_y, np.abs(r).max())
