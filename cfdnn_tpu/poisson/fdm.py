@@ -126,12 +126,17 @@ class FDMPoissonSolver:
 
     def __init__(self, mesh: Mesh, cfg: Config, dtype=None,
                  transform: str = "auto", geom=None):
-        """transform: 'fft' | 'matmul' | 'auto' for the periodic axes.
-        'matmul' diagonalizes via real eigenbases on the MXU; 'auto' picks
-        matmul on TPU (XLA's FFT lowering is far off the roofline there)
-        and fft elsewhere. `geom` (ops.grid.Geometry) enables iterative
+        """transform: 'fft' | 'matmul' | 'fht' | 'auto' for the periodic
+        axes. 'matmul' diagonalizes via real eigenbases on the MXU; 'fht'
+        is the factorized fast-Hartley opt-in (poisson/fht.py — see its
+        PERF NOTE for why it is not the default); 'auto' picks matmul on
+        TPU (XLA's FFT lowering is far off the roofline there) and fft
+        elsewhere. `geom` (ops.grid.Geometry) enables iterative
         refinement (cfg.poisson_refine) via the consistent stencil
         Laplacian."""
+        if transform not in ("fft", "matmul", "fht", "auto"):
+            raise ValueError(f"transform={transform!r} — expected one of "
+                             "'fft' | 'matmul' | 'fht' | 'auto'")
         self.dtype = jnp.dtype(dtype or cfg.poisson_dtype or cfg.dtype)
         self.geom = geom
         import jax as _jax
@@ -185,13 +190,14 @@ class FDMPoissonSolver:
             if transform == "fht" and bc == BCType.PERIODIC and axd.n > 1:
                 # four-step Hartley: factorized cas matmuls, digit-permuted
                 # modal order (poisson/fht.py); falls back to the dense
-                # eigenbasis when N does not factor
+                # eigenbasis when N is too small or does not factor
                 from .fht import FHTAxis
-                base = _axis_transform(axd, bc, kinds,
-                                       order=cfg.space_order,
-                                       periodic_matmul=False)
-                fx = FHTAxis.make(axd.n, self.dtype)
-                if fx is not None and axd.n >= 32:
+                fx = FHTAxis.make(axd.n, self.dtype) if axd.n >= 32 \
+                    else None
+                if fx is not None:
+                    base = _axis_transform(axd, bc, kinds,
+                                           order=cfg.space_order,
+                                           periodic_matmul=False)
                     return _AxisTransform(kind="fht",
                                           lam=fx.lam_permuted(base.lam),
                                           fht=fx)

@@ -223,7 +223,7 @@ def test_fht_transform_matches_matmul():
         rhs = jnp.asarray(rng.standard_normal(dims))
         rhs = rhs - jnp.mean(rhs)
         s = FDMPoissonSolver(mesh, cfg, transform="fht", geom=geom)
-        assert "fht" in s.name
+        assert s.fht_axes, s.name   # the factorized path, not a fallback
         p = s.solve(rhs)
         r = np.asarray(ops.laplacian(p, geom)) - np.asarray(rhs)
         r -= r.mean()
