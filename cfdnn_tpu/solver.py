@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import (Config, ConvectiveScheme, PoissonSolverType,
+from .config import (BCType, Config, ConvectiveScheme, PoissonSolverType,
                      TimeIntegrator, TurbulenceModel)
 from .fields import State, zero_state
 from .mesh import Mesh
@@ -100,6 +100,20 @@ class Simulation:
             self.device_mesh = device_mesh(n_dev, axis=self._mesh_axis)
         self._step_jit = jax.jit(self._step_impl)
         self._nsteps_jit = jax.jit(self._nsteps_impl, static_argnums=(1,))
+
+    def _apply_bc(self, comps):
+        """apply_velocity_bc + inlet-face pinning for the bare (non-
+        recycling) inflow/outflow pair: the momentum update otherwise
+        advances the inlet face like an interior point and the inflow
+        drifts (measured: u_in 1.01 -> 1.75 by t=14 on the Re=100
+        cylinder before blow-up). The profile is captured at
+        `initialize()`; with neumann-p at the inlet the projection leaves
+        the pinned face untouched."""
+        comps = apply_velocity_bc(*comps, self.geom)
+        inflow = getattr(self, "_inflow_u", None)
+        if inflow is not None:
+            comps = (comps[0].at[0].set(inflow), comps[1], comps[2])
+        return comps
 
     def set_ibm_forcing(self, body) -> None:
         """Attach an immersed body (reference RANSSolver::set_ibm_forcing).
@@ -208,6 +222,10 @@ class Simulation:
             iu, iv, iw = self.recycling.init_buffers(
                 (state.u, state.v, state.w))
             state = state.replace(inlet_u=iu, inlet_v=iv, inlet_w=iw)
+        if self.cfg.bc_x == BCType.INFLOW and self.recycling is None:
+            # bare inflow/outflow: the IC's inlet face IS the inflow
+            # profile; capture it so _apply_bc can pin it every step
+            self._inflow_u = state.u[0]
         if self.device_mesh is not None:
             from .parallel.sharding import shard_state
             state = shard_state(state, self.device_mesh, self._mesh_axis)
@@ -261,6 +279,22 @@ class Simulation:
         solid-cell masking before the solve and re-forcing of the corrected
         velocity (reference solver.cpp:2098-2125, 2457+)."""
         geom = self.geom
+        if (self.cfg.bc_x == BCType.INFLOW and self.recycling is None):
+            # Bare (non-recycling) inflow/outflow pair: pin the outlet mass
+            # flux to the inlet's by a uniform offset on the outlet face so
+            # the Poisson RHS stays globally solvable. Without this, the
+            # zero-gradient outlet drifts and a long run blows up (measured:
+            # NaN by t~60 on the Re=100 cylinder at 19 cells/D). The
+            # reference only corrects flux in its recycling path
+            # (solver_recycling.cpp:771-800) — this hardens the plain mode.
+            u = comps[0]
+            wy = jnp.asarray(geom.axes[1].d, u.dtype).reshape(-1, 1)
+            wz = jnp.asarray(geom.axes[2].d, u.dtype).reshape(1, -1)
+            w = wy * wz
+            w = w / jnp.sum(w)
+            q_in = jnp.sum(u[0] * w)
+            q_out = jnp.sum(u[-1] * w)
+            comps = (u.at[-1].add(q_in - q_out), comps[1], comps[2])
         mode = self._pallas_predictor_ok
         use_fused = (mode in ("slab", "xz")
                      and geom.axes[0].periodic and geom.axes[0].uniform)
@@ -299,7 +333,7 @@ class Simulation:
             comps, f = self.ibm.apply(comps, dt, accumulate=forces is not None)
             if forces is not None:
                 forces.append(f)
-        comps = apply_velocity_bc(*comps, geom)
+        comps = self._apply_bc(comps)
         return comps, p_corr
 
     def _euler_substep(self, comps, nu_t, dt, forces=None, t=0.0,
@@ -337,7 +371,7 @@ class Simulation:
             star = tuple(c + dt * r for c, r in zip(comps, rhs))
         if self.trip is not None:
             star = self.trip.apply(star, dt, t)    # reference :1724-1810
-        star = apply_velocity_bc(*star, self.geom)
+        star = self._apply_bc(star)
         if self.recycling is not None and inlet is not None:
             # inlet BC + inlet continuity + fringe on u* BEFORE the Poisson
             # solve (reference solver.cpp:1857-1861); the projection then
@@ -350,7 +384,7 @@ class Simulation:
             nu_eff = (jnp.asarray(cfg.nu, self.dtype) if nu_t is None
                       else cfg.nu + nu_t)
             star = implicit_y_diffusion(star, nu_eff, dt, self.geom)
-            star = apply_velocity_bc(*star, self.geom)
+            star = self._apply_bc(star)
         if self.ibm is not None:
             star, f = self.ibm.apply(star, dt, accumulate=forces is not None)
             if forces is not None:
@@ -398,7 +432,7 @@ class Simulation:
             self._nan_sentinel("rk2:s1", s1, dt)
             s2 = self._euler_substep(s1, nu_t, dt, forces, t, inlet)
             s2 = blend(comps, 0.5, s2, 0.5)
-            s2 = apply_velocity_bc(*s2, self.geom)
+            s2 = self._apply_bc(s2)
             s2, pc2 = self._project(s2, dt, forces, inlet)
             self._nan_sentinel("rk2:s2", s2, dt)
             return s2, p + pc1 + pc2
@@ -408,12 +442,12 @@ class Simulation:
         self._nan_sentinel("rk3:s1", s1, dt)
         s2 = self._euler_substep(s1, nu_t, dt, forces, t, inlet)
         s2 = blend(comps, 0.75, s2, 0.25)
-        s2 = apply_velocity_bc(*s2, self.geom)
+        s2 = self._apply_bc(s2)
         s2, pc2 = self._project(s2, dt, forces, inlet)
         self._nan_sentinel("rk3:s2", s2, dt)
         s3 = self._euler_substep(s2, nu_t, dt, forces, t, inlet)
         s3 = blend(comps, 1.0 / 3.0, s3, 2.0 / 3.0)
-        s3 = apply_velocity_bc(*s3, self.geom)
+        s3 = self._apply_bc(s3)
         s3, pc3 = self._project(s3, dt, forces, inlet)
         self._nan_sentinel("rk3:s3", s3, dt)
         return s3, p + pc1 + pc2 + pc3

@@ -1,0 +1,79 @@
+"""Cylinder vortex shedding at Re=100: Strouhal number, external flow.
+
+The CI gate (tests/test_ibm_validation.py) runs a ~5-cells-per-diameter
+PERIODIC channel and lands St ~= 0.152; the published external-flow value
+is ~0.165 (reference tests/test_ibm_strouhal.cpp gate [0.13, 0.20]).
+This driver runs a resolution-honest case (~19 cells/D) with the bare
+inflow/outflow pair (pinned inlet + outlet mass-flux correction) on the
+TPU. Measured: St = 0.172, Cl amplitude 0.37 over 9 shedding periods
+(published ~0.165 / ~0.33; the +4% St is domain-blockage typical at a
+16D-wide box). Note the periodic-x variant at this resolution degrades
+to St ~ 0.11 — the wake re-enters the inflow; the coarse CI grid only
+escapes that by diffusing the wake.
+
+    python validation/run_cylinder_strouhal.py [Nx] [Ny]
+
+~7 min wall on one v5e chip at 384x256.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(Nx=384, Ny=256):
+    import jax
+    import jax.numpy as jnp
+
+    from cfdnn_tpu import BCType, Config, Simulation
+    from cfdnn_tpu.ibm import CylinderBody
+
+    U_inf, D, Re = 1.0, 1.0, 100.0
+    cfg = Config(
+        Nx=Nx, Ny=Ny, Nz=1,
+        x_min=0.0, x_max=20.0, y_min=-8.0, y_max=8.0,
+        bc_x=BCType.INFLOW, bc_y=BCType.PERIODIC,
+        nu=U_inf * D / Re, nu_specified=True, dp_dx=0.0,
+        dp_dx_specified=True, dt=5e-3, adaptive_dt=False, dtype="float32",
+    ).finalize()
+    sim = Simulation(cfg)
+    sim.set_ibm_forcing(CylinderBody(5.0, 0.0, 0.5 * D))
+    print(f"{Nx}x{Ny}: {D / (20.0 / Nx):.1f} cells/D", flush=True)
+
+    state = sim.initial_state()
+    yc = jnp.asarray(sim.mesh.y.centers)[None, :, None]
+    v0 = 1e-2 * jnp.exp(-(yc ** 2)) * jnp.sin(
+        jnp.asarray(sim.mesh.x.centers)[:, None, None])
+    state = state.replace(u=jnp.full_like(state.u, U_inf),
+                          v=jnp.broadcast_to(v0, state.v.shape)
+                          .astype(state.v.dtype))
+    state = sim.initialize(state)            # captures the inflow profile
+
+    state, d = sim.run(state, 12000)         # transient to the limit cycle
+    assert np.isfinite(float(d.ke)), "blow-up in transient"
+
+    t, cl = [], []
+    q_A = 0.5 * U_inf ** 2 * D
+    for _ in range(1200):                    # t = 60..120, sampled every 10
+        state, d = sim.run(state, 10)
+        t.append(float(state.t))
+        cl.append(float(d.fy) / q_A)
+    cl = np.asarray(cl) - np.mean(cl)
+    t = np.asarray(t)
+    up = np.where((cl[:-1] < 0) & (cl[1:] >= 0))[0]
+    assert len(up) >= 5, f"too few shedding periods ({len(up)})"
+    period = (t[up[-1]] - t[up[0]]) / (len(up) - 1)
+    st = D / (period * U_inf)
+    cl_amp = float(np.max(np.abs(cl)))
+    print(f"St = {st:.4f} (published ~0.165), Cl amplitude {cl_amp:.3f} "
+          f"(published ~0.33), {len(up) - 1} periods", flush=True)
+    assert 0.15 <= st <= 0.18, st
+    print("cylinder Strouhal validation PASSED")
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(*(int(v) for v in a[:2]))
