@@ -7,6 +7,8 @@ number from the lift-signal zero crossings.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
 from ..config import BCType, Config, SimulationMode, TimeIntegrator
@@ -34,17 +36,36 @@ def make_body(cfg, mesh):
     return CylinderBody(CX, CY, 0.5 * D)
 
 
+def make_body_external(cfg, mesh):
+    return CylinderBody(5.0, 0.0, 0.5)   # unit-diameter at (5, 0)
+
+
+def external_ic(cfg, mesh):
+    """Uniform freestream + a small asymmetric seed (the inlet face of
+    this IC becomes the pinned inflow profile)."""
+    import jax.numpy as jnp
+    from ..fields import zero_state
+    st = zero_state(cfg)
+    yc = jnp.asarray(mesh.y.centers)[None, :, None]
+    v0 = 1e-2 * jnp.exp(-(yc ** 2)) * jnp.sin(
+        jnp.asarray(mesh.x.centers)[:, None, None])
+    return st.replace(u=jnp.full_like(st.u, 1.0),
+                      v=jnp.broadcast_to(v0, st.v.shape)
+                      .astype(st.v.dtype))
+
+
 class ForceRecorder:
     """Cd/Cl time series + Strouhal from Cl zero crossings (reference
     app/main_cylinder.cpp Strouhal output)."""
 
-    def __init__(self, sim):
+    def __init__(self, sim, diameter: float = D):
         self.sim = sim
+        self.D = diameter
         self.t, self.cd, self.cl = [], [], []
 
     def __call__(self, it, state, d):
         u_ref = max(abs(float(np.asarray(state.u).mean())), 1e-9)
-        denom = 0.5 * u_ref**2 * D
+        denom = 0.5 * u_ref**2 * self.D
         self.t.append(float(state.t))
         self.cd.append(float(d.fx) / denom)
         self.cl.append(float(d.fy) / denom)
@@ -60,11 +81,35 @@ class ForceRecorder:
             return 0.0
         period = (t[crossings[-1]] - t[crossings[0]]) / (len(crossings) - 1)
         u_ref = 1.0
-        return D / (period * u_ref) if period > 0 else 0.0
+        return self.D / (period * u_ref) if period > 0 else 0.0
+
+
+def external_config() -> Config:
+    """External-flow variant (--external): unit-diameter cylinder in a
+    20x16D box with the hardened inflow/outflow pair (pinned inlet +
+    outlet mass-flux correction). This is the configuration that
+    reproduces the published St ~ 0.165 / Cl ~ 0.33 at Re=100
+    (validation/run_cylinder_strouhal.py measured 0.172 / 0.366); the
+    periodic default mirrors the reference app instead."""
+    return Config(
+        Nx=384, Ny=256, Nz=1,
+        x_min=0.0, x_max=20.0, y_min=-8.0, y_max=8.0,
+        bc_x=BCType.INFLOW, bc_y=BCType.PERIODIC,
+        nu=1e-2, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
+        dt=5e-3, adaptive_dt=False,
+        simulation_mode=SimulationMode.UNSTEADY,
+        max_steps=24000, output_freq=500, dtype="float32",
+    )
 
 
 def main(argv=None):
-    cfg = default_config()
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    external = False
+    if "--external" in argv:
+        external = True
+        argv = [a for a in argv if a != "--external"]
+    cfg = external_config() if external else default_config()
+    diameter = 1.0 if external else D
     rec_holder = {}
 
     def cb_factory(sim):
@@ -75,7 +120,7 @@ def main(argv=None):
     # run_case builds sim internally; use a late-binding callback
     def callback(it, st, d):
         if "rec" not in rec_holder:
-            rec_holder["rec"] = ForceRecorder(None)
+            rec_holder["rec"] = ForceRecorder(None, diameter=diameter)
         rec_holder["rec"](it, st, d)
 
     def validate(sim, state, diags):
@@ -88,7 +133,9 @@ def main(argv=None):
                   f"St={out['strouhal']:.3f}")
         return out
 
-    return run_case("cylinder", cfg, argv, body=make_body,
+    return run_case("cylinder", cfg, argv,
+                    body=make_body_external if external else make_body,
+                    ic=external_ic if external else None,
                     callback=callback, validate=validate)
 
 

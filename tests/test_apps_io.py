@@ -112,3 +112,16 @@ def test_app_checkpoint_resume(tmp_path):
     # resumed from step 6 and ran 6 more
     assert int(st2.step) == 12
     assert float(st2.t) > float(st1.t)
+
+
+def test_cylinder_external_mode(tmp_path):
+    """--external switches the cylinder app to the hardened inflow/outflow
+    external-flow configuration (pinned inlet + outlet flux correction)."""
+    sim, state, diags = cylinder.main(
+        ["--external", "--Nx", "64", "--Ny", "48", "--max_steps", "20",
+         "--output_freq", "10", "--num_snapshots", "0",
+         "--write_fields", "false", "--postprocess", "false",
+         "--output_dir", str(tmp_path)])
+    assert sim.cfg.bc_x.value == "inflow"
+    assert getattr(sim, "_inflow_u", None) is not None
+    assert np.isfinite(float(diags.ke))
