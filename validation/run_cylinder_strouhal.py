@@ -11,8 +11,12 @@ TPU. Measured: St = 0.172, Cl amplitude 0.37 over 9 shedding periods
 to St ~ 0.11 — the wake re-enters the inflow; the coarse CI grid only
 escapes that by diffusing the wake.
 
-    python validation/run_cylinder_strouhal.py [Nx] [Ny]
+    python validation/run_cylinder_strouhal.py [Nx] [Ny] [Re]
 
+Re >= 47 (default 100): Strouhal from Cl zero crossings. Re < 47 (no
+shedding, e.g. 20): steady drag — measured Cd = 2.166 at Re=20
+(published ~2.05; the confined periodic CI case gives 1.96, bracketing
+the unbounded value with blockage of the expected signs).
 ~7 min wall on one v5e chip at 384x256.
 """
 
@@ -24,14 +28,14 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main(Nx=384, Ny=256):
+def main(Nx=384, Ny=256, Re=100.0):
     import jax
     import jax.numpy as jnp
 
     from cfdnn_tpu import BCType, Config, Simulation
     from cfdnn_tpu.ibm import CylinderBody
 
-    U_inf, D, Re = 1.0, 1.0, 100.0
+    U_inf, D = 1.0, 1.0
     cfg = Config(
         Nx=Nx, Ny=Ny, Nz=1,
         x_min=0.0, x_max=20.0, y_min=-8.0, y_max=8.0,
@@ -51,6 +55,21 @@ def main(Nx=384, Ny=256):
                           v=jnp.broadcast_to(v0, state.v.shape)
                           .astype(state.v.dtype))
     state = sim.initialize(state)            # captures the inflow profile
+
+    if Re < 47.0:                            # below shedding onset: drag
+        state, d = sim.run(state, 8000)
+        assert np.isfinite(float(d.ke)), "blow-up in transient"
+        q_A = 0.5 * U_inf ** 2 * D
+        cds = []
+        for _ in range(200):
+            state, d = sim.run(state, 10)
+            cds.append(float(d.fx) / q_A)
+        cd = float(np.mean(cds[-100:]))
+        print(f"Cd(Re={Re:g}) = {cd:.4f} (published ~2.05 at Re=20)",
+              flush=True)
+        assert 1.8 <= cd <= 2.4, cd
+        print("cylinder drag validation PASSED")
+        return
 
     state, d = sim.run(state, 12000)         # transient to the limit cycle
     assert np.isfinite(float(d.ke)), "blow-up in transient"
@@ -76,4 +95,5 @@ def main(Nx=384, Ny=256):
 
 if __name__ == "__main__":
     a = sys.argv[1:]
-    main(*(int(v) for v in a[:2]))
+    main(*(int(v) for v in a[:2]),
+         **({"Re": float(a[2])} if len(a) > 2 else {}))
