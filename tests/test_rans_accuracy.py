@@ -45,3 +45,33 @@ def test_sst_channel_mkm(record_qoi):
     # nu_t profile scale: peak nu_t+ within the expected SST band
     nut = np.asarray(state.nu_t).mean(axis=(0, 2))
     assert 10.0 < nut.max() * 180.0 < 40.0
+
+
+@pytest.mark.slow
+def test_sst_channel_mkm395(record_qoi):
+    """Second MKM point, Re_tau = 395: the SST channel must recover the
+    friction Reynolds number from the fixed dp/dx momentum balance and
+    the MKM bulk velocity U+ = 17.54 (calibrated: settles at Re_tau 392.7
+    / U+ 17.78 after 120k steps, ~30 s on CPU)."""
+    cfg = Config(Nx=4, Ny=128, Nz=1,
+                 nu=1.0 / 395.0, nu_specified=True,
+                 dp_dx=-1.0, dp_dx_specified=True,
+                 dt=1e-3, adaptive_dt=True, CFL_max=0.5,
+                 dtype="float64", turb_model=TurbulenceModel.SST)
+    sim = Simulation(cfg)
+    state = sim.initialize(init_poiseuille(cfg, sim.mesh, fraction=0.05))
+    for _ in range(240):
+        state, d = sim.run(state, 500)
+        assert np.isfinite(float(d.ke))
+    st = diag.channel_statistics(sim, state)
+    record_qoi("sst_channel_re_tau_395", st.Re_tau)
+    record_qoi("sst_channel_u_bulk_395", float(st.U.mean()))
+    assert 375.0 < st.Re_tau < 415.0, st.Re_tau
+    assert abs(float(st.U.mean()) - 17.54) / 17.54 < 0.05
+    yp = (st.y + 1.0) * st.u_tau / cfg.nu
+    Up = st.U / st.u_tau
+    mask = (yp > 30) & (yp < 300)
+    ll = np.log(yp[mask]) / 0.41 + 5.0
+    err = float(np.abs(Up[mask] - ll).max() / np.abs(ll).max())
+    record_qoi("sst_channel_loglaw_err_395", err)
+    assert err < 0.10, err
