@@ -144,6 +144,17 @@ _SLAB_BUDGET_CELLS = 4 * 128 * 128       # bx sizing (measured-optimal)
 _SLAB_FIT_CELLS = 6 * 256 * 256          # eligibility under the raised cap
 
 
+def _slab_compiler_params(ny, nz):
+    """Raise the scoped-VMEM cap ONLY when the working set needs it
+    (planes beyond the 16 MB-calibrated budget). Passing the raised cap
+    unconditionally measurably hurts small grids: Mosaic schedules
+    against the stated budget, and the 128^3 TGV step regressed from
+    0.23 to 0.41 ms/step with the 100 MB cap attached."""
+    if ny * nz > _SLAB_BUDGET_CELLS:
+        return pltpu.CompilerParams(vmem_limit_bytes=_SLAB_VMEM_LIMIT)
+    return None
+
+
 def _auto_bx(bx, Nx, ny, nz, n_halo_blocks=12):
     """Shrink the x-slab so the kernel's VMEM working set fits.
 
@@ -283,8 +294,7 @@ def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_SLAB_VMEM_LIMIT),
+        compiler_params=_slab_compiler_params(u.shape[1], u.shape[2]),
         interpret=interpret,
     )(dt_arr, *garrs, *triple)
 
@@ -337,8 +347,7 @@ def fused_nu_sgs(u, v, w, *, geom, model_fn, bx=4, interpret=False):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((Nx, ny, nz), u.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_SLAB_VMEM_LIMIT),
+        compiler_params=_slab_compiler_params(ny, nz),
         interpret=interpret,
     )(*garrs, u, u, u, v, v, v, w, w, w)
 
@@ -415,8 +424,8 @@ def _slab_call(kernel, geom, fields_tripled, fields_plain, out_shapes,
         in_specs=in_specs,
         out_specs=out_specs if isinstance(out_shapes, list) else out_specs[0],
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_SLAB_VMEM_LIMIT),
+        compiler_params=_slab_compiler_params(geom.axes[1].n,
+                                              geom.axes[2].n),
         interpret=interpret,
     )(*operands)
     return out
@@ -815,7 +824,6 @@ def fused_predictor(u, v, w, dt, *, hx, hy, hz, nu, fx, bx=4,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + specs,
         out_specs=[out_spec] * 3,
         out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_SLAB_VMEM_LIMIT),
+        compiler_params=_slab_compiler_params(Ny, Nz),
         interpret=interpret,
     )(dt_arr, u, u, u, v, v, v, w, w, w)
