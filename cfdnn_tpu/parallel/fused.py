@@ -1,0 +1,187 @@
+"""Multi-chip fast path: the fused Pallas slab kernels under shard_map.
+
+Single-chip runs use the x-slab Pallas kernels directly (ops/
+pallas_kernels.py). GSPMD cannot partition a Pallas custom call, so the
+sharded runs used to fall back to the ~3x-slower XLA operator path. This
+module closes that gap the same way the slab kernels handle x tiling —
+fake-periodic halo extension — but along the *sharded* z axis:
+
+  1. `lax.ppermute` exchanges ng z-halo planes with the ring neighbors
+     (parallel/halo.py — the TPU-native HaloExchange, reference include/
+     halo_exchange.hpp:24-76 + src/cuda_kernels/halo_pack.cu pack/unpack;
+     here the "pack" is a slice and the transport is an ICI neighbor
+     collective).
+  2. The local block, z-extended to (Nx, Ny, nz_local + 2 ng), runs the
+     UNMODIFIED single-chip Pallas kernel with a geometry whose z axis is
+     a fake periodic axis of the extended size: stencils reach at most
+     `ng` cells in z, so every interior plane is exact and the 2·ng edge
+     planes (which saw the bogus periodic wrap of the local block) are
+     discarded.
+
+Requires a globally periodic + uniform z axis (the channel/TGV/duct-free
+direction — the same constraint as the reference's z-slab decomposition
+being the performant layout, decomposition.hpp:28-44). Correctness of the
+interior-exactness argument is pinned by tests/test_sharding.py parity
+against the single-device fused path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .halo import with_z_halos
+
+
+def extended_z_geometry(geom, nz_ext: int):
+    """Geometry whose z axis is a fake periodic axis of the z-extended
+    local block (same trick as pallas_kernels._slab_geometry for x)."""
+    from ..config import BCType
+    from ..mesh import Axis1D
+    from ..ops.grid import AxisGeom
+    h = geom.axes[2].h
+    zax = AxisGeom.make(Axis1D.make(nz_ext, 0.0, nz_ext * h),
+                        BCType.PERIODIC, 2, geom.dtype)
+    return dataclasses.replace(
+        geom, axes=(geom.axes[0], geom.axes[1], zax))
+
+
+def _pad_z_local(f, ng: int):
+    """Extend a *non-haloed* operand with local wrap planes. Used for
+    fields whose extended-edge outputs are discarded and whose kernel
+    reads at those planes never reach the interior result (e.g. the
+    plain-center velocity blocks of the correction kernel)."""
+    return jnp.concatenate([f[..., -ng:], f, f[..., :ng]], axis=-1)
+
+
+def _shard_spec(axis_name: str):
+    return P(None, None, axis_name)
+
+
+def sharded_fused_predictor(u, v, w, dt, *, geom, mesh: Mesh,
+                            axis_name: str, scheme, nu, fx,
+                            nu_t=None, interpret=False):
+    """z-sharded fused momentum predictor: ppermute halos + slab kernel."""
+    from ..ops.pallas_kernels import fused_predictor_general
+    ng = 2 if geom.space_order >= 4 else 1
+    n_dev = mesh.shape[axis_name]
+    nz_loc = geom.axes[2].n // n_dev
+    geom_ext = extended_z_geometry(geom, nz_loc + 2 * ng)
+    spec = _shard_spec(axis_name)
+    has_nut = nu_t is not None
+    in_specs = (spec, spec, spec, P()) + ((spec,) if has_nut else ())
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=(spec, spec, spec),
+                       check_vma=False)
+    def run(u, v, w, dt, *rest):
+        ue = with_z_halos(u, axis_name, ng)
+        ve = with_z_halos(v, axis_name, ng)
+        we = with_z_halos(w, axis_name, ng)
+        nte = with_z_halos(rest[0], axis_name, ng) if rest else None
+        su, sv, sw = fused_predictor_general(
+            ue, ve, we, dt, geom=geom_ext, scheme=scheme, nu=nu, fx=fx,
+            nu_t=nte, interpret=interpret)
+        return su[..., ng:-ng], sv[..., ng:-ng], sw[..., ng:-ng]
+
+    args = (u, v, w, jnp.asarray(dt, u.dtype))
+    if has_nut:
+        args += (nu_t,)
+    return run(*args)
+
+
+def sharded_fused_divergence(u, v, w, *, geom, mesh: Mesh, axis_name: str,
+                             interpret=False):
+    """z-sharded staggered divergence (ng=1: cell k needs face k+1)."""
+    from ..ops.pallas_kernels import fused_divergence
+    ng = 1
+    n_dev = mesh.shape[axis_name]
+    nz_loc = geom.axes[2].n // n_dev
+    geom_ext = extended_z_geometry(geom, nz_loc + 2 * ng)
+    spec = _shard_spec(axis_name)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(spec, spec, spec), out_specs=spec,
+                       check_vma=False)
+    def run(u, v, w):
+        ue = with_z_halos(u, axis_name, ng)
+        ve = with_z_halos(v, axis_name, ng)
+        we = with_z_halos(w, axis_name, ng)
+        div = fused_divergence(ue, ve, we, geom=geom_ext,
+                               interpret=interpret)
+        return div[..., ng:-ng]
+
+    return run(u, v, w)
+
+
+def sharded_fused_correct(u, v, w, p, dt, *, geom, mesh: Mesh,
+                          axis_name: str, interpret=False):
+    """z-sharded pressure correction. Only p needs real (ppermute) halos;
+    the velocity operands are read pointwise, so their extension is a
+    local wrap whose edge-plane outputs are discarded."""
+    from ..ops.pallas_kernels import fused_correct
+    ng = 1
+    n_dev = mesh.shape[axis_name]
+    nz_loc = geom.axes[2].n // n_dev
+    geom_ext = extended_z_geometry(geom, nz_loc + 2 * ng)
+    spec = _shard_spec(axis_name)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(spec, spec, spec, spec, P()),
+                       out_specs=(spec, spec, spec),
+                       check_vma=False)
+    def run(u, v, w, p, dt):
+        pe = with_z_halos(p, axis_name, ng)
+        ue = _pad_z_local(u, ng)
+        ve = _pad_z_local(v, ng)
+        we = _pad_z_local(w, ng)
+        su, sv, sw = fused_correct(ue, ve, we, pe, dt, geom=geom_ext,
+                                   interpret=interpret)
+        return su[..., ng:-ng], sv[..., ng:-ng], sw[..., ng:-ng]
+
+    return run(u, v, w, p, jnp.asarray(dt, u.dtype))
+
+
+def sharded_fused_nu_sgs(u, v, w, *, geom, mesh: Mesh, axis_name: str,
+                         model_fn, interpret=False):
+    """z-sharded fused LES gradient+nu_sgs pipeline."""
+    from ..ops.pallas_kernels import fused_nu_sgs
+    ng = 1
+    n_dev = mesh.shape[axis_name]
+    nz_loc = geom.axes[2].n // n_dev
+    geom_ext = extended_z_geometry(geom, nz_loc + 2 * ng)
+    spec = _shard_spec(axis_name)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(spec, spec, spec), out_specs=spec,
+                       check_vma=False)
+    def run(u, v, w):
+        ue = with_z_halos(u, axis_name, ng)
+        ve = with_z_halos(v, axis_name, ng)
+        we = with_z_halos(w, axis_name, ng)
+        out = fused_nu_sgs(ue, ve, we, geom=geom_ext, model_fn=model_fn,
+                           interpret=interpret)
+        return out[..., ng:-ng]
+
+    return run(u, v, w)
+
+
+def sharded_slab_eligible(geom, cfg, n_dev: int) -> bool:
+    """Structural gate for the sharded fast path: globally periodic +
+    uniform z, an even z split, at least ng planes per shard, and a local
+    extended block that fits the slab kernels' VMEM budget."""
+    from ..ops.pallas_kernels import slab_fits
+    z = geom.axes[2]
+    ng = 2 if cfg.space_order >= 4 else 1
+    if not (z.periodic and z.uniform and z.n % n_dev == 0):
+        return False
+    nz_loc = z.n // n_dev
+    if nz_loc < 2 * ng:
+        return False
+    local = extended_z_geometry(geom, nz_loc + 2 * ng)
+    return slab_fits(local)

@@ -1,0 +1,120 @@
+"""Distributed FDM Poisson solve via explicit pencil transposes.
+
+TPU-native rebuild of the reference's FFT_MPI solver (reference: include/
+poisson_solver_fft_mpi.hpp:1-80, src/poisson_solver_fft_mpi.cpp — local
+FFT in x, MPI_Alltoallv z-slab -> kx-pencil transpose, local FFT in z,
+batched tridiagonal in y, inverse path). Here the same dataflow runs as a
+`shard_map` program over the z mesh axis:
+
+  z-sharded rhs
+    -> x-transform (local matmul: x is unsharded)
+    -> y-transform (local matmul)
+    -> `lax.all_to_all` pencil transpose (z-sharded -> x-sharded)   [ICI]
+    -> z-transform (local matmul: z is now whole on each chip)
+    -> modal scale 1/L with null-mode pinning (x-slice by axis_index)
+    -> inverse z-transform
+    -> `lax.all_to_all` back (x-sharded -> z-sharded)               [ICI]
+    -> inverse y, inverse x transforms (local)
+
+Exactly two all-to-alls of the field per solve — the same communication
+volume as the reference's pencil FFT — and NO full-field all-gather.
+GSPMD left to its own devices gathers the whole field onto every chip for
+the z-transform (measured on the 8-virtual-device mesh: one
+all-gather(f32[N^3]) per solve), which is why this path is explicit.
+
+The wrapped FDMPoissonSolver must use dense matmul transforms on every
+axis ('matmul'; the TPU default) so axis lengths are preserved across the
+transpose — rfft's N/2+1 halving would break the even x split.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..poisson.fdm import FDMPoissonSolver, PoissonStats
+
+
+class PencilFDMPoissonSolver:
+    """Drop-in `solve()/solve_with_stats()` over a z-sharded field."""
+
+    def __init__(self, inner: FDMPoissonSolver, mesh: Mesh,
+                 axis_name: str = "z"):
+        bad = [t.kind for t in inner.tr if t.kind not in ("eig", "none")]
+        if bad:
+            raise ValueError(
+                f"pencil solve requires matmul ('eig') transforms on all "
+                f"axes, got {[t.kind for t in inner.tr]} — construct the "
+                f"FDM solver with transform='matmul'")
+        self.inner = inner
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.n_dev = mesh.shape[axis_name]
+        nx = int(inner._lam_vecs[0].shape[0])
+        nz = int(inner._lam_vecs[2].shape[2])
+        if nx % self.n_dev or nz % self.n_dev:
+            raise ValueError(
+                f"pencil transpose needs Nx ({nx}) and Nz ({nz}) divisible "
+                f"by the mesh size ({self.n_dev})")
+        self.refine = inner.refine
+        self.geom = inner.geom
+        self.name = inner.name.replace("FDM(", "PencilFDM(")
+
+    # -- solve -------------------------------------------------------------
+
+    def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
+        p = self._solve_once(rhs)
+        if self.refine:
+            from ..ops import operators as _ops
+            rhs0 = rhs - jnp.mean(rhs) if self.inner.all_neumann else rhs
+            for _ in range(self.refine):
+                r = rhs0 - _ops.laplacian(p, self.geom)
+                p = p + self._solve_once(r)
+        return p
+
+    def _solve_once(self, rhs: jnp.ndarray) -> jnp.ndarray:
+        inner = self.inner
+        axis = self.axis_name
+        n_dev = self.n_dev
+        spec = P(None, None, axis)
+        nx = int(inner._lam_vecs[0].shape[0])
+        nx_loc = nx // n_dev
+        lam_x, lam_y, lam_z = inner._lam_vecs
+
+        @functools.partial(jax.shard_map, mesh=self.mesh,
+                           in_specs=(spec,), out_specs=spec)
+        def run(f_loc):
+            f = f_loc.astype(inner.dtype)
+            for i in (0, 1):                      # x, y: local axes
+                if inner.tr[i].kind == "eig":
+                    f = inner._apply_mat(inner.mats[i][0], f, i)
+            # pencil transpose: z-sharded -> x-sharded (one ICI all-to-all)
+            f = jax.lax.all_to_all(f, axis, split_axis=0, concat_axis=2,
+                                   tiled=True)
+            if inner.tr[2].kind == "eig":         # z: whole per chip now
+                f = inner._apply_mat(inner.mats[2][0], f, 2)
+            # modal scale on the local x-pencil; null modes pinned to zero
+            # (mean-free solve, fdm.py _inv_lam)
+            i0 = jax.lax.axis_index(axis) * nx_loc
+            lx = jax.lax.dynamic_slice_in_dim(lam_x, i0, nx_loc, axis=0)
+            L = lx + lam_y + lam_z
+            null = jnp.abs(L) < inner._null_thr
+            f = f * jnp.where(null, 0.0, 1.0 / jnp.where(null, 1.0, L))
+            if inner.tr[2].kind == "eig":
+                f = inner._apply_mat(inner.mats[2][1], f, 2)
+            f = jax.lax.all_to_all(f, axis, split_axis=2, concat_axis=0,
+                                   tiled=True)
+            for i in (1, 0):
+                if inner.tr[i].kind == "eig":
+                    f = inner._apply_mat(inner.mats[i][1], f, i)
+            return f.astype(f_loc.dtype)
+
+        return run(rhs)
+
+    def solve_with_stats(self, rhs):
+        p = self.solve(rhs)
+        r = self.inner._residual_norm(rhs, p)
+        return p, PoissonStats(cycles=0, status="DIRECT", rel_residual=r)

@@ -62,6 +62,7 @@ class Simulation:
         self.mesh = mesh or Mesh.from_config(cfg)
         self.geom = Geometry.make(self.mesh, cfg)
         self.dtype = jnp.dtype(cfg.dtype)
+        self._setup_device_mesh()
         self.poisson = self._make_poisson()
         self.poisson_selection_reason = self.poisson.name
         from .turbulence import create_turbulence_model
@@ -78,12 +79,13 @@ class Simulation:
         self._pallas_predictor_ok = self._pallas_eligible()
         self._build_jits()
 
-    def _build_jits(self) -> None:
-        """Compile the step entries. With Config.mesh_shape > (1,) a
-        device mesh is built (the reference's mpirun -np N launch,
-        decomposition.hpp:28-44 — here a config knob: `--mesh_shape 8` on
-        any app CLI); `initialize` places the state z-sharded onto it and
-        GSPMD partitions the step from the input shardings."""
+    def _setup_device_mesh(self) -> None:
+        """With Config.mesh_shape > (1,) build the device mesh (the
+        reference's mpirun -np N launch, decomposition.hpp:28-44 — here a
+        config knob: `--mesh_shape 8` on any app CLI); `initialize` places
+        the state z-sharded onto it and the step is partitioned from the
+        input shardings (GSPMD) with shard_map islands for the Pallas
+        kernels and the pencil Poisson transposes."""
         shape = tuple(int(d) for d in (self.cfg.mesh_shape or (1,)))
         n_dev = 1
         for d in shape:
@@ -98,6 +100,8 @@ class Simulation:
             from .parallel.sharding import device_mesh
             self._mesh_axis = (self.cfg.mesh_axes or ("z",))[0]
             self.device_mesh = device_mesh(n_dev, axis=self._mesh_axis)
+
+    def _build_jits(self) -> None:
         self._step_jit = jax.jit(self._step_impl)
         self._nsteps_jit = jax.jit(self._nsteps_impl, static_argnums=(1,))
 
@@ -144,7 +148,9 @@ class Simulation:
 
         Returns the tiling mode: "slab" (1-D x-slabs, full y-z planes in
         VMEM), "xz" (2-D tiles for grids whose planes overflow the slab
-        budget; needs periodic-uniform z too), or False.
+        budget; needs periodic-uniform z too), "shard" (multi-chip:
+        slab kernels under shard_map with ppermute z-halos,
+        parallel/fused.py; needs periodic-uniform z), or False.
 
         Measured at 512^3 TGV on v5e (warm, benchmark mode): slab 55.1
         ms/step, xz 102.0, XLA operator fallback 171.1 — so "slab" covers
@@ -157,11 +163,6 @@ class Simulation:
         n_dev = 1
         for d in (cfg.mesh_shape or (1,)):
             n_dev *= int(d)
-        if n_dev > 1:
-            # GSPMD cannot partition a Pallas custom call across the mesh;
-            # the jnp operator path shards cleanly (shard_map-wrapped
-            # kernels are future work)
-            return False
         x = self.geom.axes[0]
         z = self.geom.axes[2]
         structural = (
@@ -174,7 +175,15 @@ class Simulation:
         if not structural:
             return False
         from .ops.pallas_kernels import _auto_bxz, slab_fits
-        if slab_fits(self.geom):
+        if n_dev > 1:
+            # GSPMD cannot partition a Pallas custom call, so the sharded
+            # fast path wraps the slab kernels in shard_map with explicit
+            # ppermute z-halo exchange (parallel/fused.py)
+            from .parallel.fused import sharded_slab_eligible
+            if not sharded_slab_eligible(self.geom, cfg, n_dev):
+                return False
+            mode = "shard"
+        elif slab_fits(self.geom):
             mode = "slab"
         elif (z.periodic and z.uniform
               and _auto_bxz(x.n, self.geom.axes[1].n, z.n,
@@ -198,6 +207,19 @@ class Simulation:
                    PoissonSolverType.FFT, PoissonSolverType.FFT2D,
                    PoissonSolverType.FFT1D):
             try:
+                if self.device_mesh is not None:
+                    # multi-chip: explicit pencil-transpose solve (two ICI
+                    # all-to-alls; GSPMD alone all-gathers the full field
+                    # for the z transform — parallel/pencil.py docstring)
+                    try:
+                        from .parallel.pencil import PencilFDMPoissonSolver
+                        inner = FDMPoissonSolver(self.mesh, cfg,
+                                                 transform="matmul",
+                                                 geom=self.geom)
+                        return PencilFDMPoissonSolver(
+                            inner, self.device_mesh, self._mesh_axis)
+                    except ValueError:
+                        pass   # shapes not divisible etc. -> GSPMD FDM
                 return FDMPoissonSolver(self.mesh, cfg, geom=self.geom)
             except ValueError:
                 if sel != PoissonSolverType.AUTO:
@@ -224,8 +246,13 @@ class Simulation:
             state = state.replace(inlet_u=iu, inlet_v=iv, inlet_w=iw)
         if self.cfg.bc_x == BCType.INFLOW and self.recycling is None:
             # bare inflow/outflow: the IC's inlet face IS the inflow
-            # profile; capture it so _apply_bc can pin it every step
+            # profile; capture it so _apply_bc can pin it every step.
+            # The profile is a trace-time constant, so invalidate the
+            # compiled step (same convention as set_ibm_forcing) — a step
+            # traced before initialize(), or a re-initialize with a new
+            # IC, would otherwise silently pin a stale/absent profile.
             self._inflow_u = state.u[0]
+            self._build_jits()
         if self.device_mesh is not None:
             from .parallel.sharding import shard_state
             state = shard_state(state, self.device_mesh, self._mesh_axis)
@@ -296,10 +323,15 @@ class Simulation:
             q_out = jnp.sum(u[-1] * w)
             comps = (u.at[-1].add(q_in - q_out), comps[1], comps[2])
         mode = self._pallas_predictor_ok
-        use_fused = (mode in ("slab", "xz")
+        use_fused = (mode in ("slab", "xz", "shard")
                      and geom.axes[0].periodic and geom.axes[0].uniform)
         interp = use_fused and jax.devices()[0].platform == "cpu"
-        if mode == "xz":
+        if mode == "shard":
+            from .parallel.fused import sharded_fused_divergence
+            div = sharded_fused_divergence(
+                *comps, geom=geom, mesh=self.device_mesh,
+                axis_name=self._mesh_axis, interpret=interp)
+        elif mode == "xz":
             from .ops.pallas_kernels import fused_divergence_xz
             div = fused_divergence_xz(*comps, geom=geom, interpret=interp)
         elif use_fused:
@@ -319,7 +351,12 @@ class Simulation:
                             stats.status, stats.rel_residual)
         else:
             p_corr = self.poisson.solve(rhs)
-        if mode == "xz":
+        if mode == "shard":
+            from .parallel.fused import sharded_fused_correct
+            comps = sharded_fused_correct(
+                *comps, p_corr, dt, geom=geom, mesh=self.device_mesh,
+                axis_name=self._mesh_axis, interpret=interp)
+        elif mode == "xz":
             from .ops.pallas_kernels import fused_correct_xz
             comps = fused_correct_xz(*comps, p_corr, dt, geom=geom,
                                      interpret=interp)
@@ -347,7 +384,14 @@ class Simulation:
             fx = float(-cfg.dp_dx / cfg.rho)
             all_periodic = all(ax.periodic and ax.uniform
                                for ax in geom.axes)
-            if self._pallas_predictor_ok == "xz":
+            if self._pallas_predictor_ok == "shard":
+                from .parallel.fused import sharded_fused_predictor
+                star = sharded_fused_predictor(
+                    *comps, jnp.asarray(dt, self.dtype), geom=geom,
+                    mesh=self.device_mesh, axis_name=self._mesh_axis,
+                    scheme=cfg.convective_scheme, nu=float(cfg.nu), fx=fx,
+                    nu_t=nu_t, interpret=interp)
+            elif self._pallas_predictor_ok == "xz":
                 from .ops.pallas_kernels import fused_predictor_general_xz
                 star = fused_predictor_general_xz(
                     *comps, jnp.asarray(dt, self.dtype), geom=geom,

@@ -35,10 +35,15 @@ class LESModelBase(TurbulenceModelBase):
         for d in (cfg.mesh_shape or (1,)):
             n_dev *= int(d)
         structural = (cfg.use_pallas != "off"
-                      and n_dev == 1   # GSPMD can't partition a custom call
                       and geom.axes[0].periodic and geom.axes[0].uniform
                       and geom.axes[0].n >= 8 and geom.axes[2].n > 1)
-        if structural and slab_fits(geom):
+        if structural and n_dev > 1:
+            # multi-chip: slab kernel under shard_map with ppermute
+            # z-halos (parallel/fused.py; GSPMD can't partition the call)
+            from ..parallel.fused import sharded_slab_eligible
+            self._fuse = ("shard" if sharded_slab_eligible(geom, cfg, n_dev)
+                          else False)
+        elif structural and slab_fits(geom):
             self._fuse = "slab"
         elif (structural and geom.axes[2].periodic and geom.axes[2].uniform
               and _auto_bxz(geom.axes[0].n, geom.axes[1].n,
@@ -59,6 +64,12 @@ class LESModelBase(TurbulenceModelBase):
         comps = (state.u, state.v, state.w)
         on_cpu = jax.devices()[0].platform == "cpu"
         if self._fuse and (not on_cpu or sim.cfg.use_pallas == "on"):
+            if self._fuse == "shard":
+                from ..parallel.fused import sharded_fused_nu_sgs
+                return sharded_fused_nu_sgs(
+                    *comps, geom=sim.geom, mesh=sim.device_mesh,
+                    axis_name=sim._mesh_axis, model_fn=self._model_fn,
+                    interpret=on_cpu)
             if self._fuse == "xz":
                 from ..ops.pallas_kernels import fused_nu_sgs_xz
                 return fused_nu_sgs_xz(*comps, geom=sim.geom,

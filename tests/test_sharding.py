@@ -203,3 +203,79 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(back.u), np.asarray(st.u))
     np.testing.assert_array_equal(np.asarray(back.p), np.asarray(st.p))
     assert int(back.step) == int(st.step)
+
+
+def test_pencil_poisson_matches_unsharded():
+    """The explicit pencil-transpose FDM solve (parallel/pencil.py — the
+    reference's FFT_MPI dataflow, poisson_solver_fft_mpi.cpp) matches the
+    single-device solve to machine precision."""
+    cfg1 = _cfg()
+    sim1 = Simulation(cfg1)
+    cfg8 = _cfg(mesh_shape=(8,))
+    sim8 = Simulation(cfg8)
+    assert sim8.poisson.name.startswith("PencilFDM")
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.standard_normal((16, 16, 32)))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rhs_sh = jax.device_put(
+        rhs, NamedSharding(sim8.device_mesh, P(None, None, "z")))
+    p1 = sim1.poisson.solve(rhs)
+    p8 = jax.jit(sim8.poisson.solve)(rhs_sh)
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p1),
+                               rtol=0, atol=1e-12)
+
+
+def test_sharded_step_collective_schedule():
+    """HLO-inspection gate (VERDICT round-1 item 1): the compiled sharded
+    step must move data with neighbor collective-permutes (halos) and
+    all-to-alls (pencil transposes) — NEVER by all-gathering a full field
+    onto every chip (the scalability killer GSPMD picks by default for
+    the z transform)."""
+    cfg = _cfg(dtype="float32", mesh_shape=(8,))
+    sim = Simulation(cfg)
+    st = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
+    txt = jax.jit(sim._step_impl).lower(st).compile().as_text()
+    assert "all-to-all" in txt, "pencil transposes missing from the HLO"
+    assert "collective-permute" in txt, "halo exchanges missing"
+    assert "all-gather" not in txt, (
+        "the sharded step all-gathers a field — the pencil/halo schedule "
+        "has regressed to full replication")
+
+
+def test_sharded_fused_step_matches_single_fused():
+    """The multi-chip Pallas fast path (parallel/fused.py: ppermute
+    z-halos + slab kernels under shard_map) reproduces the single-device
+    fused step — the sharded analogue of the Pallas-vs-jnp parity suite."""
+    cfg1 = _cfg(use_pallas="on")
+    sim1 = Simulation(cfg1)
+    assert sim1._pallas_predictor_ok == "slab"
+    cfg8 = _cfg(use_pallas="on", mesh_shape=(8,))
+    sim8 = Simulation(cfg8)
+    assert sim8._pallas_predictor_ok == "shard"
+    state0 = perturbed_channel(cfg1, sim1.mesh, amp=0.05)
+    ref = sim1.initialize(state0)
+    ref, ref_d = sim1.step(ref)
+    st = sim8.initialize(state0)
+    st, d = sim8.step(st)
+    np.testing.assert_allclose(np.asarray(st.u), np.asarray(ref.u),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(st.w), np.asarray(ref.w),
+                               rtol=0, atol=1e-13)
+    assert abs(float(d.ke) - float(ref_d.ke)) < 1e-13
+
+
+def test_sharded_fused_les_step_matches_single_fused():
+    """Sharded fused LES pipeline (sharded_fused_nu_sgs) parity."""
+    from cfdnn_tpu.config import TurbulenceModel
+    cfg1 = _cfg(use_pallas="on", turb_model=TurbulenceModel.VREMAN)
+    sim1 = Simulation(cfg1)
+    cfg8 = _cfg(use_pallas="on", turb_model=TurbulenceModel.VREMAN,
+                mesh_shape=(8,))
+    sim8 = Simulation(cfg8)
+    assert sim8.turb._fuse == "shard"
+    state0 = perturbed_channel(cfg1, sim1.mesh, amp=0.05)
+    ref, ref_d = sim1.step(sim1.initialize(state0))
+    st, d = sim8.step(sim8.initialize(state0))
+    np.testing.assert_allclose(np.asarray(st.u), np.asarray(ref.u),
+                               rtol=0, atol=1e-13)
+    assert abs(float(d.ke) - float(ref_d.ke)) < 1e-13
