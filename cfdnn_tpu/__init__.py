@@ -56,7 +56,7 @@ from .fields import (State, init_poiseuille, init_taylor_green,
 from .mesh import Mesh
 from .solver import Simulation, StepDiagnostics
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "BCType", "Config", "ConvectiveScheme", "PoissonSolverType",

@@ -54,11 +54,20 @@ def main(argv=None, aoa_deg: float = 0.0, digits: str = "0012"):
         tail = forces[-max(1, len(forces) // 4):]
         fx = np.mean([f[1] for f in tail])
         fy = np.mean([f[2] for f in tail])
-        u_ref = max(abs(float(np.asarray(state.u).mean())), 1e-9)
+        u_ref = abs(float(np.asarray(state.u).mean()))   # bulk velocity
+        if u_ref < 1e-3:
+            # startup/smoke run: the flow has not developed, coefficient
+            # normalization would be meaningless — report raw forces only
+            print(f"[airfoil] NACA{digits} aoa={aoa_deg:.1f}deg "
+                  f"undeveloped (u_bulk={u_ref:.2e}); raw "
+                  f"fx={fx:.3e} fy={fy:.3e}")
+            return {"airfoil_fx_raw": fx, "airfoil_fy_raw": fy}
         denom = 0.5 * u_ref**2 * CHORD
         print(f"[airfoil] NACA{digits} aoa={aoa_deg:.1f}deg "
-              f"Cd={fx / denom:.3f} Cl={fy / denom:.3f}")
-        return {"airfoil_cd": fx / denom, "airfoil_cl": fy / denom}
+              f"Cd={fx / denom:.3f} Cl={fy / denom:.3f} "
+              f"(u_bulk={u_ref:.3f})")
+        return {"airfoil_cd": fx / denom, "airfoil_cl": fy / denom,
+                "airfoil_u_bulk": u_ref}
 
     return run_case("airfoil", default_config(), rest, body=body,
                     callback=callback, validate=validate)

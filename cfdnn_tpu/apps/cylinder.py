@@ -56,15 +56,25 @@ def external_ic(cfg, mesh):
 
 class ForceRecorder:
     """Cd/Cl time series + Strouhal from Cl zero crossings (reference
-    app/main_cylinder.cpp Strouhal output)."""
+    app/main_cylinder.cpp Strouhal output).
 
-    def __init__(self, sim, diameter: float = D):
+    `u_ref`: fixed reference velocity for the coefficient normalization.
+    In external mode this must be the freestream U_inf = 1 (the domain
+    mean includes the wake deficit and blockage, deflating u_ref and
+    inflating Cd/Cl vs the published normalization); None falls back to
+    the instantaneous domain mean for the channel-confined default case.
+    """
+
+    def __init__(self, sim, diameter: float = D, u_ref=None):
         self.sim = sim
         self.D = diameter
+        self.u_ref = u_ref
         self.t, self.cd, self.cl = [], [], []
 
     def __call__(self, it, state, d):
-        u_ref = max(abs(float(np.asarray(state.u).mean())), 1e-9)
+        u_ref = self.u_ref
+        if u_ref is None:
+            u_ref = max(abs(float(np.asarray(state.u).mean())), 1e-9)
         denom = 0.5 * u_ref**2 * self.D
         self.t.append(float(state.t))
         self.cd.append(float(d.fx) / denom)
@@ -112,16 +122,15 @@ def main(argv=None):
     diameter = 1.0 if external else D
     rec_holder = {}
 
-    def cb_factory(sim):
-        rec = ForceRecorder(sim)
-        rec_holder["rec"] = rec
-        return rec
-
     # run_case builds sim internally; use a late-binding callback
     def callback(it, st, d):
         if "rec" not in rec_holder:
-            rec_holder["rec"] = ForceRecorder(None, diameter=diameter)
+            rec_holder["rec"] = ForceRecorder(
+                None, diameter=diameter,
+                u_ref=1.0 if external else None)   # external: U_inf = 1
         rec_holder["rec"](it, st, d)
+
+    case = "cylinder_external" if external else "cylinder"
 
     def validate(sim, state, diags):
         rec = rec_holder.get("rec")
@@ -129,11 +138,11 @@ def main(argv=None):
         if rec and rec.cd:
             out["cd_mean_tail"] = float(np.mean(rec.cd[-len(rec.cd) // 4:]))
             out["strouhal"] = rec.strouhal()
-            print(f"[cylinder] Cd(tail)={out['cd_mean_tail']:.3f} "
+            print(f"[{case}] Cd(tail)={out['cd_mean_tail']:.3f} "
                   f"St={out['strouhal']:.3f}")
         return out
 
-    return run_case("cylinder", cfg, argv,
+    return run_case(case, cfg, argv,
                     body=make_body_external if external else make_body,
                     ic=external_ic if external else None,
                     callback=callback, validate=validate)

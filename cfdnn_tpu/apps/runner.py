@@ -93,5 +93,10 @@ def run_case(name: str, cfg: Config, argv=None,
     if validate:
         qois = validate(sim, state, diags) or {}
         for k, v in qois.items():
-            print(f'QOI_JSON: {{"name": "{k}", "value": {float(v):.6e}}}')
+            # Namespace app QOIs per app/case: un-prefixed keys from
+            # different smoke runs collide last-writer-wins in the CI
+            # metrics (round-1 ADVICE: div_linf/strouhal silently
+            # redefined what the baseline gated).
+            key = k if k.startswith(name) else f"{name}_{k}"
+            print(f'QOI_JSON: {{"name": "{key}", "value": {float(v):.6e}}}')
     return sim, state, diags

@@ -246,6 +246,15 @@ class Config:
     trip_force_w: bool = True
     trip_w_scale: float = 1.0
 
+    # --- Outflow ---------------------------------------------------------
+    # Convective (wake-transparent) outlet du/dt + U_c du/dx = 0 on the
+    # high-x face of the inflow/outflow pair (reference apply_velocity_bc
+    # outflow family, src/solver_operators.cpp:43). Off = zero-gradient
+    # outlet hardened by the uniform outlet flux offset (both modes keep
+    # the flux offset for Poisson solvability).
+    convective_outflow: bool = False
+    outflow_u_c: float = 0.0     # 0 => auto: outlet-plane bulk velocity
+
     # --- Recycling inflow -------------------------------------------------
     recycling_inflow: bool = False
     recycle_x: float = -1.0

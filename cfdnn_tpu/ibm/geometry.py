@@ -108,7 +108,10 @@ class NACABody(IBMBody):
         return np.where(xn < p, fore, aft)
 
     def phi(self, x, y, z):
-        ca, sa = np.cos(-self.aoa), np.sin(-self.aoa)
+        # aerodynamic convention: positive aoa pitches the nose UP for
+        # flow in +x (trailing edge below the leading edge), so positive
+        # aoa -> positive lift (world->body rotation by +aoa)
+        ca, sa = np.cos(self.aoa), np.sin(self.aoa)
         dx, dy = x - self.x_le, y - self.y_le
         xb = (ca * dx - sa * dy) / self.chord
         yb = (sa * dx + ca * dy) / self.chord
@@ -147,6 +150,28 @@ class StepBody(IBMBody):
                                 np.minimum(dy, np.inf) * (dy > 0))))
         # the non-corner outside regions: distance is whichever of dx/dy > 0
         d = np.where(inside, d,
+                     np.where(outside_corner, np.sqrt(dx**2 + dy**2),
+                              np.where(dx > 0, dx, dy)))
+        return d + 0.0 * np.asarray(z)
+
+
+@dataclasses.dataclass
+class BackwardStepBody(IBMBody):
+    """Backward-facing step: solid {x <= x_step, y <= y_step} — the inlet
+    floor that drops away (sudden expansion). Mirror image of StepBody;
+    exact SDF of the quadrant. Used by the Armaly et al. (1983) laminar
+    reattachment-length validation (apps/step.py --backward)."""
+
+    x_step: float
+    y_step: float
+    name = "BackwardStep"
+
+    def phi(self, x, y, z):
+        dx = x - self.x_step          # >0 right of the step face
+        dy = y - self.y_step          # >0 above the step top
+        outside_corner = (dx > 0) & (dy > 0)
+        inside = (dx <= 0) & (dy <= 0)
+        d = np.where(inside, np.maximum(dx, dy),     # negative inside
                      np.where(outside_corner, np.sqrt(dx**2 + dy**2),
                               np.where(dx > 0, dx, dy)))
         return d + 0.0 * np.asarray(z)
@@ -211,6 +236,8 @@ def create_ibm_body(kind: str, **kw) -> IBMBody:
                         kw.get("aoa", 0.0), kw.get("digits", "0012"))
     if kind == "step":
         return StepBody(kw["x_step"], kw["y_step"])
+    if kind in ("backward_step", "bfs"):
+        return BackwardStepBody(kw["x_step"], kw["y_step"])
     if kind in ("hills", "periodic_hills"):
         return PeriodicHillBody(kw["h"])
     raise ValueError(f"unknown IBM body '{kind}'")

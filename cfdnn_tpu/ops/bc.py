@@ -127,16 +127,23 @@ def face_pair(f, axis: int, bc: BCType) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return sl(f, axis, 0, -1), sl(f, axis, 1, None)
 
 
-def apply_velocity_bc(u, v, w, geom: Geometry):
+def apply_velocity_bc(u, v, w, geom: Geometry, convective_outlet=False):
     """Re-impose Dirichlet boundary-face values on wall/inflow axes.
 
     Only normal components store boundary faces; tangential wall conditions
     are enforced through ghosts at operator time. Mirrors the reference's
     apply_velocity_bc (src/solver_operators.cpp:43) minus ghost writes.
+
+    `convective_outlet`: the solver imposes the time-discrete convective
+    condition du/dt + U_c du/dx = 0 on the INFLOW pair's outlet face
+    itself (Simulation._convective_outlet, which needs dt and the old
+    state); skip the zero-gradient overwrite here so that value survives.
     """
     comps = [u, v, w]
     for axis in range(3):
         bc = geom.axes[axis].bc
+        if bc == BCType.INFLOW and convective_outlet:
+            continue
         if bc == BCType.WALL:
             f = comps[axis]
             idx_lo = [slice(None)] * 3

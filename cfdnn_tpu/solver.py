@@ -113,11 +113,41 @@ class Simulation:
         cylinder before blow-up). The profile is captured at
         `initialize()`; with neumann-p at the inlet the projection leaves
         the pinned face untouched."""
-        comps = apply_velocity_bc(*comps, self.geom)
+        comps = apply_velocity_bc(*comps, self.geom,
+                                  convective_outlet=self._convective_out)
         inflow = getattr(self, "_inflow_u", None)
         if inflow is not None:
             comps = (comps[0].at[0].set(inflow), comps[1], comps[2])
         return comps
+
+    @property
+    def _convective_out(self) -> bool:
+        cfg = self.cfg
+        return (cfg.convective_outflow and cfg.bc_x == BCType.INFLOW
+                and self.recycling is None)
+
+    def _convective_outlet(self, star, old, dt):
+        """Time-discrete convective outlet on the inflow/outflow pair's
+        high-x face: u*|out = u^n|out - U_c dt (u^n|out - u^n|out-1)/dx —
+        the standard wake-transparent condition (reference
+        apply_velocity_bc outflow family, src/solver_operators.cpp:43).
+        U_c: cfg.outflow_u_c, or the outlet-plane bulk velocity (>=0).
+        All three components are convected; the projection then adjusts
+        the face through the Dirichlet-p outlet for global continuity,
+        and _project's uniform flux offset keeps solvability exactly."""
+        cfg, geom = self.cfg, self.geom
+        dx = geom.x.h
+        u_old = old[0]
+        if cfg.outflow_u_c > 0:
+            uc = jnp.asarray(cfg.outflow_u_c, self.dtype)
+        else:
+            uc = jnp.maximum(jnp.mean(u_old[-1]), 0.0)
+        lam = uc * dt / dx
+        out = []
+        for s, o in zip(star, old):
+            face = o[-1] - lam * (o[-1] - o[-2])
+            out.append(s.at[-1].set(face))
+        return tuple(out)
 
     def set_ibm_forcing(self, body) -> None:
         """Attach an immersed body (reference RANSSolver::set_ibm_forcing).
@@ -415,6 +445,8 @@ class Simulation:
             star = tuple(c + dt * r for c, r in zip(comps, rhs))
         if self.trip is not None:
             star = self.trip.apply(star, dt, t)    # reference :1724-1810
+        if self._convective_out:
+            star = self._convective_outlet(star, comps, dt)
         star = self._apply_bc(star)
         if self.recycling is not None and inlet is not None:
             # inlet BC + inlet continuity + fringe on u* BEFORE the Poisson

@@ -65,3 +65,148 @@ def test_shipped_presets_load():
             pytest.skip("presets not generated yet")
         mlp = MLP.load(path)
         assert mlp.input_dim == (6 if model == "nn_mlp" else 5)
+
+
+def test_export_pytorch_roundtrip(tmp_path):
+    """A PyTorch checkpoint converted by scripts/export_pytorch.py loads
+    with nn_core.MLP and reproduces the torch forward pass — weights
+    trained in the reference's PyTorch ecosystem are certified equivalent
+    here (reference scripts/export_pytorch.py:1-133)."""
+    torch = pytest.importorskip("torch")
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import export_pytorch
+
+    torch.manual_seed(0)
+    model = torch.nn.Sequential(
+        torch.nn.Linear(5, 16), torch.nn.Tanh(),
+        torch.nn.Linear(16, 16), torch.nn.Tanh(),
+        torch.nn.Linear(16, 4))
+    ckpt = tmp_path / "model.pth"
+    torch.save(model.state_dict(), str(ckpt))
+
+    out = tmp_path / "exported"
+    export_pytorch.export(str(ckpt), str(out))
+    mlp = MLP.load(str(out))
+    assert mlp.input_dim == 5 and mlp.output_dim == 4
+    assert mlp.activations == ["tanh", "tanh", "linear"]
+
+    x = np.random.default_rng(3).standard_normal((32, 5)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).numpy()
+    got = np.asarray(mlp(x))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+
+
+def _write_mcconkey_fixture(d, n=64):
+    """Synthetic komega.csv / REF.csv in the McConkey schema."""
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(n)
+    b = rng.standard_normal(n)
+    k = np.abs(rng.standard_normal(n)) + 0.5
+    eps = np.abs(rng.standard_normal(n)) + 0.5
+    case = ["fp_1200"] * (n // 2) + ["case_0p5"] * (n - n // 2)
+
+    def csv(path, cols):
+        names = list(cols)
+        with open(path, "w") as fh:
+            fh.write(",".join(names) + "\n")
+            for i in range(n):
+                fh.write(",".join(
+                    cols[c][i] if c == "Case" else f"{cols[c][i]:.10e}"
+                    for c in names) + "\n")
+
+    zeros = np.zeros(n)
+    csv(d / "komega.csv", {
+        "Case": case,
+        # pure 2-D: S symmetric (shear a), R antisymmetric (rate b)
+        "komega_S_11": zeros, "komega_S_12": a, "komega_S_13": zeros,
+        "komega_S_22": zeros, "komega_S_23": zeros, "komega_S_33": zeros,
+        "komega_R_11": zeros, "komega_R_12": b, "komega_R_13": zeros,
+        "komega_R_21": -b, "komega_R_22": zeros, "komega_R_23": zeros,
+        "komega_R_31": zeros, "komega_R_32": zeros, "komega_R_33": zeros,
+        "komega_k": k, "komega_epsilon": eps,
+    })
+    csv(d / "REF.csv", {
+        "Case": case,
+        "REF_b_11": 0.1 * a, "REF_b_12": 0.05 * b, "REF_b_22": -0.1 * a,
+    })
+    return a, b, k, eps
+
+
+def test_preprocess_mcconkey_pipeline(tmp_path):
+    """The rebuilt preprocessing chain (scripts/preprocess_mcconkey_csv
+    .py, reference :1-220) produces the NPZ schema the trainers consume,
+    with invariants/basis matching the analytic values for a pure-shear
+    2-D state: S=[[0,a],[a,0]], O=[[0,b],[-b,0]], time scale k/eps ->
+    inv = (2a'^2, -2b'^2, 0, 0, -2a'^2 b'^2) for the normalized a',b'."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import preprocess_mcconkey_csv as pp
+
+    a, b, k, eps = _write_mcconkey_fixture(tmp_path)
+    rans = pp.read_csv_columns(str(tmp_path / "komega.csv"))
+    ref = pp.read_csv_columns(str(tmp_path / "REF.csv"))
+    out = tmp_path / "processed" / "channel" / "train" / "data.npz"
+    assert pp.process_case(rans, ref, "fp_", str(out))
+    data = np.load(str(out))
+    n = (len(a) // 2)
+    assert data["invariants"].shape == (n, 5)
+    assert data["basis"].shape == (n, 4, 3)
+    assert data["anisotropy"].shape == (n, 3)
+
+    tt = (k / eps)[:n]
+    ah, bh = a[:n] * tt, b[:n] * tt
+    inv = data["invariants"]
+    np.testing.assert_allclose(inv[:, 0], 2 * ah**2, rtol=1e-5)
+    np.testing.assert_allclose(inv[:, 1], -2 * bh**2, rtol=1e-5)
+    np.testing.assert_allclose(inv[:, 2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(inv[:, 3], 0.0, atol=1e-6)
+    np.testing.assert_allclose(inv[:, 4], -2 * ah**2 * bh**2, rtol=1e-5)
+    # basis: T1 = S-hat; T2 = SO-OS = [[-2ab, 0], [0, 2ab]] normalized
+    np.testing.assert_allclose(data["basis"][:, 0, 1], ah, rtol=1e-5)
+    np.testing.assert_allclose(data["basis"][:, 1, 0], -2 * ah * bh,
+                               rtol=1e-5)
+    # labels pass through
+    np.testing.assert_allclose(data["anisotropy"][:, 0], 0.1 * a[:n],
+                               rtol=1e-5)
+
+
+def test_sst_distilled_preset_runs_channel(record_qoi):
+    """The mlp_channel_sst preset (trained on physical solver data by
+    scripts/distill_sst_channel.py, hold-out R^2 in metadata) must load,
+    run the Re_tau=180 channel stably, and produce an eddy viscosity of
+    the SST magnitude it was distilled from."""
+    import json
+    import os
+
+    import jax.numpy as jnp
+
+    from cfdnn_tpu import Config, Simulation, init_poiseuille
+    from cfdnn_tpu.config import TurbulenceModel
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    preset = os.path.join(root, "data", "models", "mlp_channel_sst")
+    meta = json.load(open(os.path.join(preset, "metadata.json")))
+    assert meta["training"]["holdout_r2"] > 0.95
+
+    cfg = Config(Nx=4, Ny=96, Nz=1,
+                 nu=1.0 / 180.0, nu_specified=True,
+                 dp_dx=-1.0, dp_dx_specified=True,
+                 dt=1e-3, adaptive_dt=True, CFL_max=0.5,
+                 dtype="float64", turb_model=TurbulenceModel.NN_MLP,
+                 nn_weights_path=preset)
+    sim = Simulation(cfg)
+    state = sim.initialize(init_poiseuille(cfg, sim.mesh, fraction=0.05))
+    for _ in range(10):
+        state, d = sim.run(state, 200)
+        assert np.isfinite(float(d.ke))
+    nut = sim.turb.nu_t(state, sim)
+    peak_plus = float(jnp.max(nut)) * 180.0
+    record_qoi("mlp_sst_preset_nut_peak_plus", peak_plus)
+    # SST channel peak nu_t+ sits in 10-40 (test_rans_accuracy gate)
+    assert 5.0 < peak_plus < 60.0, peak_plus
