@@ -322,6 +322,40 @@ def realism_report(sim, state) -> Dict[str, object]:
     return checks
 
 
+def realism_report_averaged(sim, state, acc: "StatsAccumulator"
+                            ) -> Dict[str, object]:
+    """Stage-F report evaluated on TIME-AVERAGED statistics — the form
+    the gates are defined for (reference solver.hpp:302-655 accumulates
+    running stats; the instantaneous-snapshot closure can sit a few
+    points above the 10% gate in a perfectly healthy run, which is
+    exactly what the 160x96x96 Tier-2 run showed: 10.6% instantaneous
+    vs the averaged value). Resolution gates use the averaged u_tau;
+    the spectrum artifact check uses the final snapshot (it detects
+    aliasing, an instantaneous property)."""
+    st = acc.finalize()
+    checks = {}
+    checks["y_plus_ok"] = st.y_plus_1 <= 1.0
+    checks["dx_plus_ok"] = st.dx_plus <= 15.0
+    checks["dz_plus_ok"] = st.dz_plus <= 8.0
+    core = slice(len(st.y) // 4, 3 * len(st.y) // 4)
+    checks["stress_ordering_ok"] = bool(
+        np.mean(st.u_rms[core]) >= np.mean(st.w_rms[core]) - 1e-12
+        and np.mean(st.w_rms[core]) >= np.mean(st.v_rms[core]) - 1e-12)
+    closure = acc.momentum_balance_closure()
+    checks["momentum_closure"] = closure
+    checks["momentum_closure_ok"] = closure < 0.10
+    if sim.mesh.Nz > 1:
+        ratio = spectrum_pileup_ratio(spanwise_spectrum(sim, state))
+        checks["spectrum_pileup"] = ratio
+        checks["spectrum_ok"] = ratio < 0.1
+    checks["u_tau"] = st.u_tau
+    checks["Re_tau"] = st.Re_tau
+    checks["n_snapshots"] = acc.n
+    checks["all_ok"] = all(v for k, v in checks.items()
+                           if k.endswith("_ok"))
+    return checks
+
+
 # ---------------------------------------------------------------------------
 # Turbulence presence classifier (reference solver.hpp:409-454)
 # ---------------------------------------------------------------------------
