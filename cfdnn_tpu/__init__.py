@@ -10,8 +10,13 @@ step, MXU-batched NN inference, shard_map/GSPMD multi-chip scaling.
 import os as _os
 
 
-def _enable_compilation_cache():
+def enable_compilation_cache():
     """Persistent XLA compile cache (opt-out: CFDNN_NO_COMPILE_CACHE=1).
+
+    Called lazily from Simulation construction (NOT at import — mutating
+    process-global JAX config as an import side effect surprises host
+    applications embedding the library next to other JAX code); call it
+    directly when using the Poisson/operator layers standalone.
 
     Large-grid Pallas kernels cost minutes of one-time Mosaic compile
     (the 512^3 2-D-tiled predictor alone is ~5 min); caching makes every
@@ -45,8 +50,6 @@ def _enable_compilation_cache():
     except Exception:
         pass   # cache is an optimization, never a requirement
 
-
-_enable_compilation_cache()
 
 from .config import (BCType, Config, ConvectiveScheme, PoissonSolverType,
                      SimulationMode, TimeIntegrator, TurbulenceModel)

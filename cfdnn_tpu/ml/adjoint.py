@@ -84,20 +84,37 @@ def trajectory_loss(sim, loss_fn: Callable, n_steps: int,
 def fit_closure(sim, state0, loss_fn: Callable, n_steps: int = 10,
                 iters: int = 50, learning_rate: float = 1e-3,
                 segments: int = 1, params=None,
+                train_normalization: bool = False,
                 callback: Optional[Callable] = None):
     """A-posteriori training loop: optimize the NN closure's weights so the
     simulated trajectory minimizes loss_fn (optax adam), returning
-    (trained MLP, loss history)."""
+    (trained MLP, loss history).
+
+    By default the input-normalization statistics (means/stds) are FROZEN:
+    they are registered pytree leaves of the MLP, and letting adam update
+    them silently turns saved "feature statistics" into free parameters
+    (changing the meaning of exported metadata and destabilizing
+    training). Pass train_normalization=True to opt in.
+    """
     import optax
 
     params = params if params is not None else sim.turb.mlp
     f = trajectory_loss(sim, loss_fn, n_steps, segments=segments)
     vg = jax.jit(jax.value_and_grad(f))
     opt = optax.adam(learning_rate)
+    if not train_normalization:
+        def zero_stats(g):
+            if g.means is None:
+                return g
+            import dataclasses as _dc
+            return _dc.replace(g, means=jnp.zeros_like(g.means),
+                               stds=jnp.zeros_like(g.stds))
     opt_state = opt.init(params)
     history = []
     for it in range(iters):
         loss, grads = vg(params, state0)
+        if not train_normalization:
+            grads = zero_stats(grads)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         history.append(float(loss))

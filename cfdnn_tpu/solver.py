@@ -52,6 +52,8 @@ class Simulation:
     """Owns mesh/config/geometry/Poisson operators and the compiled step."""
 
     def __init__(self, cfg: Config, mesh: Optional[Mesh] = None):
+        from . import enable_compilation_cache
+        enable_compilation_cache()   # idempotent; opt-out via env
         cfg = cfg.finalize()
         if cfg.dtype == "float64" or cfg.poisson_dtype == "float64":
             # float64 requests must actually get 64-bit arrays — without
