@@ -2,14 +2,19 @@
 
 TPU-native replacement of the reference MPI layer (reference: include/
 decomposition.hpp:28-105 z-slab Decomposition, include/halo_exchange.hpp:24-76
-HaloExchange, src/poisson_solver_fft_mpi.cpp pencil-transpose FFT): fields are
-sharded along z over a 1-D `Mesh` axis and the jitted step is partitioned by
-GSPMD — XLA inserts the halo `collective-permute`s for the stencil pads, the
-`all-to-all` transposes for the sharded FFT, and `all-reduce`s for the global
-scalars, all riding ICI. There is no hand-written pack/unpack, no Schwarz
-outer iteration (the FDM Poisson stays globally coupled under sharding), and
-single-chip runs are the n=1 special case (the reference's !is_parallel()
-no-op path, halo_exchange.hpp:9-11).
+HaloExchange, src/poisson_solver_fft_mpi.cpp pencil-transpose FFT): fields
+are sharded along z over a 1-D `Mesh` axis. Data movement is split between
+GSPMD (stencil halo `collective-permute`s on the jnp operator path, scalar
+`all-reduce`s) and explicit shard_map programs where GSPMD's default
+schedule is wrong or impossible: the pencil-transpose Poisson solve
+(parallel/pencil.py — GSPMD alone all-gathers the full field) and the
+Pallas fast path with ppermute halos (parallel/fused.py — GSPMD cannot
+partition a custom call). No Schwarz outer iteration (the solve stays
+globally coupled under sharding); single-chip runs are the n=1 special
+case (the reference's !is_parallel() no-op path, halo_exchange.hpp:9-11).
+The collective schedule is pinned by an HLO-inspection test
+(test_sharding.py: all-to-all + collective-permute, never a full-field
+all-gather).
 """
 
 from __future__ import annotations

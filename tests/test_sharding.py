@@ -279,3 +279,16 @@ def test_sharded_fused_les_step_matches_single_fused():
     np.testing.assert_allclose(np.asarray(st.u), np.asarray(ref.u),
                                rtol=0, atol=1e-13)
     assert abs(float(d.ke) - float(ref_d.ke)) < 1e-13
+
+
+def test_sharded_nstep_scan_runs():
+    """The fused n-step lax.scan (Simulation.run — the benchmark path)
+    must compile and execute over the 8-device mesh: the scan carries a
+    sharded state through pencil Poisson solves and halo collectives
+    (the virtual-device analogue of a scaling smoke run)."""
+    cfg = _cfg(dtype="float32", mesh_shape=(8,))
+    sim = Simulation(cfg)
+    st = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
+    st, d = sim.run(st, 20)
+    assert np.isfinite(float(d.ke))
+    assert st.u.sharding.spec == jax.sharding.PartitionSpec(None, None, "z")
