@@ -812,7 +812,7 @@ def fused_correct_xz(u, v, w, p, dt, *, geom, interpret=False):
 
 def predictor_slab_math_channel(u_e, v_e, w_e, inv_dy, inv_dyc, inv_dgy,
                                 inv2_cy, inv2_fy, hx, hz, nu, fx, dt,
-                                scheme=None):
+                                scheme=None, nut_e=None):
     """Star update on x-halo-extended slabs for the wall-y channel.
 
     u_e, w_e: (bx+2, Ny, Nz); v_e: (bx+2, Ny+1, Nz) (y-face staggered,
@@ -867,13 +867,35 @@ def predictor_slab_math_channel(u_e, v_e, w_e, inv_dy, inv_dyc, inv_dgy,
         conv_u += V_at_u * (up[:, 2:] - up[:, :-2]) * inv2_cy
         W_at_u = 0.5 * (We + _Rz(We, 1))
         conv_u += W_at_u * (_Rz(u_c, 1) - _Rz(u_c, -1)) * (0.5 * ihz)
-    # diffusion: x,z uniform second differences; y flux form with
-    # ghost-aware wall gradient (no-slip) and mirrored flux pad
+    # diffusion: x,z uniform; y flux form with ghost-aware wall gradient
+    # (no-slip) and mirrored flux pad. Variable nu (LES): cell nu on the
+    # own-axis faces, 4-pt corner averages on transverse faces, in the
+    # library's interpolation order (flux direction first) —
+    # ops.diffusive.
     g_uy = (up[:, 1:] - up[:, :-1]) * inv_dgy     # (bx, Ny+1, Nz) faces
-    F = nu * g_uy
-    lap_u = (nu * (X(u_e, 1) - 2.0 * u_c + X(u_e, -1)) * ihx * ihx
-             + (F[:, 1:] - F[:, :-1]) * inv_dy
-             + nu * (_Rz(u_c, 1) - 2.0 * u_c + _Rz(u_c, -1)) * ihz * ihz)
+    if nut_e is None:
+        F = nu * g_uy
+        lap_u = (nu * (X(u_e, 1) - 2.0 * u_c + X(u_e, -1)) * ihx * ihx
+                 + (F[:, 1:] - F[:, :-1]) * inv_dy
+                 + nu * (_Rz(u_c, 1) - 2.0 * u_c
+                         + _Rz(u_c, -1)) * ihz * ihz)
+    else:
+        ne = nu + nut_e                           # (bx+2, Ny, Nz) cells
+        # x (own axis): flux at the two neighbor cells of face i
+        Fx_hi = X(ne, 0) * (X(u_e, 1) - u_c) * ihx
+        Fx_lo = X(ne, -1) * (u_c - X(u_e, -1)) * ihx
+        # y: nu at (x-face, y-face): y mirror-avg then x-avg
+        nmp = mirror_pad_c(ne)
+        n_yf = 0.5 * (nmp[:, :-1] + nmp[:, 1:])   # (bx+2, Ny+1, Nz)
+        n_uy = 0.5 * (X(n_yf, -1) + X(n_yf, 0))
+        Fy = n_uy * g_uy
+        # z: nu at (x-face, z-face): z-avg then x-avg
+        n_zf = 0.5 * (_Rz(ne, -1) + ne)
+        n_uz = 0.5 * (X(n_zf, -1) + X(n_zf, 0))
+        Fz = n_uz * (u_c - _Rz(u_c, -1)) * ihz    # at z-face k
+        lap_u = ((Fx_hi - Fx_lo) * ihx
+                 + (Fy[:, 1:] - Fy[:, :-1]) * inv_dy
+                 + (_Rz(Fz, 1) - Fz) * ihz)
     star_u = u_c + dt * (-conv_u + lap_u + fx)
 
     # ---- v component (y-face staggered: Ny+1 values incl. walls) ------
@@ -905,13 +927,33 @@ def predictor_slab_math_channel(u_e, v_e, w_e, inv_dy, inv_dyc, inv_dgy,
         W_at_v = 0.5 * (w_yf + _Rz(w_yf, 1))
         conv_v += W_at_v * (_Rz(v_c, 1) - _Rz(v_c, -1)) * (0.5 * ihz)
     # diffusion: own-axis flux form (cell gradients, mirror flux pad,
-    # /inv_dyc); x,z uniform second differences
+    # /inv_dyc); x,z uniform
     g_vy = (v_c[:, 1:] - v_c[:, :-1]) * inv_dy    # (bx, Ny, Nz) cells
-    Fv = nu * g_vy
-    Fp = mirror_pad_c(Fv)
-    lap_v = (nu * (X(v_e, 1) - 2.0 * v_c + X(v_e, -1)) * ihx * ihx
-             + (Fp[:, 1:] - Fp[:, :-1]) * inv_dyc
-             + nu * (_Rz(v_c, 1) - 2.0 * v_c + _Rz(v_c, -1)) * ihz * ihz)
+    if nut_e is None:
+        Fv = nu * g_vy
+        Fp = mirror_pad_c(Fv)
+        lap_v = (nu * (X(v_e, 1) - 2.0 * v_c + X(v_e, -1)) * ihx * ihx
+                 + (Fp[:, 1:] - Fp[:, :-1]) * inv_dyc
+                 + nu * (_Rz(v_c, 1) - 2.0 * v_c
+                         + _Rz(v_c, -1)) * ihz * ihz)
+    else:
+        ne = nu + nut_e
+        Fv = X(ne, 0) * g_vy
+        Fp = mirror_pad_c(Fv)
+        # x: nu at (x-face, y-face): x-avg first, then y mirror-avg
+        nxf = 0.5 * (ne[:-1] + ne[1:])            # (bx+1, Ny, Nz) faces
+        nxm = mirror_pad_c(nxf)
+        n_vx = 0.5 * (nxm[:, :-1] + nxm[:, 1:])   # (bx+1, Ny+1, Nz)
+        gx = (v_e[1:] - v_e[:-1]) * ihx           # at x-faces
+        Fx = n_vx * gx
+        # z: nu at (y-face, z-face): z-avg first, then y mirror-avg
+        n_zf = 0.5 * (_Rz(X(ne, 0), -1) + X(ne, 0))
+        nzm = mirror_pad_c(n_zf)
+        n_vz = 0.5 * (nzm[:, :-1] + nzm[:, 1:])   # (bx, Ny+1, Nz)
+        Fz = n_vz * (v_c - _Rz(v_c, -1)) * ihz
+        lap_v = ((Fx[1:] - Fx[:-1]) * ihx
+                 + (Fp[:, 1:] - Fp[:, :-1]) * inv_dyc
+                 + (_Rz(Fz, 1) - Fz) * ihz)
     star_v = v_c + dt * (-conv_v + lap_v)
 
     # ---- w component (z-face staggered; y-center like u) --------------
@@ -936,26 +978,54 @@ def predictor_slab_math_channel(u_e, v_e, w_e, inv_dy, inv_dyc, inv_dgy,
         V_at_w = 0.5 * (Ve_w[:, :-1] + Ve_w[:, 1:])
         conv_w += V_at_w * (wp[:, 2:] - wp[:, :-2]) * inv2_cy
     g_wy = (wp[:, 1:] - wp[:, :-1]) * inv_dgy
-    Fw = nu * g_wy
-    lap_w = (nu * (X(w_e, 1) - 2.0 * w_c + X(w_e, -1)) * ihx * ihx
-             + (Fw[:, 1:] - Fw[:, :-1]) * inv_dy
-             + nu * (_Rz(w_c, 1) - 2.0 * w_c + _Rz(w_c, -1)) * ihz * ihz)
+    if nut_e is None:
+        Fw = nu * g_wy
+        lap_w = (nu * (X(w_e, 1) - 2.0 * w_c + X(w_e, -1)) * ihx * ihx
+                 + (Fw[:, 1:] - Fw[:, :-1]) * inv_dy
+                 + nu * (_Rz(w_c, 1) - 2.0 * w_c
+                         + _Rz(w_c, -1)) * ihz * ihz)
+    else:
+        ne = nu + nut_e
+        # z (own axis): cell-centered nu on the cell fluxes
+        nc = X(ne, 0)
+        Fz_c = nc * (_Rz(w_c, 1) - w_c) * ihz     # flux of cell k
+        # x: nu at (x-face, z-face): x-avg first, then z-avg
+        nxf = 0.5 * (ne[:-1] + ne[1:])            # (bx+1, Ny, Nz)
+        n_wx = 0.5 * (_Rz(nxf, -1) + nxf)
+        gx = (w_e[1:] - w_e[:-1]) * ihx
+        Fx = n_wx * gx
+        # y: nu at (y-face, z-face): y mirror-avg first, then z-avg
+        nmp = mirror_pad_c(nc)
+        n_yf = 0.5 * (nmp[:, :-1] + nmp[:, 1:])   # (bx, Ny+1, Nz)
+        n_wy = 0.5 * (_Rz(n_yf, -1) + n_yf)
+        Fy = n_wy * g_wy
+        lap_w = ((Fx[1:] - Fx[:-1]) * ihx
+                 + (Fy[:, 1:] - Fy[:, :-1]) * inv_dy
+                 + (Fz_c - _Rz(Fz_c, -1)) * ihz)
     star_w = w_c + dt * (-conv_w + lap_w)
 
     return star_u, star_v, star_w
 
 
-def _channel_kernel(dt_ref, inv_dy, inv_dyc, inv_dgy, inv2_cy, inv2_fy,
-                    ul, uc, ur, vl, vc, vr, wl, wc, wr,
-                    su, sv, sw, *, hx, hz, nu, fx, scheme):
+def _channel_kernel(dt_ref, *refs, hx, hz, nu, fx, scheme, has_nut):
+    inv_dy, inv_dyc, inv_dgy, inv2_cy, inv2_fy = refs[:5]
+    rest = refs[5:]
+    if has_nut:
+        (ul, uc, ur, vl, vc, vr, wl, wc, wr,
+         nl, nc, nr, su, sv, sw) = rest
+    else:
+        ul, uc, ur, vl, vc, vr, wl, wc, wr, su, sv, sw = rest
+        nl = nc = nr = None
+
     def ext(l, c, r):
         return jnp.concatenate([l[-1:], c[:], r[:1]], axis=0)
 
     dt = dt_ref[0]
+    nut_e = ext(nl, nc, nr) if has_nut else None
     s_u, s_v, s_w = predictor_slab_math_channel(
         ext(ul, uc, ur), ext(vl, vc, vr), ext(wl, wc, wr),
         inv_dy[:], inv_dyc[:], inv_dgy[:], inv2_cy[:], inv2_fy[:],
-        hx, hz, nu, fx, dt, scheme=scheme)
+        hx, hz, nu, fx, dt, scheme=scheme, nut_e=nut_e)
     su[:] = s_u
     sv[:] = s_v
     sw[:] = s_w
@@ -984,9 +1054,10 @@ def _channel_y_arrays(geom):
 
 
 def fused_predictor_channel(u, v, w, dt, *, geom, nu, fx, bx=4,
-                            scheme=None, interpret=False):
+                            scheme=None, nu_t=None, interpret=False):
     """Specialized fused predictor for the wall-y channel (O2 skew or
-    central, scalar nu, periodic-uniform x/z, arbitrary y stretching)."""
+    central, scalar or variable nu, periodic-uniform x/z, arbitrary y
+    stretching)."""
     Nx = u.shape[0]
     bx = _auto_bx(bx, Nx, geom.axes[1].n, geom.axes[2].n)
     G = Nx // bx
@@ -998,9 +1069,10 @@ def fused_predictor_channel(u, v, w, dt, *, geom, nu, fx, bx=4,
                 for off in (-1, 0, 1)]
 
     ys = [jnp.asarray(a, u.dtype) for a in _channel_y_arrays(geom)]
+    fields = (u, v, w) if nu_t is None else (u, v, w, nu_t)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in ys]
-    for arr in (u, v, w):
+    for arr in fields:
         in_specs += specs_for(arr)
     out_specs = [pl.BlockSpec((bx,) + arr.shape[1:], lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -1009,7 +1081,11 @@ def fused_predictor_channel(u, v, w, dt, *, geom, nu, fx, bx=4,
                  for arr in (u, v, w)]
     dt_arr = jnp.reshape(jnp.asarray(dt, u.dtype), (1,))
     kernel = functools.partial(_channel_kernel, hx=geom.x.h, hz=geom.z.h,
-                               nu=nu, fx=fx, scheme=scheme)
+                               nu=nu, fx=fx, scheme=scheme,
+                               has_nut=nu_t is not None)
+    triple = []
+    for arr in fields:
+        triple += [arr, arr, arr]
     return pl.pallas_call(
         kernel,
         grid=(G,),
@@ -1018,7 +1094,7 @@ def fused_predictor_channel(u, v, w, dt, *, geom, nu, fx, bx=4,
         out_shape=out_shape,
         compiler_params=_slab_compiler_params(u.shape[1], u.shape[2]),
         interpret=interpret,
-    )(dt_arr, *ys, u, u, u, v, v, v, w, w, w)
+    )(dt_arr, *ys, *triple)
 
 
 @functools.partial(jax.jit, static_argnames=("hx", "hy", "hz", "nu", "fx",

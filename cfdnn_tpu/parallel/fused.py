@@ -83,8 +83,7 @@ def sharded_fused_predictor(u, v, w, dt, *, geom, mesh: Mesh,
         space_order = geom.space_order
         implicit_y_diffusion = False
 
-    use_channel = (nu_t is None
-                   and channel_slab_eligible(geom_ext, _SchemeCfg))
+    use_channel = channel_slab_eligible(geom_ext, _SchemeCfg)
 
     @functools.partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
                        out_specs=(spec, spec, spec),
@@ -93,13 +92,13 @@ def sharded_fused_predictor(u, v, w, dt, *, geom, mesh: Mesh,
         ue = with_z_halos(u, axis_name, ng)
         ve = with_z_halos(v, axis_name, ng)
         we = with_z_halos(w, axis_name, ng)
+        nte = with_z_halos(rest[0], axis_name, ng) if rest else None
         if use_channel:
             from ..ops.pallas_kernels import fused_predictor_channel
             su, sv, sw = fused_predictor_channel(
                 ue, ve, we, dt, geom=geom_ext, nu=nu, fx=fx,
-                scheme=scheme, interpret=interpret)
+                scheme=scheme, nu_t=nte, interpret=interpret)
         else:
-            nte = with_z_halos(rest[0], axis_name, ng) if rest else None
             su, sv, sw = fused_predictor_general(
                 ue, ve, we, dt, geom=geom_ext, scheme=scheme, nu=nu,
                 fx=fx, nu_t=nte, interpret=interpret)

@@ -442,13 +442,14 @@ class Simulation:
                     *comps, jnp.asarray(dt, self.dtype),
                     hx=geom.x.h, hy=geom.y.h, hz=geom.z.h,
                     nu=float(cfg.nu), fx=fx, interpret=interp)
-            elif nu_t is None and self._channel_slab_ok:
+            elif self._channel_slab_ok:
                 # wall-y channel specialization: 1.8x the general
                 # kernel's throughput on the flagship configuration
+                # (scalar nu) and the LES channel (variable nu)
                 from .ops.pallas_kernels import fused_predictor_channel
                 star = fused_predictor_channel(
                     *comps, jnp.asarray(dt, self.dtype), geom=geom,
-                    nu=float(cfg.nu), fx=fx,
+                    nu=float(cfg.nu), fx=fx, nu_t=nu_t,
                     scheme=cfg.convective_scheme, interpret=interp)
             else:
                 from .ops.pallas_kernels import fused_predictor_general

@@ -314,3 +314,16 @@ def test_channel_specialized_kernel_parity():
             for a, b in zip(got, ref):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=0, atol=1e-13)
+            # variable viscosity (LES path): corner-averaged nu
+            nut = jnp.asarray(
+                np.abs(rng.standard_normal((16, 12, 8))) * 1e-2)
+            diff_v = ops.diffusive((u, v, w), cfg.nu + nut, sim.geom)
+            ref_v = (u + dt * (-conv[0] + diff_v[0] + fx),
+                     v + dt * (-conv[1] + diff_v[1]),
+                     w + dt * (-conv[2] + diff_v[2]))
+            got_v = fused_predictor_channel(
+                u, v, w, dt, geom=sim.geom, nu=cfg.nu, fx=fx,
+                scheme=scheme, nu_t=nut, interpret=True)
+            for a, b in zip(got_v, ref_v):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=0, atol=1e-13)
