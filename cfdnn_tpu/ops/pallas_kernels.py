@@ -1134,3 +1134,171 @@ def fused_predictor(u, v, w, dt, *, hx, hy, hz, nu, fx, bx=4,
         compiler_params=_slab_compiler_params(Ny, Nz),
         interpret=interpret,
     )(dt_arr, u, u, u, v, v, v, w, w, w)
+
+
+# ---------------------------------------------------------------------------
+# Predictor + divergence fusion: div(u*) computed in the SAME kernel pass
+# ---------------------------------------------------------------------------
+#
+# The projection needs div(u*) immediately after the predictor; computing it
+# in a separate kernel re-reads all three star components from HBM (~25 MB
+# at 128^3 — the step is bandwidth-bound, trace: predictor 0.072 ms +
+# divergence in closed_call 0.02+ ms of a 0.197 ms step). Fusing costs one
+# extra star plane per slab (the i+1 u-face the cell divergence needs) and
+# eliminates the re-read. Valid only when NOTHING modifies u* between the
+# predictor and the projection: no trip forcing, no IBM, no recycling, no
+# inflow pinning — and the BC application must be either a no-op
+# (all-periodic) or the channel wall-face zeroing, which the channel
+# variant applies in-kernel. The solver gates on exactly these conditions
+# (Simulation._fuse_div_ok).
+
+
+def _predictor_div_kernel(dt_ref, ul, uc, ur, vl, vc, vr, wl, wc, wr,
+                          su, sv, sw, dv, *, hx, hy, hz, nu, fx):
+    """All-periodic predictor + staggered cell divergence of the star.
+
+    Asymmetric halo (1 left, 2 right): star is computed on bx+1 planes so
+    the divergence of cell i can use the star u-face at i+1; the extra
+    plane is recomputed by the right neighbor as its own first plane
+    (identical arithmetic => identical f32 values)."""
+    def ext(l, c, r):
+        return jnp.concatenate([l[-1:], c[:], r[:2]], axis=0)
+
+    dt = dt_ref[0]
+    s_u, s_v, s_w = predictor_slab_math(
+        ext(ul, uc, ur), ext(vl, vc, vr), ext(wl, wc, wr),
+        hx, hy, hz, nu, fx, dt)                    # (bx+1, Ny, Nz)
+    u0, v0, w0 = s_u[:-1], s_v[:-1], s_w[:-1]
+    su[:] = u0
+    sv[:] = v0
+    sw[:] = w0
+    ihx, ihy, ihz = 1.0 / hx, 1.0 / hy, 1.0 / hz
+    dv[:] = ((s_u[1:] - u0) * ihx
+             + (_Ry(v0, 1) - v0) * ihy
+             + (_Rz(w0, 1) - w0) * ihz)
+
+
+def fused_predictor_div(u, v, w, dt, *, hx, hy, hz, nu, fx, bx=4,
+                        interpret=False):
+    """fused_predictor that also returns div(u*) (same pass).
+
+    Returns (star_u, star_v, star_w, div). Requires bx >= 2 (the right
+    halo supplies two planes); the caller falls back to the separate
+    kernels otherwise."""
+    Nx, Ny, Nz = u.shape
+    bx = _auto_bx(bx, Nx, Ny, Nz)
+    if bx < 2:
+        raise ValueError("fused_predictor_div needs bx >= 2")
+    G = Nx // bx
+    blk = (bx, Ny, Nz)
+
+    def spec(off):
+        return pl.BlockSpec(blk, lambda i, o=off: ((i + o) % G, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    specs = []
+    for _ in range(3):
+        specs += [spec(-1), spec(0), spec(1)]
+    dt_arr = jnp.reshape(jnp.asarray(dt, u.dtype), (1,))
+    kernel = functools.partial(_predictor_div_kernel, hx=hx, hy=hy, hz=hz,
+                               nu=nu, fx=fx)
+    out_shape = [jax.ShapeDtypeStruct(u.shape, u.dtype)] * 4
+    out_spec = pl.BlockSpec(blk, lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + specs,
+        out_specs=[out_spec] * 4,
+        out_shape=out_shape,
+        compiler_params=_slab_compiler_params(Ny, Nz),
+        interpret=interpret,
+    )(dt_arr, u, u, u, v, v, v, w, w, w)
+
+
+def _channel_div_kernel(dt_ref, *refs, hx, hz, nu, fx, scheme, has_nut):
+    """Channel predictor + wall-face zeroing of v* + divergence of star.
+
+    The solver's apply_velocity_bc zeroes v's wall faces after the
+    predictor; the fused divergence must see exactly that field, so the
+    zeroing happens here and the returned star_v already carries it
+    (apply_velocity_bc afterwards is idempotent)."""
+    inv_dy, inv_dyc, inv_dgy, inv2_cy, inv2_fy = refs[:5]
+    rest = refs[5:]
+    if has_nut:
+        (ul, uc, ur, vl, vc, vr, wl, wc, wr,
+         nl, nc, nr, su, sv, sw, dv) = rest
+    else:
+        (ul, uc, ur, vl, vc, vr, wl, wc, wr,
+         su, sv, sw, dv) = rest
+        nl = nc = nr = None
+
+    def ext(l, c, r):
+        return jnp.concatenate([l[-1:], c[:], r[:2]], axis=0)
+
+    dt = dt_ref[0]
+    nut_e = ext(nl, nc, nr) if has_nut else None
+    s_u, s_v, s_w = predictor_slab_math_channel(
+        ext(ul, uc, ur), ext(vl, vc, vr), ext(wl, wc, wr),
+        inv_dy[:], inv_dyc[:], inv_dgy[:], inv2_cy[:], inv2_fy[:],
+        hx, hz, nu, fx, dt, scheme=scheme, nut_e=nut_e)  # (bx+1, ...)
+    zf = jnp.zeros_like(s_v[:, :1])
+    s_v = jnp.concatenate([zf, s_v[:, 1:-1], zf], axis=1)
+    u0, v0, w0 = s_u[:-1], s_v[:-1], s_w[:-1]
+    su[:] = u0
+    sv[:] = v0
+    sw[:] = w0
+    ihx, ihz = 1.0 / hx, 1.0 / hz
+    dv[:] = ((s_u[1:] - u0) * ihx
+             + (v0[:, 1:] - v0[:, :-1]) * inv_dy[:]
+             + (_Rz(w0, 1) - w0) * ihz)
+
+
+def fused_predictor_channel_div(u, v, w, dt, *, geom, nu, fx, bx=4,
+                                scheme=None, nu_t=None, interpret=False):
+    """fused_predictor_channel that also returns div(u*) with v's wall
+    faces zeroed in-kernel. Returns (star_u, star_v, star_w, div)."""
+    Nx = u.shape[0]
+    bx = _auto_bx(bx, Nx, geom.axes[1].n, geom.axes[2].n)
+    if bx < 2:
+        raise ValueError("fused_predictor_channel_div needs bx >= 2")
+    G = Nx // bx
+
+    def specs_for(arr):
+        blk = (bx,) + arr.shape[1:]
+        return [pl.BlockSpec(blk, lambda i, o=off: ((i + o) % G, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for off in (-1, 0, 1)]
+
+    ys = [jnp.asarray(a, u.dtype) for a in _channel_y_arrays(geom)]
+    fields = (u, v, w) if nu_t is None else (u, v, w, nu_t)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in ys]
+    for arr in fields:
+        in_specs += specs_for(arr)
+    outs = [u, v, w]
+    out_specs = [pl.BlockSpec((bx,) + arr.shape[1:], lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+                 for arr in outs]
+    out_shape = [jax.ShapeDtypeStruct(arr.shape, arr.dtype)
+                 for arr in outs]
+    ny, nz = geom.axes[1].n, geom.axes[2].n
+    out_specs.append(pl.BlockSpec((bx, ny, nz), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((Nx, ny, nz), u.dtype))
+    dt_arr = jnp.reshape(jnp.asarray(dt, u.dtype), (1,))
+    kernel = functools.partial(_channel_div_kernel, hx=geom.x.h,
+                               hz=geom.z.h, nu=nu, fx=fx, scheme=scheme,
+                               has_nut=nu_t is not None)
+    triple = []
+    for arr in fields:
+        triple += [arr, arr, arr]
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=_slab_compiler_params(u.shape[1], u.shape[2]),
+        interpret=interpret,
+    )(dt_arr, *ys, *triple)

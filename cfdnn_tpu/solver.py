@@ -82,7 +82,53 @@ class Simulation:
         from .ops.pallas_kernels import channel_slab_eligible
         self._channel_slab_ok = channel_slab_eligible(self.geom,
                                                       self.cfg)
+        self._fuse_div_ok = self._fuse_div_eligible()
         self._build_jits()
+
+    def _fuse_div_eligible(self):
+        """Whether div(u*) can be produced by the predictor kernel itself
+        (ops/pallas_kernels.py fused_predictor_div /
+        fused_predictor_channel_div): single-device slab mode and nothing
+        mutates u* between the predictor and the projection — no trip,
+        IBM, recycling, inflow pinning, or convective outlet, and the BC
+        application is a no-op (all-periodic) or the channel wall-face
+        zeroing (done in-kernel).
+
+        PERF NOTE (measured, v5e, 128^3 TGV, 500-step scans): the fusion
+        is a slight net LOSS — the extra div store costs ~0.011 ms/step
+        of write bandwidth (predictor 0.132 -> 0.143/0.147 ms at
+        bx=16/4) while the separate divergence kernel's incremental busy
+        time in the pipelined step is only ~0.009 ms (device trace:
+        step 0.197 -> 0.207 ms busy with fusion). The step at 128^3 is
+        store- and VPU-limited, not read-limited, so eliminating the
+        star re-read does not pay for the extra output. Kept as a
+        correct, parity-tested OPT-IN (CFDNN_FUSE_DIV=1) and as the
+        measured justification for keeping the pipeline split — the
+        same design-space documentation pattern as poisson/fht.py.
+
+        Returns "periodic" | "channel" | False."""
+        import os
+        cfg = self.cfg
+        if os.environ.get("CFDNN_FUSE_DIV") != "1":
+            return False
+        if self._pallas_predictor_ok != "slab":
+            return False
+        if (self.trip is not None or self.ibm is not None
+                or self.recycling is not None or self._convective_out
+                or cfg.bc_x == BCType.INFLOW or cfg.implicit_y_diffusion):
+            return False
+        from .ops.pallas_kernels import _auto_bx
+        x, y, z = self.geom.axes
+        if _auto_bx(4, x.n, y.n, z.n) < 2:
+            return False   # the kernel needs a 2-plane right halo
+        all_periodic = all(ax.periodic and ax.uniform
+                           for ax in self.geom.axes)
+        if (all_periodic and cfg.space_order == 2
+                and cfg.convective_scheme == ConvectiveScheme.SKEW):
+            return "periodic"
+        if self._channel_slab_ok:
+            return "channel"
+        return False
 
     def _setup_device_mesh(self) -> None:
         """With Config.mesh_shape > (1,) build the device mesh (the
@@ -171,6 +217,7 @@ class Simulation:
         from .ops.pallas_kernels import channel_slab_eligible
         self._channel_slab_ok = channel_slab_eligible(self.geom,
                                                       self.cfg)
+        self._fuse_div_ok = self._fuse_div_eligible()
         self._build_jits()
 
     # ------------------------------------------------------------------
@@ -338,7 +385,7 @@ class Simulation:
         rw = -conv[2] + diff[2]
         return ru, rv, rw
 
-    def _project(self, comps, dt, forces=None, inlet=None):
+    def _project(self, comps, dt, forces=None, inlet=None, div=None):
         """Divergence -> Poisson -> correction (reference solver.cpp
         1914-2456; solver_time.cpp:736 project_velocity). With IBM: RHS
         solid-cell masking before the solve and re-forcing of the corrected
@@ -364,7 +411,9 @@ class Simulation:
         use_fused = (mode in ("slab", "xz", "shard")
                      and geom.axes[0].periodic and geom.axes[0].uniform)
         interp = use_fused and jax.devices()[0].platform == "cpu"
-        if mode == "shard":
+        if div is not None:
+            pass   # div(u*) already produced by the predictor kernel
+        elif mode == "shard":
             from .parallel.fused import sharded_fused_divergence
             div = sharded_fused_divergence(
                 *comps, geom=geom, mesh=self.device_mesh,
@@ -412,8 +461,13 @@ class Simulation:
         return comps, p_corr
 
     def _euler_substep(self, comps, nu_t, dt, forces=None, t=0.0,
-                       inlet=None):
+                       inlet=None, want_div=False):
+        """One Euler predictor substep. With want_div=True returns
+        (star, div) where div is div(u*) produced by the fused
+        predictor+divergence kernel when eligible (_fuse_div_ok), else
+        None (caller computes it separately)."""
         cfg = self.cfg
+        div_star = None
         if (self._pallas_predictor_ok
                 and cfg.force_ramp_time <= 0
                 and cfg.bulk_velocity_target <= 0):
@@ -437,20 +491,37 @@ class Simulation:
                     nu_t=nu_t, interpret=interp)
             elif (all_periodic and cfg.space_order == 2 and nu_t is None
                     and cfg.convective_scheme == ConvectiveScheme.SKEW):
-                from .ops.pallas_kernels import fused_predictor
-                star = fused_predictor(
-                    *comps, jnp.asarray(dt, self.dtype),
-                    hx=geom.x.h, hy=geom.y.h, hz=geom.z.h,
-                    nu=float(cfg.nu), fx=fx, interpret=interp)
+                if want_div and self._fuse_div_ok == "periodic":
+                    from .ops.pallas_kernels import fused_predictor_div
+                    *star, div_star = fused_predictor_div(
+                        *comps, jnp.asarray(dt, self.dtype),
+                        hx=geom.x.h, hy=geom.y.h, hz=geom.z.h,
+                        nu=float(cfg.nu), fx=fx, interpret=interp)
+                    star = tuple(star)
+                else:
+                    from .ops.pallas_kernels import fused_predictor
+                    star = fused_predictor(
+                        *comps, jnp.asarray(dt, self.dtype),
+                        hx=geom.x.h, hy=geom.y.h, hz=geom.z.h,
+                        nu=float(cfg.nu), fx=fx, interpret=interp)
             elif self._channel_slab_ok:
                 # wall-y channel specialization: 1.8x the general
                 # kernel's throughput on the flagship configuration
                 # (scalar nu) and the LES channel (variable nu)
-                from .ops.pallas_kernels import fused_predictor_channel
-                star = fused_predictor_channel(
-                    *comps, jnp.asarray(dt, self.dtype), geom=geom,
-                    nu=float(cfg.nu), fx=fx, nu_t=nu_t,
-                    scheme=cfg.convective_scheme, interpret=interp)
+                if want_div and self._fuse_div_ok == "channel":
+                    from .ops.pallas_kernels import \
+                        fused_predictor_channel_div
+                    *star, div_star = fused_predictor_channel_div(
+                        *comps, jnp.asarray(dt, self.dtype), geom=geom,
+                        nu=float(cfg.nu), fx=fx, nu_t=nu_t,
+                        scheme=cfg.convective_scheme, interpret=interp)
+                    star = tuple(star)
+                else:
+                    from .ops.pallas_kernels import fused_predictor_channel
+                    star = fused_predictor_channel(
+                        *comps, jnp.asarray(dt, self.dtype), geom=geom,
+                        nu=float(cfg.nu), fx=fx, nu_t=nu_t,
+                        scheme=cfg.convective_scheme, interpret=interp)
             else:
                 from .ops.pallas_kernels import fused_predictor_general
                 star = fused_predictor_general(
@@ -482,6 +553,8 @@ class Simulation:
             star, f = self.ibm.apply(star, dt, accumulate=forces is not None)
             if forces is not None:
                 forces.append(f)
+        if want_div:
+            return star, div_star
         return star
 
     def _nan_sentinel(self, tag, comps, dt):
@@ -514,14 +587,16 @@ class Simulation:
         blend = lambda a, ca, b, cb: tuple(
             ca * x + cb * y for x, y in zip(a, b))
         if ti == TimeIntegrator.EULER:
-            star = self._euler_substep(comps, nu_t, dt, forces, t, inlet)
+            star, dstar = self._euler_substep(comps, nu_t, dt, forces, t,
+                                              inlet, want_div=True)
             self._nan_sentinel("euler:star", star, dt)
-            out, pc = self._project(star, dt, forces, inlet)
+            out, pc = self._project(star, dt, forces, inlet, div=dstar)
             self._nan_sentinel("euler:proj", out, dt)
             return out, p + pc
         if ti == TimeIntegrator.RK2:
-            s1 = self._euler_substep(comps, nu_t, dt, forces, t, inlet)
-            s1, pc1 = self._project(s1, dt, forces, inlet)
+            s1, d1 = self._euler_substep(comps, nu_t, dt, forces, t,
+                                         inlet, want_div=True)
+            s1, pc1 = self._project(s1, dt, forces, inlet, div=d1)
             self._nan_sentinel("rk2:s1", s1, dt)
             s2 = self._euler_substep(s1, nu_t, dt, forces, t, inlet)
             s2 = blend(comps, 0.5, s2, 0.5)
@@ -530,8 +605,9 @@ class Simulation:
             self._nan_sentinel("rk2:s2", s2, dt)
             return s2, p + pc1 + pc2
         # SSP-RK3 (reference solver_time.cpp:1303)
-        s1 = self._euler_substep(comps, nu_t, dt, forces, t, inlet)
-        s1, pc1 = self._project(s1, dt, forces, inlet)
+        s1, d1 = self._euler_substep(comps, nu_t, dt, forces, t, inlet,
+                                     want_div=True)
+        s1, pc1 = self._project(s1, dt, forces, inlet, div=d1)
         self._nan_sentinel("rk3:s1", s1, dt)
         s2 = self._euler_substep(s1, nu_t, dt, forces, t, inlet)
         s2 = blend(comps, 0.75, s2, 0.25)

@@ -327,3 +327,115 @@ def test_channel_specialized_kernel_parity():
             for a, b in zip(got_v, ref_v):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=0, atol=1e-13)
+
+
+def test_fused_predictor_div_matches_operators():
+    """fused_predictor_div: star AND div(u*) == jnp operator chain
+    (all-periodic). The div must equal ops.divergence of the star the
+    solver would otherwise re-read from HBM."""
+    from cfdnn_tpu.ops.pallas_kernels import fused_predictor_div
+
+    cfg, mesh, geom = _setup()
+    rng = np.random.default_rng(3)
+    N = cfg.Nx
+    u, v, w = (jnp.asarray(rng.standard_normal((N, N, N))) for _ in range(3))
+    dt, nu, fx = 1e-3, cfg.nu, -cfg.dp_dx
+    conv = ops.convective((u, v, w), geom, ConvectiveScheme.SKEW)
+    diff = ops.diffusive((u, v, w), jnp.float64(nu), geom)
+    ref = (u + dt * (-conv[0] + diff[0] + fx),
+           v + dt * (-conv[1] + diff[1]),
+           w + dt * (-conv[2] + diff[2]))
+    ref_div = ops.divergence(ref, geom)
+    *star, div = fused_predictor_div(u, v, w, dt, hx=geom.x.h, hy=geom.y.h,
+                                     hz=geom.z.h, nu=nu, fx=fx, bx=4,
+                                     interpret=True)
+    for name, a, b in zip("uvw", ref, star):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=1e-13, err_msg=name)
+    np.testing.assert_allclose(np.asarray(div), np.asarray(ref_div),
+                               rtol=0, atol=1e-11)
+
+
+def test_fused_predictor_channel_div_matches_operators():
+    """fused_predictor_channel_div: star (with v wall faces zeroed, as
+    apply_velocity_bc does) AND div(u*) == jnp chain, uniform and
+    stretched y, scalar and variable nu."""
+    from cfdnn_tpu import Config, Simulation
+    from cfdnn_tpu.config import ConvectiveScheme as CS
+    from cfdnn_tpu.ops.bc import apply_velocity_bc
+    from cfdnn_tpu.ops.pallas_kernels import fused_predictor_channel_div
+
+    for stretch in (False, True):
+        cfg = Config(Nx=16, Ny=12, Nz=8, stretch_y=stretch,
+                     nu=3e-3, nu_specified=True, dp_dx=-2e-3,
+                     dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
+                     dtype="float64", convective_scheme=CS.SKEW)
+        sim = Simulation(cfg)
+        rng = np.random.default_rng(4)
+        st = sim.initial_state()
+        u = jnp.asarray(rng.standard_normal(st.u.shape))
+        v = jnp.asarray(rng.standard_normal(st.v.shape))
+        w = jnp.asarray(rng.standard_normal(st.w.shape))
+        dt, fx = 1e-3, float(-cfg.dp_dx / cfg.rho)
+        for nut in (None,
+                    jnp.asarray(np.abs(rng.standard_normal((16, 12, 8)))
+                                * 1e-2)):
+            nu_eff = cfg.nu if nut is None else cfg.nu + nut
+            conv = ops.convective((u, v, w), sim.geom, CS.SKEW)
+            diff = ops.diffusive((u, v, w), jnp.asarray(nu_eff), sim.geom)
+            ref = (u + dt * (-conv[0] + diff[0] + fx),
+                   v + dt * (-conv[1] + diff[1]),
+                   w + dt * (-conv[2] + diff[2]))
+            ref = apply_velocity_bc(*ref, sim.geom)
+            ref_div = ops.divergence(ref, sim.geom)
+            *star, div = fused_predictor_channel_div(
+                u, v, w, dt, geom=sim.geom, nu=cfg.nu, fx=fx,
+                scheme=CS.SKEW, nu_t=nut, interpret=True)
+            for name, a, b in zip("uvw", ref, star):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           rtol=0, atol=1e-13,
+                                           err_msg=f"{name} stretch={stretch}")
+            np.testing.assert_allclose(np.asarray(div), np.asarray(ref_div),
+                                       rtol=0, atol=1e-11,
+                                       err_msg=f"div stretch={stretch}")
+
+
+def test_fuse_div_optin_trajectory_matches(monkeypatch):
+    """CFDNN_FUSE_DIV=1: the solver's opt-in fused predictor+divergence
+    path produces the same trajectory as the default split pipeline
+    (both all-periodic and wall-y channel geometries)."""
+    monkeypatch.setenv("CFDNN_FUSE_DIV", "1")
+    base = dict(Nx=16, Ny=16, Nz=16, bc_x=BCType.PERIODIC,
+                bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
+                y_min=0.0, y_max=2 * np.pi, z_max=2 * np.pi,
+                nu=1e-3, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
+                dt=1e-3, adaptive_dt=False, dtype="float64",
+                convective_scheme=ConvectiveScheme.SKEW)
+    sim_on = Simulation(Config(use_pallas="on", **base))
+    assert sim_on._fuse_div_ok == "periodic"
+    sim_off = Simulation(Config(use_pallas="off", **base))
+    s0 = init_taylor_green(sim_off.cfg, sim_off.mesh)
+    s_off, s_on = s0, s0
+    for _ in range(4):
+        s_off, _ = sim_off.step(s_off)
+        s_on, d = sim_on.step(s_on)
+    np.testing.assert_allclose(np.asarray(s_on.u), np.asarray(s_off.u),
+                               rtol=0, atol=1e-12)
+    assert float(d.div_linf) < 1e-10
+
+    chan = dict(Nx=16, Ny=24, Nz=8, stretch_y=True, z_max=1.0,
+                nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
+                dtype="float64", convective_scheme=ConvectiveScheme.SKEW)
+    from cfdnn_tpu import perturbed_channel
+    sim_onc = Simulation(Config(use_pallas="on", **chan))
+    assert sim_onc._fuse_div_ok == "channel"
+    sim_offc = Simulation(Config(use_pallas="off", **chan))
+    c0 = perturbed_channel(sim_offc.cfg, sim_offc.mesh, amp=0.05)
+    c_off, c_on = c0, c0
+    for _ in range(4):
+        c_off, _ = sim_offc.step(c_off)
+        c_on, d = sim_onc.step(c_on)
+    np.testing.assert_allclose(np.asarray(c_on.v), np.asarray(c_off.v),
+                               rtol=0, atol=1e-12)
+    assert float(d.div_linf) < 1e-10
