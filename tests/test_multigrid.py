@@ -228,3 +228,39 @@ def test_fht_transform_matches_matmul():
         r = np.asarray(ops.laplacian(p, geom)) - np.asarray(rhs)
         r -= r.mean()
         assert np.abs(r).max() < 5e-12, (dims, bc_y, np.abs(r).max())
+
+
+def test_fdm_precision_auto_selection():
+    """Auto matmul-precision policy: HIGH below 384, HIGHEST at large N
+    for physics runs, HIGH with refine=0 for benchmark/perf runs (the
+    reference's --benchmark accuracy-relaxation parity; measured matrix
+    in docs/POISSON_SOLVER_GUIDE.md)."""
+    import numpy as np
+
+    from cfdnn_tpu import BCType, Config
+    from cfdnn_tpu.mesh import Mesh
+    from cfdnn_tpu.poisson.fdm import FDMPoissonSolver
+
+    from cfdnn_tpu.ops.grid import Geometry
+
+    def solver(n, **kw):
+        cfg = Config(Nx=n, Ny=8, Nz=8, bc_x=BCType.PERIODIC,
+                     bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
+                     y_min=0.0, y_max=2 * np.pi, z_max=2 * np.pi,
+                     nu=1e-3, nu_specified=True, dp_dx=0.0,
+                     dp_dx_specified=True, dtype="float32", **kw)
+        mesh = Mesh.from_config(cfg)
+        return FDMPoissonSolver(mesh, cfg, transform="matmul",
+                                geom=Geometry.make(mesh, cfg))
+
+    s = solver(64)
+    assert s.precision_name == "high" and s.refine == 0
+    s = solver(512)
+    assert s.precision_name == "highest" and s.refine == 0
+    s = solver(512, benchmark=True)
+    assert s.precision_name == "high" and s.refine == 0
+    s = solver(512, perf_mode=True)
+    assert s.precision_name == "high" and s.refine == 0
+    # user-forced HIGH at large N still gets the recovery refinement
+    s = solver(512, poisson_matmul_precision="high")
+    assert s.precision_name == "high" and s.refine == 1
