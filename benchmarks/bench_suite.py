@@ -187,10 +187,26 @@ def bench_large(n=512):
           {"pallas_mode": str(sim._pallas_predictor_ok)})
 
 
+def bench_large_channel(n=512):
+    """Production-scale single-chip channel (walls + stretched y,
+    channel-specialized thin-halo slab kernels; README 512^3 row).
+    NOT in `all` for the same compile/HBM reasons as bench_large."""
+    from cfdnn_tpu import Config, Simulation, perturbed_channel
+    cfg = Config(Nx=n, Ny=n, Nz=n, stretch_y=True,
+                 nu=1e-4, nu_specified=True, dp_dx=-1e-3,
+                 dp_dx_specified=True, dt=2e-4, adaptive_dt=False,
+                 benchmark=True, dtype="float32")
+    sim = Simulation(cfg)
+    s = _time_run(sim, perturbed_channel(cfg, sim.mesh, amp=0.05),
+                  steps=20, reps=3)
+    _emit(f"channel_{n}cube_large", s, n**3,
+          {"poisson": sim.poisson_selection_reason})
+
+
 ALL = {"tgv": bench_tgv, "channel": bench_channel,
        "poisson": bench_poisson, "les_ibm": bench_les_ibm,
        "models": bench_models}
-EXTRA = {"large": bench_large}
+EXTRA = {"large": bench_large, "large_channel": bench_large_channel}
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"

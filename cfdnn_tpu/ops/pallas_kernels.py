@@ -174,6 +174,58 @@ def _auto_bx(bx, Nx, ny, nz, n_halo_blocks=12):
     return max(bx, 1)
 
 
+def _auto_bx_thin(bx, Nx, ny, nz, ng=1, heavy=False):
+    """Slab sizing for THIN-HALO blocks (see _thin_specs).
+
+    With ng-plane halo blocks the per-field VMEM footprint is bx+2ng
+    planes (not 3bx), so larger slabs fit and the fetch amplification
+    (bx+2ng)/bx drops. Measured policy (v5e, f32, 100-iter scans):
+      128^3: bx=4 ~= bx=8 (0.17 ms, same as full-block bx=4 — small
+             planes already pipelined well);
+      256^3: bx=2 under the DEFAULT 16 MB cap is fastest (1.59 vs 1.83
+             ms full-block bx=1; bx=4 needs the raised cap and is
+             slower, 1.67 — Mosaic schedules against the stated budget);
+      512^3: bx=4 under the raised cap: 12.0 vs 15.0 ms at bx=1 (-20%).
+    Encoded: cap bx at 4; plane budget 4*256^2 cells under the default
+    cap, 6*512^2 under the raised one (planes > _SLAB_BUDGET_CELLS).
+
+    `heavy` marks kernels whose in-kernel live set is ~25-30 buffers
+    (the operator-library `fused_predictor_general`): at 512^2 planes
+    even the 100 MB cap can't hold a bx=4 slab (scoped-VMEM OOM), so
+    their raised-cap budget stays at the 6*256^2 point measured to fit
+    — at 512^3 they fall back to bx=1 (the 42.4 ms configuration),
+    while ≤256^3 keeps the bx=4 win."""
+    plane = max(ny * nz, 1)
+    raised = plane > _SLAB_BUDGET_CELLS
+    if raised:
+        budget = (6 * 256 * 256) if heavy else (6 * 512 * 512)
+    else:
+        budget = 4 * 256 * 256
+    bx = min(bx, 4)
+    while bx > 1 and ((bx + 2 * ng) * plane > budget
+                      or Nx % bx != 0 or bx % ng != 0):
+        bx -= 1
+    return max(bx, 1)
+
+
+def _thin_specs(arr, bx, ng, Nx):
+    """[left-halo, center, right-halo] BlockSpecs with ng-plane halo
+    blocks: each neighbor fetch is ng planes instead of a full bx-plane
+    block, cutting the kernel's HBM read amplification from 3x to
+    (bx+2ng)/bx. The halo index_map is in units of the ng-plane block
+    (requires ng | bx and ng | Nx; callers fall back to full-block
+    neighbor specs otherwise)."""
+    blk = (bx,) + arr.shape[1:]
+    hblk = (ng,) + arr.shape[1:]
+    return [
+        pl.BlockSpec(hblk, lambda i: (((i * bx - ng) % Nx) // ng, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(blk, lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(hblk, lambda i: (((i * bx + bx) % Nx) // ng, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
 def slab_fits(geom) -> bool:
     """Whether the MINIMUM slab block (bx = ng) fits under the raised
     scoped-VMEM cap. Beyond ~640^2 y-z planes even a one-plane block
@@ -263,13 +315,17 @@ def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
     hot path and the O4 DNS path."""
     Nx = u.shape[0]
     ng = 2 if geom.space_order >= 4 else 1
-    bx = _auto_bx(bx, Nx, geom.axes[1].n, geom.axes[2].n)
+    bx = _auto_bx_thin(bx, Nx, geom.axes[1].n, geom.axes[2].n, ng,
+                       heavy=True)
     if bx < ng:
         bx = ng   # ng=2 requires bx >= 2 (and even Nx)
     G = Nx // bx
+    thin = (bx % ng == 0 and Nx % ng == 0)
     slab_geom = _slab_geometry(geom, bx, ng)
 
     def specs_for(arr):
+        if thin:
+            return _thin_specs(arr, bx, ng, Nx)
         blk = (bx,) + arr.shape[1:]
         return [pl.BlockSpec(blk, lambda i, o=off: ((i + o) % G, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -299,7 +355,7 @@ def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        compiler_params=_slab_compiler_params(u.shape[1], u.shape[2]),
+        compiler_params=_fat_kernel_params(u.shape[1], u.shape[2], bx),
         interpret=interpret,
     )(dt_arr, *garrs, *triple)
 
@@ -326,15 +382,12 @@ def fused_nu_sgs(u, v, w, *, geom, model_fn, bx=4, interpret=False):
     materialized gradient tensors). Requires periodic uniform x."""
     Nx = u.shape[0]
     ng = 1
-    bx = _auto_bx(bx, Nx, geom.axes[1].n, geom.axes[2].n)
+    bx = _auto_bx_thin(bx, Nx, geom.axes[1].n, geom.axes[2].n)
     G = Nx // bx
     slab_geom = _slab_geometry(geom, bx, ng)
 
     def specs_for(arr):
-        blk = (bx,) + arr.shape[1:]
-        return [pl.BlockSpec(blk, lambda i, o=off: ((i + o) % G, 0, 0),
-                             memory_space=pltpu.VMEM)
-                for off in (-1, 0, 1)]
+        return _thin_specs(arr, bx, 1, Nx)
 
     garrs = [jnp.asarray(a, u.dtype) for a in _geom_arrays(slab_geom)]
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in garrs]
@@ -352,7 +405,7 @@ def fused_nu_sgs(u, v, w, *, geom, model_fn, bx=4, interpret=False):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((Nx, ny, nz), u.dtype),
-        compiler_params=_slab_compiler_params(ny, nz),
+        compiler_params=_fat_kernel_params(ny, nz, bx),
         interpret=interpret,
     )(*garrs, u, u, u, v, v, v, w, w, w)
 
@@ -387,19 +440,36 @@ def _correct_kernel(dt_ref, *refs, slab_geom, ng):
     sw[:] = wc[:] - dt * gz
 
 
+def _fat_kernel_params(ny, nz, bx):
+    """Compiler params for buffer-heavy kernels (operator-library or
+    channel predictors): the thin-halo bx=2 slab at a 256^2 plane
+    overflows the default 16 MB scoped-VMEM cap by <1 MB, so raise the
+    cap once the plane is large AND a multi-plane slab was chosen.
+    Lean kernels (plain predictor, divergence, correct) measured FASTER
+    under the default cap at 256^3 (1.59 vs 1.63 ms — Mosaic schedules
+    against the stated budget), so only the fat ones pay for the raise."""
+    cp = _slab_compiler_params(ny, nz)
+    if cp is None and bx > 1 and ny * nz >= 48 * 1024:
+        cp = pltpu.CompilerParams(vmem_limit_bytes=_SLAB_VMEM_LIMIT)
+    return cp
+
+
 def _slab_call(kernel, geom, fields_tripled, fields_plain, out_shapes,
-               bx, ng, interpret, dt=None):
+               bx, ng, interpret, dt=None, fat=False):
     """Shared pallas_call assembly for the slab-stencil kernels."""
     Nx = out_shapes[0].shape[0] if isinstance(out_shapes, list) else \
         out_shapes.shape[0]
     ref0 = fields_tripled[0] if fields_tripled else fields_plain[0]
     Nx = ref0.shape[0]
-    bx = _auto_bx(bx, Nx, geom.axes[1].n, geom.axes[2].n)
+    bx = _auto_bx_thin(bx, Nx, geom.axes[1].n, geom.axes[2].n, ng)
     G = Nx // bx
+    thin = (bx % ng == 0 and Nx % ng == 0)
     slab_geom = _slab_geometry(geom, bx, ng)
     garrs = [jnp.asarray(a, ref0.dtype) for a in _geom_arrays(slab_geom)]
 
     def specs_for(arr):
+        if thin:
+            return _thin_specs(arr, bx, ng, Nx)
         blk = (bx,) + arr.shape[1:]
         return [pl.BlockSpec(blk, lambda i, o=off: ((i + o) % G, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -423,14 +493,15 @@ def _slab_call(kernel, geom, fields_tripled, fields_plain, out_shapes,
     shapes = out_shapes if isinstance(out_shapes, list) else [out_shapes]
     out_specs = [pl.BlockSpec((bx,) + s.shape[1:], lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM) for s in shapes]
+    cp = (_fat_kernel_params(geom.axes[1].n, geom.axes[2].n, bx) if fat
+          else _slab_compiler_params(geom.axes[1].n, geom.axes[2].n))
     out = pl.pallas_call(
         functools.partial(kernel, slab_geom=slab_geom, ng=ng),
         grid=(G,),
         in_specs=in_specs,
         out_specs=out_specs if isinstance(out_shapes, list) else out_specs[0],
         out_shape=out_shapes,
-        compiler_params=_slab_compiler_params(geom.axes[1].n,
-                                              geom.axes[2].n),
+        compiler_params=cp,
         interpret=interpret,
     )(*operands)
     return out
@@ -1059,14 +1130,11 @@ def fused_predictor_channel(u, v, w, dt, *, geom, nu, fx, bx=4,
     central, scalar or variable nu, periodic-uniform x/z, arbitrary y
     stretching)."""
     Nx = u.shape[0]
-    bx = _auto_bx(bx, Nx, geom.axes[1].n, geom.axes[2].n)
+    bx = _auto_bx_thin(bx, Nx, geom.axes[1].n, geom.axes[2].n)
     G = Nx // bx
 
     def specs_for(arr):
-        blk = (bx,) + arr.shape[1:]
-        return [pl.BlockSpec(blk, lambda i, o=off: ((i + o) % G, 0, 0),
-                             memory_space=pltpu.VMEM)
-                for off in (-1, 0, 1)]
+        return _thin_specs(arr, bx, 1, Nx)
 
     ys = [jnp.asarray(a, u.dtype) for a in _channel_y_arrays(geom)]
     fields = (u, v, w) if nu_t is None else (u, v, w, nu_t)
@@ -1092,7 +1160,7 @@ def fused_predictor_channel(u, v, w, dt, *, geom, nu, fx, bx=4,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        compiler_params=_slab_compiler_params(u.shape[1], u.shape[2]),
+        compiler_params=_fat_kernel_params(u.shape[1], u.shape[2], bx),
         interpret=interpret,
     )(dt_arr, *ys, *triple)
 
@@ -1107,17 +1175,13 @@ def fused_predictor(u, v, w, dt, *, hx, hy, hz, nu, fx, bx=4,
     chain (see predictor_slab_math).
     """
     Nx, Ny, Nz = u.shape
-    bx = _auto_bx(bx, Nx, Ny, Nz)
+    bx = _auto_bx_thin(bx, Nx, Ny, Nz)
     G = Nx // bx
     blk = (bx, Ny, Nz)
 
-    def spec(off):
-        return pl.BlockSpec(blk, lambda i, o=off: ((i + o) % G, 0, 0),
-                            memory_space=pltpu.VMEM)
-
     specs = []
     for _ in range(3):
-        specs += [spec(-1), spec(0), spec(1)]
+        specs += _thin_specs(u, bx, 1, Nx)
 
     dt_arr = jnp.reshape(jnp.asarray(dt, u.dtype), (1,))
     kernel = functools.partial(_predictor_kernel, hx=hx, hy=hy, hz=hz,
@@ -1299,6 +1363,6 @@ def fused_predictor_channel_div(u, v, w, dt, *, geom, nu, fx, bx=4,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        compiler_params=_slab_compiler_params(u.shape[1], u.shape[2]),
+        compiler_params=_fat_kernel_params(u.shape[1], u.shape[2], bx),
         interpret=interpret,
     )(dt_arr, *ys, *triple)

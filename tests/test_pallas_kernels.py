@@ -439,3 +439,26 @@ def test_fuse_div_optin_trajectory_matches(monkeypatch):
     np.testing.assert_allclose(np.asarray(c_on.v), np.asarray(c_off.v),
                                rtol=0, atol=1e-12)
     assert float(d.div_linf) < 1e-10
+
+
+def test_auto_bx_thin_sizing_policy():
+    """Slab-sizing policy: thin-halo blocks get bx=4 up to 512^2 planes,
+    but HEAVY kernels (the ~30-live-buffer operator-library predictor)
+    must drop to bx=1 at 512^2 planes — bx=4 there overflows even the
+    raised 100 MB scoped-VMEM cap (Mosaic OOM seen on v5e)."""
+    from cfdnn_tpu.ops.pallas_kernels import _auto_bx_thin
+
+    # measured-policy sizes: bx=4 at 128^3, bx=2 at 256^3 (default cap),
+    # bx=4 at 512^3 for lean kernels under the raised cap
+    assert _auto_bx_thin(4, 128, 128, 128) == 4
+    assert _auto_bx_thin(4, 256, 256, 256) == 2
+    assert _auto_bx_thin(4, 512, 512, 512) == 4
+    # heavy kernels match lean ones at <=256^3 but fall back to bx=1
+    # at 512^3 instead of OOMing
+    assert _auto_bx_thin(4, 256, 256, 256, heavy=True) == 2
+    assert _auto_bx_thin(4, 512, 512, 512, heavy=True) == 1
+    # O4 halo (ng=2) shrinks under the same budget (caller re-raises
+    # to bx=ng, reproducing the old full-block footprint)
+    assert _auto_bx_thin(4, 256, 256, 256, ng=2) == 1
+    # non-divisible Nx shrinks the block
+    assert _auto_bx_thin(4, 18, 48, 48) == 3
