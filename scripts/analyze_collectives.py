@@ -51,29 +51,42 @@ def collective_stats(hlo_text: str):
 
 
 def analyze(Nx=32, Ny=32, Nz=32, n_dev=None):
+    # The axon sitecustomize force-registers the TPU backend regardless of
+    # the JAX_PLATFORMS env var; override via config BEFORE backend init so
+    # the virtual-device count from XLA_FLAGS takes effect.
     import jax
+    jax.config.update("jax_platforms", "cpu")
 
     from cfdnn_tpu import BCType, Config, Simulation, perturbed_channel
     n_dev = n_dev or len(jax.devices())
-    cfg = Config(Nx=Nx, Ny=Ny, Nz=Nz, bc_x=BCType.PERIODIC,
-                 bc_y=BCType.WALL, bc_z=BCType.PERIODIC, stretch_y=True,
-                 nu=1e-3, nu_specified=True, dp_dx=-1e-3,
-                 dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
-                 dtype="float32", mesh_shape=(n_dev,))
-    sim = Simulation(cfg)
-    st = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
-    txt = jax.jit(sim._step_impl).lower(st).compile().as_text()
-    stats = collective_stats(txt)
-    field_bytes = Nx * Ny * Nz * 4
-    print(f"step collectives, {Nx}x{Ny}x{Nz} over {n_dev} devices "
-          f"(full field = {field_bytes/1e6:.2f} MB):")
-    for op, (c, b, ex) in sorted(stats.items()):
-        print(f"  {op:20s} x{c:4d}  {b/1e6:8.3f} MB/device/step   "
-              f"e.g. {', '.join(ex[:3])}")
-    ag = stats.get("all-gather", (0, 0, []))
-    print(f"  -> all-gather volume: {ag[1]/1e6:.3f} MB "
-          f"({'OK (zero)' if ag[1] == 0 else 'BAD: replication'})")
-    return stats
+    all_stats = {}
+    # use_pallas="on" = the shard_map fast path a real multi-chip TPU run
+    # takes (under "auto" it is TPU-only, so a CPU virtual-device compile
+    # would silently measure the fallback instead); "off" = the GSPMD
+    # operator fallback, reported for contrast.
+    for label, up in (("fused shard_map path (production)", "on"),
+                      ("GSPMD operator fallback", "off")):
+        cfg = Config(Nx=Nx, Ny=Ny, Nz=Nz, bc_x=BCType.PERIODIC,
+                     bc_y=BCType.WALL, bc_z=BCType.PERIODIC, stretch_y=True,
+                     nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                     dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
+                     dtype="float32", mesh_shape=(n_dev,), use_pallas=up)
+        sim = Simulation(cfg)
+        st = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
+        txt = jax.jit(sim._step_impl).lower(st).compile().as_text()
+        stats = collective_stats(txt)
+        field_bytes = Nx * Ny * Nz * 4
+        print(f"\n[{label}] step collectives, {Nx}x{Ny}x{Nz} over "
+              f"{n_dev} devices (full field = {field_bytes/1e6:.2f} MB, "
+              f"pallas mode = {sim._pallas_predictor_ok}):")
+        for op, (c, b, ex) in sorted(stats.items()):
+            print(f"  {op:20s} x{c:4d}  {b/1e6:8.3f} MB/device/step   "
+                  f"e.g. {', '.join(ex[:3])}")
+        ag = stats.get("all-gather", (0, 0, []))
+        print(f"  -> all-gather volume: {ag[1]/1e6:.3f} MB "
+              f"({'OK (zero)' if ag[1] == 0 else 'BAD: replication'})")
+        all_stats[up] = stats
+    return all_stats
 
 
 if __name__ == "__main__":

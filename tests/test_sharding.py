@@ -292,3 +292,36 @@ def test_sharded_nstep_scan_runs():
     st, d = sim.run(st, 20)
     assert np.isfinite(float(d.ke))
     assert st.u.sharding.spec == jax.sharding.PartitionSpec(None, None, "z")
+
+
+def test_fused_shard_path_communication_volume():
+    """Communication-volume gate for the PRODUCTION multi-chip path
+    (use_pallas="on" -> mode "shard"; under "auto" a CPU compile measures
+    the GSPMD fallback instead). The fused step's ICI traffic must be
+    one-plane halo ppermutes — O(Nx*Ny*ng) per exchange — plus the two
+    pencil all-to-alls, NOT the fallback's full-shard reshard permutes
+    (measured 14x the volume at 256^3/8: 82.9 vs 3.9 MB/device/step,
+    scripts/analyze_collectives.py)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from analyze_collectives import collective_stats
+
+    cfg = _cfg(dtype="float32", mesh_shape=(8,), use_pallas="on",
+               bc_y=BCType.WALL)
+    sim = Simulation(cfg)
+    assert sim._pallas_predictor_ok == "shard"
+    st = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
+    txt = jax.jit(sim._step_impl).lower(st).compile().as_text()
+    stats = collective_stats(txt)
+    assert "all-gather" not in stats or stats["all-gather"][1] == 0
+    assert "all-to-all" in stats, "pencil transposes missing"
+    n_perm, vol, _ = stats.get("collective-permute", (0, 0, []))
+    # halo ledger: 6 predictor + 6 divergence + 2 correction (+ slack for
+    # diagnostics) one-plane exchanges; each <= Nx*(Ny+1)*ng*4 bytes
+    plane = cfg.Nx * (cfg.Ny + 1) * 4
+    assert n_perm <= 20, f"{n_perm} permutes — fallback-style resharding?"
+    assert vol <= 20 * plane, (
+        f"permute volume {vol} B exceeds the one-plane halo ledger "
+        f"({20 * plane} B) — full-shard reshards crept into the fused path")
