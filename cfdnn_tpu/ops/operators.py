@@ -19,7 +19,7 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from ..config import ConvectiveScheme
+from ..config import BCType, ConvectiveScheme
 from .bc import face_pair, pad_center, pad_normal, pad_tangential, sl
 from .grid import AxisGeom, Geometry
 
@@ -66,8 +66,18 @@ def f2c_diff(f: Array, axis: int, ax: AxisGeom) -> Array:
     return (hi - lo) * ax.inv_d
 
 
+# NOTE on the periodic branches below: ghost-pad concatenates change the
+# array extent (N -> N+2), which on a GSPMD-sharded axis forces full-shard
+# reshard collective-permutes per stencil application (measured 83 MB/
+# device/step at 256^3 over 8 z-shards). The periodic case is therefore
+# expressed with same-extent jnp.roll neighbors — identical arithmetic,
+# but lowering to one-plane ICI permutes (scripts/analyze_collectives.py).
+
+
 def c2f_mean(fc: Array, axis: int, ax: AxisGeom, kind: str = "vel") -> Array:
     """Cell-centered -> stored faces, arithmetic mean (reference 0.5 avgs)."""
+    if ax.bc == BCType.PERIODIC:
+        return 0.5 * (_R(fc, -1, axis) + fc)
     pad = (pad_tangential(fc, axis, ax.bc) if kind == "vel"
            else pad_center(fc, axis, ax.bc, kind="neumann"))
     avg = 0.5 * (sl(pad, axis, 0, -1) + sl(pad, axis, 1, None))
@@ -76,27 +86,35 @@ def c2f_mean(fc: Array, axis: int, ax: AxisGeom, kind: str = "vel") -> Array:
 
 def c2f_diff(fc: Array, axis: int, ax: AxisGeom, kind: str = "vel") -> Array:
     """Cell-centered -> derivative at stored faces (ghost-aware spacing)."""
+    inv_sp = _inv_dpos_c(ax)
+    if ax.bc == BCType.PERIODIC:
+        a = ax_of(inv_sp)
+        return (fc - _R(fc, -1, axis)) * sl(inv_sp, a, 0, -1)
     pad = (pad_tangential(fc, axis, ax.bc) if kind == "vel"
            else pad_center(fc, axis, ax.bc, kind="neumann"))
-    g = (sl(pad, axis, 1, None) - sl(pad, axis, 0, -1)) * _inv_dpos_c(ax)
+    g = (sl(pad, axis, 1, None) - sl(pad, axis, 0, -1)) * inv_sp
     return _stored_faces(g, axis, ax)
 
 
 def cc_central(phi: Array, axis: int, ax: AxisGeom) -> Array:
     """Central derivative at centers of a field cell-centered along `axis`."""
-    pad = pad_tangential(phi, axis, ax.bc)
     p = ax.pos_c_pad
     a = ax_of(p)
     den = sl(p, a, 2, None) - sl(p, a, 0, -2)
+    if ax.bc == BCType.PERIODIC:
+        return (_R(phi, 1, axis) - _R(phi, -1, axis)) / den
+    pad = pad_tangential(phi, axis, ax.bc)
     return (sl(pad, axis, 2, None) - sl(pad, axis, 0, -2)) / den
 
 
 def ff_central(phi: Array, axis: int, ax: AxisGeom) -> Array:
     """Central derivative at stored faces of a field staggered along `axis`."""
-    pad = pad_normal(phi, axis, ax.bc)
     p = ax.pos_f_pad
     a = ax_of(p)
     den = sl(p, a, 2, None) - sl(p, a, 0, -2)
+    if ax.bc == BCType.PERIODIC:
+        return (_R(phi, 1, axis) - _R(phi, -1, axis)) / den
+    pad = pad_normal(phi, axis, ax.bc)
     return (sl(pad, axis, 2, None) - sl(pad, axis, 0, -2)) / den
 
 
@@ -179,6 +197,28 @@ def _upwind2_pair(pad2, pos2, axis, a):
     return (f_0 - f_m1 + 0.5 * slope_b) / h_b, (f_p1 - f_0 - 0.5 * slope_f) / h_f
 
 
+def _upwind_pair_periodic(f, pos, axis, a):
+    """_upwind_pair on same-extent roll neighbors (periodic axes)."""
+    f_m1 = _R(f, -1, axis)
+    f_p1 = _R(f, 1, axis)
+    den_b = sl(pos, a, 1, -1) - sl(pos, a, 0, -2)
+    den_f = sl(pos, a, 2, None) - sl(pos, a, 1, -1)
+    return (f - f_m1) / den_b, (f_p1 - f) / den_f
+
+
+def _upwind2_pair_periodic(f, pos2, axis, a):
+    """_upwind2_pair on same-extent roll neighbors (periodic axes)."""
+    f_m2 = _R(f, -2, axis)
+    f_m1 = _R(f, -1, axis)
+    f_p1 = _R(f, 1, axis)
+    f_p2 = _R(f, 2, axis)
+    h_b = sl(pos2, a, 2, -2) - sl(pos2, a, 1, -3)
+    h_f = sl(pos2, a, 3, -1) - sl(pos2, a, 2, -2)
+    slope_b = _minmod(f - f_m1, f_m1 - f_m2)
+    slope_f = _minmod(f_p1 - f, f_p2 - f_p1)
+    return (f - f_m1 + 0.5 * slope_b) / h_b, (f_p1 - f - 0.5 * slope_f) / h_f
+
+
 # ---------------------------------------------------------------------------
 # Convective term
 # ---------------------------------------------------------------------------
@@ -215,19 +255,37 @@ def _conv_advective(comps: Vel, s: int, geom: Geometry,
         else:
             ng = 2 if scheme == ConvectiveScheme.UPWIND2 else 1
             if d == s:
-                pad = pad_normal(phi, d, ax.bc, ng=ng)
                 pos = ax.pos_f_pad2 if ng == 2 else ax.pos_f_pad
             else:
-                pad = pad_tangential(phi, d, ax.bc, ng=ng)
                 pos = ax.pos_c_pad2 if ng == 2 else ax.pos_c_pad
             a = ax_of(pos)
-            if ng == 2:
-                back, fwd = _upwind2_pair(pad, pos, d, a)
+            if ax.bc == BCType.PERIODIC:
+                if ng == 2:
+                    back, fwd = _upwind2_pair_periodic(phi, pos, d, a)
+                else:
+                    back, fwd = _upwind_pair_periodic(phi, pos, d, a)
             else:
-                back, fwd = _upwind_pair(pad, pos, d, a)
+                pad = (pad_normal(phi, d, ax.bc, ng=ng) if d == s
+                       else pad_tangential(phi, d, ax.bc, ng=ng))
+                if ng == 2:
+                    back, fwd = _upwind2_pair(pad, pos, d, a)
+                else:
+                    back, fwd = _upwind_pair(pad, pos, d, a)
             dphi = jnp.where(adv >= 0.0, back, fwd)
         out = out + adv * dphi
     return out
+
+
+def _bdiff_stored(F: Array, axis: int, ax: AxisGeom) -> Array:
+    """(F_i - F_{i-1}) * inv_dc at the stored faces of a cell-centered F
+    (neumann ghosts). The shared flux-divergence piece of the
+    conservative/skew convection and the diffusion normal term."""
+    if ax.bc == BCType.PERIODIC:
+        a = ax_of(ax.inv_dc)
+        return (F - _R(F, -1, axis)) * sl(ax.inv_dc, a, 0, -1)
+    pad = pad_center(F, axis, ax.bc, kind="neumann")
+    g = (sl(pad, axis, 1, None) - sl(pad, axis, 0, -1)) * ax.inv_dc
+    return _stored_faces(g, axis, ax)
 
 
 def _conv_conservative(comps: Vel, s: int, geom: Geometry) -> Array:
@@ -242,9 +300,7 @@ def _conv_conservative(comps: Vel, s: int, geom: Geometry) -> Array:
         if d == s:
             phi_c = f2c_mean(phi, s, axs)
             F = phi_c * phi_c
-            pad = pad_center(F, s, axs.bc, kind="neumann")
-            g = (sl(pad, s, 1, None) - sl(pad, s, 0, -1)) * axs.inv_dc
-            out = out + _stored_faces(g, s, axs)
+            out = out + _bdiff_stored(F, s, axs)
         else:
             phi_e = c2f_mean(phi, d, ax, kind="vel")
             U_e = c2f_mean(comps[d], s, axs, kind="vel")
@@ -276,20 +332,30 @@ def _conv_skew(comps: Vel, s: int, geom: Geometry) -> Array:
             continue
         if d == s:
             phi_c = f2c_mean(phi, s, axs)                 # u_f at CV faces
-            cpad = pad_center(phi_c, s, axs.bc, kind="neumann")
-            u_lo = _stored_faces(sl(cpad, s, 0, -1), s, axs)
-            u_hi = _stored_faces(sl(cpad, s, 1, None), s, axs)
-            npad = pad_normal(phi, s, axs.bc)
-            lo_n = sl(npad, s, 0, -2)
-            hi_n = sl(npad, s, 2, None)
+            if axs.bc == BCType.PERIODIC:
+                u_lo = _R(phi_c, -1, s)
+                u_hi = phi_c
+                lo_n = _R(phi, -1, s)
+                hi_n = _R(phi, 1, s)
+            else:
+                cpad = pad_center(phi_c, s, axs.bc, kind="neumann")
+                u_lo = _stored_faces(sl(cpad, s, 0, -1), s, axs)
+                u_hi = _stored_faces(sl(cpad, s, 1, None), s, axs)
+                npad = pad_normal(phi, s, axs.bc)
+                lo_n = sl(npad, s, 0, -2)
+                hi_n = sl(npad, s, 2, None)
             inv_w = _stored_faces(axs.inv_dc, ax_of(axs.inv_dc), axs)
             out = out + 0.5 * (u_hi * hi_n - u_lo * lo_n) * inv_w
         else:
             U_e = c2f_mean(comps[d], s, axs, kind="vel")  # at CV faces (edges)
             u_lo, u_hi = face_pair(U_e, d, ax.bc)
-            tpad = pad_tangential(phi, d, ax.bc)
-            lo_n = sl(tpad, d, 0, -2)
-            hi_n = sl(tpad, d, 2, None)
+            if ax.bc == BCType.PERIODIC:
+                lo_n = _R(phi, -1, d)
+                hi_n = _R(phi, 1, d)
+            else:
+                tpad = pad_tangential(phi, d, ax.bc)
+                lo_n = sl(tpad, d, 0, -2)
+                hi_n = sl(tpad, d, 2, None)
             out = out + 0.5 * (u_hi * hi_n - u_lo * lo_n) * ax.inv_d
     return out
 
@@ -343,9 +409,7 @@ def diffusive(comps: Vel, nu_center, geom: Geometry,
                 g_c = f2c_diff(phi, s, axs)
                 nu_c = nu_center
                 F = nu_c * g_c
-                pad = pad_center(F, s, axs.bc, kind="neumann")
-                g = (sl(pad, s, 1, None) - sl(pad, s, 0, -1)) * axs.inv_dc
-                term = term + _stored_faces(g, s, axs)
+                term = term + _bdiff_stored(F, s, axs)
             else:
                 g_f = c2f_diff(phi, d, ax, kind="vel")
                 if scalar_nu:
@@ -393,6 +457,9 @@ def pressure_grad_face(p: Array, axis: int, geom: Geometry) -> Array:
     ax = geom.axes[axis]
     if geom.use_o4(axis):
         return c2f_diff4(p, axis, ax)
+    if ax.bc == BCType.PERIODIC:
+        a = ax_of(ax.inv_dc)
+        return (p - _R(p, -1, axis)) * sl(ax.inv_dc, a, 0, -1)
     from .bc import pad_pressure
     pad = pad_pressure(p, axis, ax)
     g = (sl(pad, axis, 1, None) - sl(pad, axis, 0, -1)) * ax.inv_dc
