@@ -207,18 +207,26 @@ class SigmaModel(LESModelBase):
 # ---------------------------------------------------------------------------
 
 
-def _box_filter(f, geom):
-    """3-point box filter along each non-trivial axis with wall truncation.
+def _box_filter_batch(fs, geom):
+    """3-point box filter of a STACK of fields (F, Nx, Ny, Nz) along each
+    non-trivial spatial axis with wall truncation.
 
     Periodic axes wrap; wall/inflow axes renormalize by the in-domain weight
     (the reference's mlo/mhi masks, src/turbulence_les_dynamic_germano.cpp
     tbf/tbf2d). Separable == the reference's 27-point box filter.
-    """
+
+    Batched over fields so each sharded-axis shift is ONE collective-permute
+    of F planes instead of F separate one-plane messages (the reference's
+    HaloExchange::exchange_batch, include/halo_exchange.hpp:24-76 — message
+    count drops ~9x for the Germano pipeline's 9 filtered fields)."""
+    f = jnp.stack(fs, axis=0)
     w = jnp.ones_like(f)
-    for axis in range(3):
-        ax = geom.axes[axis]
+    for sp in range(3):
+        ax = geom.axes[sp]
         if ax.n <= 1:
             continue
+        axis = sp + 1
+
         def smooth(x):
             if ax.bc == BCType.PERIODIC:
                 lo = jnp.roll(x, 1, axis)
@@ -235,7 +243,13 @@ def _box_filter(f, geom):
             return lo + x + hi
         f = smooth(f)
         w = smooth(w)
-    return f / w
+    out = f / w
+    return [out[i] for i in range(len(fs))]
+
+
+def _box_filter(f, geom):
+    """Single-field 3-point box filter (see _box_filter_batch)."""
+    return _box_filter_batch([f], geom)[0]
 
 
 class DynamicSmagorinskyModel(LESModelBase):
@@ -262,11 +276,15 @@ class DynamicSmagorinskyModel(LESModelBase):
 
         LM = jnp.zeros_like(Sm)
         MM = jnp.zeros_like(Sm)
-        ubar = [_box_filter(u, geom) for u in ucc]
+        pairs = [(i, j) for i in range(3) for j in range(i, 3)]
+        filtered = _box_filter_batch(
+            list(ucc) + [ucc[i] * ucc[j] for i, j in pairs], geom)
+        ubar = filtered[:3]
+        uubar = dict(zip(pairs, filtered[3:]))
         for i in range(3):
             for j in range(i, 3):
                 wgt = 1.0 if i == j else 2.0
-                Lij = _box_filter(ucc[i] * ucc[j], geom) - ubar[i] * ubar[j]
+                Lij = uubar[(i, j)] - ubar[i] * ubar[j]
                 Mij = fac * S[i][j]
                 LM = LM + wgt * Lij * Mij
                 MM = MM + wgt * Mij * Mij
