@@ -318,8 +318,10 @@ def test_fused_shard_path_communication_volume():
     assert "all-gather" not in stats or stats["all-gather"][1] == 0
     assert "all-to-all" in stats, "pencil transposes missing"
     n_perm, vol, _ = stats.get("collective-permute", (0, 0, []))
-    # halo ledger: 6 predictor + 6 divergence + 2 correction (+ slack for
-    # diagnostics) one-plane exchanges; each <= Nx*(Ny+1)*ng*4 bytes
+    # halo ledger: batched (u,v,w) exchange x2 directions for predictor
+    # and divergence + 2 correction (+1 diagnostic) = 7 one-plane
+    # messages; total bytes <= the equivalent of 20 single-component
+    # planes (the pre-batching ledger), each <= Nx*(Ny+1)*ng*4 bytes
     plane = cfg.Nx * (cfg.Ny + 1) * 4
     assert n_perm <= 20, f"{n_perm} permutes — fallback-style resharding?"
     assert vol <= 20 * plane, (

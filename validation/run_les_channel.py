@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""LES channel at Re_tau = 180 — Tier-2 validation run.
+"""LES channel at Re_tau = 180 or 395 (MKM points) — Tier-2 validation run.
 
 Reference-parity driver (reference: tests/test_les_channel_retau.cpp +
 the RTX 6000 LES channel case, docs/SOLVER_GUIDE.md:536-541): coarse
@@ -28,6 +28,8 @@ def main():
                     choices=["smagorinsky", "wale", "vreman", "sigma",
                              "dynamic_smagorinsky"])
     ap.add_argument("--flow-throughs", type=float, default=15.0)
+    ap.add_argument("--Re-tau", type=float, default=180.0, dest="re_tau",
+                    help="target friction Reynolds number (MKM 180 or 395)")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--report-every", type=int, default=2000)
     ap.add_argument("--max-steps", type=int, default=0, help="0 = by time")
@@ -38,7 +40,10 @@ def main():
                                   TurbulenceModel)
     from cfdnn_tpu import diagnostics as diag
 
-    Re_tau = 180.0
+    Re_tau = args.re_tau
+    # MKM DNS bulk velocity in u_tau units per Re_tau (Moser-Kim-Mansour
+    # 1999: Re_b/Re_tau ratios)
+    u_bulk_mkm = {180.0: 15.6, 395.0: 17.5}.get(Re_tau, 15.6)
     delta = 1.0
     nu = 1.0 / Re_tau          # u_tau = 1 units
     cfg = Config(
@@ -61,7 +66,7 @@ def main():
     state = sim.initialize(init_turbulent_channel(cfg, sim.mesh, amp=0.3))
     state = sim.project_initial_velocity(state)
 
-    T_ft = cfg.Lx / 15.6
+    T_ft = cfg.Lx / u_bulk_mkm
     T_final = args.flow_throughs * T_ft
     print(f"[les-channel] {cfg.Nx}x{cfg.Ny}x{cfg.Nz} model={args.model} "
           f"dtype={args.dtype} T_final={T_final:.2f} "
@@ -94,10 +99,12 @@ def main():
 
     st = diag.channel_statistics(sim, state)
     print(f"[les-channel] final: Re_tau={st.Re_tau:.1f} "
-          f"(target 180), U_bulk={float(st.U.mean()):.2f} (MKM 15.6)")
-    print(f'QOI_JSON: {{"name": "les_channel_re_tau", '
+          f"(target {Re_tau:.0f}), U_bulk={float(st.U.mean()):.2f} "
+          f"(MKM {u_bulk_mkm})")
+    suffix = "" if Re_tau == 180.0 else f"_{Re_tau:.0f}"
+    print(f'QOI_JSON: {{"name": "les_channel_re_tau{suffix}", '
           f'"value": {st.Re_tau:.6e}}}')
-    print(f'QOI_JSON: {{"name": "les_channel_u_bulk", '
+    print(f'QOI_JSON: {{"name": "les_channel_u_bulk{suffix}", '
           f'"value": {float(st.U.mean()):.6e}}}')
     return 0
 
