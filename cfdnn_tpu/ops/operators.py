@@ -276,13 +276,20 @@ def _conv_advective(comps: Vel, s: int, geom: Geometry,
     return out
 
 
+def _periodic_bdiff(F: Array, axis: int, ax: AxisGeom) -> Array:
+    """(F_i - F_{i-1}) * inv_dc with wrap — the shared periodic
+    backward-difference of _bdiff_stored AND pressure_grad_face (the
+    two must stay identical for D.G = L projection consistency)."""
+    a = ax_of(ax.inv_dc)
+    return (F - _R(F, -1, axis)) * sl(ax.inv_dc, a, 0, -1)
+
+
 def _bdiff_stored(F: Array, axis: int, ax: AxisGeom) -> Array:
     """(F_i - F_{i-1}) * inv_dc at the stored faces of a cell-centered F
     (neumann ghosts). The shared flux-divergence piece of the
     conservative/skew convection and the diffusion normal term."""
     if ax.bc == BCType.PERIODIC:
-        a = ax_of(ax.inv_dc)
-        return (F - _R(F, -1, axis)) * sl(ax.inv_dc, a, 0, -1)
+        return _periodic_bdiff(F, axis, ax)
     pad = pad_center(F, axis, ax.bc, kind="neumann")
     g = (sl(pad, axis, 1, None) - sl(pad, axis, 0, -1)) * ax.inv_dc
     return _stored_faces(g, axis, ax)
@@ -458,8 +465,7 @@ def pressure_grad_face(p: Array, axis: int, geom: Geometry) -> Array:
     if geom.use_o4(axis):
         return c2f_diff4(p, axis, ax)
     if ax.bc == BCType.PERIODIC:
-        a = ax_of(ax.inv_dc)
-        return (p - _R(p, -1, axis)) * sl(ax.inv_dc, a, 0, -1)
+        return _periodic_bdiff(p, axis, ax)
     from .bc import pad_pressure
     pad = pad_pressure(p, axis, ax)
     g = (sl(pad, axis, 1, None) - sl(pad, axis, 0, -1)) * ax.inv_dc

@@ -220,7 +220,9 @@ def _box_filter_batch(fs, geom):
     HaloExchange::exchange_batch, include/halo_exchange.hpp:24-76 — message
     count drops ~9x for the Germano pipeline's 9 filtered fields)."""
     f = jnp.stack(fs, axis=0)
-    w = jnp.ones_like(f)
+    # the truncation weight is identical for every field: filter one
+    # (1, Nx, Ny, Nz) plane and broadcast in the final divide
+    w = jnp.ones_like(f[:1])
     for sp in range(3):
         ax = geom.axes[sp]
         if ax.n <= 1:
