@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--Ny", type=int, default=96)
     ap.add_argument("--Nz", type=int, default=96)
     ap.add_argument("--flow-throughs", type=float, default=20.0)
+    ap.add_argument("--Re-tau", type=float, default=180.0, dest="re_tau",
+                    help="target friction Reynolds number (MKM point)")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--report-every", type=int, default=2000)
     ap.add_argument("--max-steps", type=int, default=0, help="0 = by time")
@@ -36,7 +38,12 @@ def main():
     from cfdnn_tpu.config import BCType, ConvectiveScheme, TimeIntegrator
     from cfdnn_tpu import diagnostics as diag
 
-    Re_tau = 180.0
+    Re_tau = args.re_tau
+    _MKM_U_BULK = {180.0: 15.6, 395.0: 17.5, 590.0: 18.7}
+    if Re_tau not in _MKM_U_BULK:
+        ap.error(f"--Re-tau {Re_tau:g} has no MKM reference point "
+                 f"(supported: {sorted(_MKM_U_BULK)})")
+    u_bulk_mkm = _MKM_U_BULK[Re_tau]
     delta = 1.0
     nu = 1.0 / Re_tau          # u_tau = 1 units
     cfg = Config(
@@ -60,8 +67,8 @@ def main():
     state = sim.initialize(init_turbulent_channel(cfg, sim.mesh, amp=0.3))
     state = sim.project_initial_velocity(state)
 
-    # bulk time scale: U_b ~ 15.6 u_tau at Re_tau 180; flow-through = Lx/U_b
-    T_ft = cfg.Lx / 15.6
+    # bulk time scale: U_b in u_tau units at this MKM point
+    T_ft = cfg.Lx / u_bulk_mkm
     T_final = args.flow_throughs * T_ft
     print(f"[retau180] {cfg.Nx}x{cfg.Ny}x{cfg.Nz} dtype={args.dtype} "
           f"T_final={T_final:.2f} ({args.flow_throughs} flow-throughs), "
@@ -108,7 +115,8 @@ def main():
         for k, v in rep_avg.items():
             print(f"    {k}: {v}")
         rep = rep_avg                      # the averaged report is canonical
-    print(f'QOI_JSON: {{"name": "dns_retau180_re_tau", '
+    suffix = "180" if Re_tau == 180.0 else f"{Re_tau:.0f}"
+    print(f'QOI_JSON: {{"name": "dns_retau{suffix}_re_tau", '
           f'"value": {rep["Re_tau"]:.6e}}}')
     return 0
 
