@@ -223,6 +223,59 @@ class StatsAccumulator:
 
 
 # ---------------------------------------------------------------------------
+# Log-law profile-shape fit (mean-profile validation beyond the Re_tau
+# scalar; reference reports Re_tau/u_tau only, solver.hpp:302-655)
+# ---------------------------------------------------------------------------
+
+#: Centerline U+ from the MKM (Moser-Kim-Mansour 1999) channel DNS.
+MKM_CENTERLINE_U_PLUS = {180.0: 18.30, 395.0: 20.13, 590.0: 21.26}
+
+
+def log_law_fit(st: ChannelStats) -> Dict[str, float]:
+    """Fit U+ = (1/kappa) ln y+ + B over the log region of a channel
+    mean profile and report the shape constants.
+
+    A run can land the right friction velocity (Re_tau) with a distorted
+    mean profile; the von Karman constant (kappa ~ 0.38-0.43 in channel
+    DNS) and the additive constant (B ~ 4.5-6) pin the SHAPE, and the
+    centerline U+ compares directly against the MKM values
+    (`MKM_CENTERLINE_U_PLUS`). Both channel halves are folded onto one
+    wall before the fit. The window is y+ in [30, max(0.35 Re_tau, 55)]
+    (at Re_tau = 180 the log layer is marginal; the upper bound keeps a
+    usable window at every MKM point)."""
+    u_tau = max(st.u_tau, 1e-30)
+    # Recover the wall positions from quantities already in ChannelStats:
+    # centers are symmetric about the channel midplane ym, and
+    # y_plus_1 = (y[0] - y_lo) / lv with lv = (ym - y_lo) / Re_tau, so
+    # y_lo = (y[0] - a*ym) / (1 - a) with a = y_plus_1 / Re_tau.
+    ym = 0.5 * (st.y[0] + st.y[-1])
+    a = st.y_plus_1 / max(st.Re_tau, 1e-30)
+    y_lo = (st.y[0] - a * ym) / (1.0 - a)
+    lv = (ym - y_lo) / max(st.Re_tau, 1e-30)
+    dist = np.minimum(st.y - y_lo, (2.0 * ym - y_lo) - st.y)
+    y_plus = dist / lv
+    u_plus = st.U / u_tau
+    n = len(y_plus)
+    # fold: average the two halves (same y+ by symmetry of the mesh)
+    half = n // 2
+    yp = 0.5 * (y_plus[:half] + y_plus[::-1][:half])
+    up = 0.5 * (u_plus[:half] + u_plus[::-1][:half])
+    hi = max(0.35 * st.Re_tau, 55.0)
+    sel = (yp >= 30.0) & (yp <= hi)
+    out = {"centerline_u_plus": float(0.5 * (u_plus[n // 2]
+                                             + u_plus[(n - 1) // 2])),
+           "n_fit_points": int(sel.sum())}
+    if sel.sum() >= 3:
+        slope, intercept = np.polyfit(np.log(yp[sel]), up[sel], 1)
+        out["kappa"] = float(1.0 / slope)
+        out["B"] = float(intercept)
+    else:
+        out["kappa"] = float("nan")
+        out["B"] = float("nan")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Spanwise spectrum artifact check (reference Stage-F spectrum gates)
 # ---------------------------------------------------------------------------
 

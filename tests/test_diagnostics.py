@@ -202,3 +202,47 @@ def test_energy_spectrum_3d_parseval_and_peak():
     with pytest.raises(ValueError):
         energy_spectrum_3d(sim_wall, init_taylor_green(cfg_wall,
                                                        sim_wall.mesh))
+
+
+def _reichardt_stats(Re_tau: float, N: int = 192) -> diag.ChannelStats:
+    """Synthetic ChannelStats whose mean profile is the Reichardt
+    law-of-the-wall (kappa=0.41, asymptotic B ~= 5.63), on a uniform
+    center grid in [0, 2] with u_tau = 1, nu = 1/Re_tau."""
+    kappa = 0.41
+    y_lo, y_hi = 0.0, 2.0
+    h = (y_hi - y_lo) / N
+    y = y_lo + h * (np.arange(N) + 0.5)
+    dist = np.minimum(y - y_lo, y_hi - y)
+    lv = 1.0 / Re_tau          # delta = 1, u_tau = 1
+    yp = dist / lv
+    Up = (np.log(1.0 + kappa * yp) / kappa
+          + 7.8 * (1.0 - np.exp(-yp / 11.0) - (yp / 11.0) * np.exp(-yp / 3.0)))
+    z = np.zeros(N)
+    return diag.ChannelStats(
+        y=y, U=Up, u_rms=z, v_rms=z, w_rms=z, uv=z,
+        u_tau=1.0, Re_tau=Re_tau, y_plus_1=float(yp[0]),
+        dx_plus=0.0, dz_plus=0.0)
+
+
+def test_log_law_fit_recovers_reichardt_constants():
+    st = _reichardt_stats(590.0)
+    fit = diag.log_law_fit(st)
+    # Reichardt asymptote: slope 1/0.41, intercept ln(0.41)/0.41 + 7.8
+    assert fit["n_fit_points"] >= 10
+    assert abs(fit["kappa"] - 0.41) < 0.03, fit
+    assert abs(fit["B"] - 5.63) < 0.6, fit
+    # centerline U+ of the synthetic profile ~ Reichardt at y+ = Re_tau
+    assert abs(fit["centerline_u_plus"]
+               - (np.log(1 + 0.41 * 590) / 0.41 + 7.8)) < 0.05
+
+
+def test_log_law_fit_marginal_window_at_180():
+    st = _reichardt_stats(180.0)
+    fit = diag.log_law_fit(st)
+    assert fit["n_fit_points"] >= 3          # window exists even at 180
+    assert 0.3 < fit["kappa"] < 0.5
+    assert np.isfinite(fit["B"])
+
+
+def test_log_law_fit_mkm_table_exists():
+    assert set(diag.MKM_CENTERLINE_U_PLUS) == {180.0, 395.0, 590.0}

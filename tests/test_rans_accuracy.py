@@ -75,3 +75,8 @@ def test_sst_channel_mkm395(record_qoi):
     err = float(np.abs(Up[mask] - ll).max() / np.abs(ll).max())
     record_qoi("sst_channel_loglaw_err_395", err)
     assert err < 0.10, err
+    # profile-shape fit: the SST log layer must recover von Karman
+    # constants (kappa ~ 0.41, B ~ 5) through diag.log_law_fit
+    fit = diag.log_law_fit(st)
+    assert 0.35 < fit["kappa"] < 0.48, fit
+    assert 3.5 < fit["B"] < 6.5, fit

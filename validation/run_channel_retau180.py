@@ -115,9 +115,21 @@ def main():
         for k, v in rep_avg.items():
             print(f"    {k}: {v}")
         rep = rep_avg                      # the averaged report is canonical
+    # profile-SHAPE validation: log-law constants + MKM centerline U+
+    st_fin = acc.finalize() if acc.n > 0 else diag.channel_statistics(
+        sim, state)
+    fit = diag.log_law_fit(st_fin)
+    uc_mkm = diag.MKM_CENTERLINE_U_PLUS[Re_tau]
+    uc_err = abs(fit["centerline_u_plus"] - uc_mkm) / uc_mkm
+    print(f"[retau180] log-law fit: kappa={fit['kappa']:.3f} "
+          f"B={fit['B']:.2f} (n={fit['n_fit_points']}), "
+          f"centerline U+={fit['centerline_u_plus']:.2f} "
+          f"vs MKM {uc_mkm} ({100 * uc_err:.1f}% off)")
     suffix = "180" if Re_tau == 180.0 else f"{Re_tau:.0f}"
     print(f'QOI_JSON: {{"name": "dns_retau{suffix}_re_tau", '
           f'"value": {rep["Re_tau"]:.6e}}}')
+    print(f'QOI_JSON: {{"name": "dns_retau{suffix}_centerline_uplus", '
+          f'"value": {fit["centerline_u_plus"]:.6e}}}')
     return 0
 
 

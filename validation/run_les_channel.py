@@ -105,6 +105,13 @@ def main():
     print(f"[les-channel] final: Re_tau={st.Re_tau:.1f} "
           f"(target {Re_tau:.0f}), U_bulk={float(st.U.mean()):.2f} "
           f"(MKM {u_bulk_mkm})")
+    fit = diag.log_law_fit(st)
+    uc_mkm = diag.MKM_CENTERLINE_U_PLUS.get(Re_tau)
+    if uc_mkm is not None and np.isfinite(fit["kappa"]):
+        print(f"[les-channel] log-law fit: kappa={fit['kappa']:.3f} "
+              f"B={fit['B']:.2f} (n={fit['n_fit_points']}), "
+              f"centerline U+={fit['centerline_u_plus']:.2f} "
+              f"vs MKM {uc_mkm}")
     suffix = "" if Re_tau == 180.0 else f"_{Re_tau:.0f}"
     print(f'QOI_JSON: {{"name": "les_channel_re_tau{suffix}", '
           f'"value": {st.Re_tau:.6e}}}')
