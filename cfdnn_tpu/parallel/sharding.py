@@ -26,6 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 Z_AXIS = "z"
+X_AXIS = "x"
 
 
 def device_mesh(n_devices: Optional[int] = None, axis: str = Z_AXIS) -> Mesh:
@@ -38,10 +39,37 @@ def device_mesh(n_devices: Optional[int] = None, axis: str = Z_AXIS) -> Mesh:
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
-def field_spec(x, axis: str = Z_AXIS):
-    """Shard 3-D fields along their z (last) dimension; replicate scalars."""
+def device_mesh_nd(shape, axes) -> Mesh:
+    """N-D device mesh (beyond the reference's 1-D z-slab: a 2-D (x, z)
+    pencil decomposition maps onto the TPU's 2-D ICI torus, so both halo
+    families ride neighbor links). Axis named 'x' shards spatial dim 0;
+    every other axis name shards spatial dim 2 (z)."""
+    devs = jax.devices()
+    n = 1
+    for d in shape:
+        n *= int(d)
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, have {len(devs)}")
+    if len(shape) != len(axes):
+        raise ValueError(f"mesh shape {shape} vs axes {axes} length mismatch")
+    return Mesh(np.asarray(devs[:n]).reshape(tuple(shape)), tuple(axes))
+
+
+def _axis_names(axis) -> tuple:
+    return (axis,) if isinstance(axis, str) else tuple(axis)
+
+
+def field_spec(x, axis=Z_AXIS):
+    """Shard 3-D fields over the mesh axes — the axis named 'x' along
+    dim 0, the (at most one) other axis along dim 2 (z); replicate
+    everything else. `axis` is one name or a tuple of names."""
+    names = _axis_names(axis)
     if hasattr(x, "ndim") and x.ndim == 3:
-        return P(None, None, axis)
+        x_ax = next((a for a in names if a == X_AXIS), None)
+        z_names = [a for a in names if a != X_AXIS]
+        if len(z_names) > 1:
+            raise ValueError(f"at most one z mesh axis, got {z_names}")
+        return P(x_ax, None, z_names[0] if z_names else None)
     return P()
 
 

@@ -143,14 +143,27 @@ class Simulation:
             n_dev *= d
         self.device_mesh = None
         if n_dev > 1:
-            if sum(d > 1 for d in shape) > 1:
+            if sum(d > 1 for d in shape) > 2 or len(shape) > 2:
                 raise NotImplementedError(
-                    f"mesh_shape={shape}: only 1-D (z-slab) decomposition "
-                    "is implemented — use mesh_shape=(N,) (the reference "
-                    "is also 1-D, decomposition.hpp:28-44)")
-            from .parallel.sharding import device_mesh
-            self._mesh_axis = (self.cfg.mesh_axes or ("z",))[0]
-            self.device_mesh = device_mesh(n_dev, axis=self._mesh_axis)
+                    f"mesh_shape={shape}: 1-D (z-slab) and 2-D (x,z pencil)"
+                    " decompositions are implemented")
+            if len(shape) == 2:
+                # 2-D (x, z) pencils — beyond the reference's 1-D z-slab
+                # (decomposition.hpp:28-44); maps onto the 2-D ICI torus.
+                axes = tuple(self.cfg.mesh_axes or ())
+                if axes != ("x", "z"):
+                    raise NotImplementedError(
+                        f"2-D decomposition requires mesh_axes=('x','z') "
+                        f"(dim-0 x pencils x dim-2 z pencils), got {axes}")
+                from .parallel.sharding import device_mesh_nd
+                self._mesh_axes = axes
+                self._mesh_axis = "z"
+                self.device_mesh = device_mesh_nd(shape, axes)
+            else:
+                from .parallel.sharding import device_mesh
+                self._mesh_axis = (self.cfg.mesh_axes or ("z",))[0]
+                self._mesh_axes = (self._mesh_axis,)
+                self.device_mesh = device_mesh(n_dev, axis=self._mesh_axis)
 
     def _build_jits(self) -> None:
         self._step_jit = jax.jit(self._step_impl)
@@ -263,7 +276,10 @@ class Simulation:
         if n_dev > 1:
             # GSPMD cannot partition a Pallas custom call, so the sharded
             # fast path wraps the slab kernels in shard_map with explicit
-            # ppermute z-halo exchange (parallel/fused.py)
+            # ppermute z-halo exchange (parallel/fused.py). Implemented for
+            # the 1-D z-slab mesh only; 2-D pencils use the operator path.
+            if getattr(self, "_mesh_axes", ("z",)) != (self._mesh_axis,):
+                return False
             from .parallel.fused import sharded_slab_eligible
             if not sharded_slab_eligible(self.geom, cfg, n_dev):
                 return False
@@ -293,14 +309,19 @@ class Simulation:
                    PoissonSolverType.FFT1D):
             try:
                 if self.device_mesh is not None:
-                    # multi-chip: explicit pencil-transpose solve (two ICI
+                    # multi-chip: explicit pencil-transpose solve (tiled ICI
                     # all-to-alls; GSPMD alone all-gathers the full field
                     # for the z transform — parallel/pencil.py docstring)
                     try:
-                        from .parallel.pencil import PencilFDMPoissonSolver
                         inner = FDMPoissonSolver(self.mesh, cfg,
                                                  transform="matmul",
                                                  geom=self.geom)
+                        if len(self._mesh_axes) == 2:
+                            from .parallel.pencil import (
+                                Pencil2DFDMPoissonSolver)
+                            return Pencil2DFDMPoissonSolver(
+                                inner, self.device_mesh, *self._mesh_axes)
+                        from .parallel.pencil import PencilFDMPoissonSolver
                         return PencilFDMPoissonSolver(
                             inner, self.device_mesh, self._mesh_axis)
                     except ValueError:
@@ -340,7 +361,7 @@ class Simulation:
             self._build_jits()
         if self.device_mesh is not None:
             from .parallel.sharding import shard_state
-            state = shard_state(state, self.device_mesh, self._mesh_axis)
+            state = shard_state(state, self.device_mesh, self._mesh_axes)
         return state
 
     def project_initial_velocity(self, state: State) -> State:

@@ -327,3 +327,68 @@ def test_fused_shard_path_communication_volume():
     assert vol <= 20 * plane, (
         f"permute volume {vol} B exceeds the one-plane halo ledger "
         f"({20 * plane} B) — full-shard reshards crept into the fused path")
+
+
+# ---------------------------------------------------------------------------
+# 2-D (x, z) pencil decomposition — beyond the reference's 1-D z-slab
+# (decomposition.hpp:28-44); maps both halo families onto the 2-D ICI torus
+# ---------------------------------------------------------------------------
+
+
+def test_2d_mesh_step_matches_single_device():
+    """(2,4) x,z-pencil trajectory == unsharded one (rank invariance)."""
+    cfg1 = _cfg(Nx=32)
+    sim1 = Simulation(cfg1)
+    state0 = perturbed_channel(cfg1, sim1.mesh, amp=0.05)
+    ref = state0
+    for _ in range(3):
+        ref, ref_d = sim1.step(ref)
+
+    cfg2 = _cfg(Nx=32, mesh_shape=(2, 4), mesh_axes=("x", "z"))
+    sim2 = Simulation(cfg2)
+    assert sim2.poisson.name.startswith("Pencil2DFDM"), sim2.poisson.name
+    assert sim2._pallas_predictor_ok is False   # fused path is 1-D-only
+    st = sim2.initialize(state0)
+    for _ in range(3):
+        st, d = sim2.step(st)
+    np.testing.assert_allclose(np.asarray(st.u), np.asarray(ref.u),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.p), np.asarray(ref.p),
+                               rtol=0, atol=1e-12)
+    assert abs(float(d.ke) - float(ref_d.ke)) < 1e-12
+
+
+def test_2d_pencil_poisson_matches_unsharded():
+    """Pencil2DFDM solve == single-device FDM solve to machine precision
+    (the solve stays globally coupled across both shard axes)."""
+    cfg1 = _cfg(Nx=32)
+    sim1 = Simulation(cfg1)
+    cfg2 = _cfg(Nx=32, mesh_shape=(2, 4), mesh_axes=("x", "z"))
+    sim2 = Simulation(cfg2)
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.standard_normal((32, 16, 32)))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rhs_sh = jax.device_put(
+        rhs, NamedSharding(sim2.device_mesh, P("x", None, "z")))
+    p1 = sim1.poisson.solve(rhs)
+    p2 = jax.jit(sim2.poisson.solve)(rhs_sh)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=0, atol=1e-12)
+
+
+def test_2d_mesh_collective_schedule():
+    """The compiled 2-D-sharded step must not all-gather a full field."""
+    cfg = _cfg(Nx=32, dtype="float32", mesh_shape=(2, 4),
+               mesh_axes=("x", "z"))
+    sim = Simulation(cfg)
+    st = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
+    txt = jax.jit(sim._step_impl).lower(st).compile().as_text()
+    assert "all-to-all" in txt, "2-D pencil transposes missing from HLO"
+    assert "collective-permute" in txt, "halo exchanges missing"
+    assert "all-gather" not in txt, (
+        "the 2-D sharded step all-gathers a field")
+
+
+def test_2d_mesh_requires_xz_axes():
+    with pytest.raises(NotImplementedError):
+        Simulation(_cfg(mesh_shape=(2, 4), mesh_axes=("a", "b")))
