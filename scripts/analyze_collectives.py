@@ -64,13 +64,18 @@ def analyze(Nx=32, Ny=32, Nz=32, n_dev=None):
     # takes (under "auto" it is TPU-only, so a CPU virtual-device compile
     # would silently measure the fallback instead); "off" = the GSPMD
     # operator fallback, reported for contrast.
-    for label, up in (("fused shard_map path (production)", "on"),
-                      ("GSPMD operator fallback", "off")):
+    cases = [("fused shard_map path (production)", "on", (n_dev,), ("z",)),
+             ("GSPMD operator fallback", "off", (n_dev,), ("z",))]
+    if n_dev >= 4 and n_dev % 2 == 0:
+        cases.append(("2-D (x,z) pencil path", "off",
+                      (2, n_dev // 2), ("x", "z")))
+    for label, up, mshape, maxes in cases:
         cfg = Config(Nx=Nx, Ny=Ny, Nz=Nz, bc_x=BCType.PERIODIC,
                      bc_y=BCType.WALL, bc_z=BCType.PERIODIC, stretch_y=True,
                      nu=1e-3, nu_specified=True, dp_dx=-1e-3,
                      dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
-                     dtype="float32", mesh_shape=(n_dev,), use_pallas=up)
+                     dtype="float32", mesh_shape=mshape, mesh_axes=maxes,
+                     use_pallas=up)
         sim = Simulation(cfg)
         st = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
         txt = jax.jit(sim._step_impl).lower(st).compile().as_text()
@@ -85,7 +90,7 @@ def analyze(Nx=32, Ny=32, Nz=32, n_dev=None):
         ag = stats.get("all-gather", (0, 0, []))
         print(f"  -> all-gather volume: {ag[1]/1e6:.3f} MB "
               f"({'OK (zero)' if ag[1] == 0 else 'BAD: replication'})")
-        all_stats[up] = stats
+        all_stats[label] = stats
     return all_stats
 
 
