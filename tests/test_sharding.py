@@ -392,3 +392,33 @@ def test_2d_mesh_collective_schedule():
 def test_2d_mesh_requires_xz_axes():
     with pytest.raises(NotImplementedError):
         Simulation(_cfg(mesh_shape=(2, 4), mesh_axes=("a", "b")))
+
+
+def test_sharded_ibm_step_matches_single_device():
+    """IBM under sharding (reference: tests/test_mpi_ibm_3d.cpp): the
+    cylinder weight-mask forcing + Poisson RHS masking are rank-invariant
+    on both the 1-D z-slab and the 2-D (x,z) pencil mesh."""
+    from cfdnn_tpu.ibm import CylinderBody
+
+    def build(**kw):
+        cfg = _cfg(Nx=32, **kw)
+        sim = Simulation(cfg)
+        sim.set_ibm_forcing(CylinderBody(0.5 * cfg.Lx,
+                                         0.5 * (cfg.y_min + cfg.y_max),
+                                         0.15 * cfg.Ly))
+        return cfg, sim
+
+    cfg1, sim1 = build()
+    state0 = perturbed_channel(cfg1, sim1.mesh, amp=0.05)
+    ref = state0
+    for _ in range(3):
+        ref, _ = sim1.step(ref)
+
+    for mshape, maxes in [((8,), ("z",)), ((2, 4), ("x", "z"))]:
+        _, simN = build(mesh_shape=mshape, mesh_axes=maxes)
+        st = simN.initialize(state0)
+        for _ in range(3):
+            st, _ = simN.step(st)
+        np.testing.assert_allclose(np.asarray(st.u), np.asarray(ref.u),
+                                   rtol=0, atol=1e-12,
+                                   err_msg=f"mesh {mshape}")
