@@ -125,6 +125,14 @@ def main():
           f"B={fit['B']:.2f} (n={fit['n_fit_points']}), "
           f"centerline U+={fit['centerline_u_plus']:.2f} "
           f"vs MKM {uc_mkm} ({100 * uc_err:.1f}% off)")
+    # near-wall structure: u'+ must peak in the buffer layer (MKM: y+ ~ 15,
+    # peak ~ 2.65 at Re_tau 180, slowly growing with Re_tau). Walls are at
+    # y = +-delta with delta = 1 in this driver.
+    ypc = (1.0 - np.abs(st_fin.y)) * st_fin.Re_tau
+    half = len(st_fin.y) // 2
+    k_pk = int(np.argmax(st_fin.u_rms[:half]))
+    print(f"[retau180] u'+ peak: {st_fin.u_rms[k_pk] / st_fin.u_tau:.2f} "
+          f"at y+ = {ypc[k_pk]:.1f} (MKM: ~2.65 at y+ ~ 15)")
     suffix = "180" if Re_tau == 180.0 else f"{Re_tau:.0f}"
     print(f'QOI_JSON: {{"name": "dns_retau{suffix}_re_tau", '
           f'"value": {rep["Re_tau"]:.6e}}}')
