@@ -230,6 +230,10 @@ class StatsAccumulator:
 #: Centerline U+ from the MKM (Moser-Kim-Mansour 1999) channel DNS.
 MKM_CENTERLINE_U_PLUS = {180.0: 18.30, 395.0: 20.13, 590.0: 21.26}
 
+#: Bulk mean velocity U_b+ from the MKM channel DNS (single source for
+#: the validation drivers' flow-through time scales and bulk gates).
+MKM_BULK_U_PLUS = {180.0: 15.63, 395.0: 17.54, 590.0: 18.65}
+
 
 def log_law_fit(st: ChannelStats) -> Dict[str, float]:
     """Fit U+ = (1/kappa) ln y+ + B over the log region of a channel

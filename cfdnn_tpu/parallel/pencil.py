@@ -38,32 +38,29 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..poisson.fdm import FDMPoissonSolver, PoissonStats
 
 
-class PencilFDMPoissonSolver:
-    """Drop-in `solve()/solve_with_stats()` over a z-sharded field."""
+class _PencilBase:
+    """Shared pencil-solver scaffolding: transform-kind validation,
+    divisibility check, iterative-refinement loop, stats wrapper.
+    Subclasses implement `_solve_once` (the shard_map transpose dance)."""
 
-    def __init__(self, inner: FDMPoissonSolver, mesh: Mesh,
-                 axis_name: str = "z"):
+    def _init_common(self, inner: FDMPoissonSolver, divisor: int,
+                     divisor_desc: str, name_tag: str):
         bad = [t.kind for t in inner.tr if t.kind not in ("eig", "none")]
         if bad:
             raise ValueError(
                 f"pencil solve requires matmul ('eig') transforms on all "
                 f"axes, got {[t.kind for t in inner.tr]} — construct the "
                 f"FDM solver with transform='matmul'")
-        self.inner = inner
-        self.mesh = mesh
-        self.axis_name = axis_name
-        self.n_dev = mesh.shape[axis_name]
         nx = int(inner._lam_vecs[0].shape[0])
         nz = int(inner._lam_vecs[2].shape[2])
-        if nx % self.n_dev or nz % self.n_dev:
+        if nx % divisor or nz % divisor:
             raise ValueError(
                 f"pencil transpose needs Nx ({nx}) and Nz ({nz}) divisible "
-                f"by the mesh size ({self.n_dev})")
+                f"by {divisor_desc} ({divisor})")
+        self.inner = inner
         self.refine = inner.refine
         self.geom = inner.geom
-        self.name = inner.name.replace("FDM(", "PencilFDM(")
-
-    # -- solve -------------------------------------------------------------
+        self.name = inner.name.replace("FDM(", name_tag + "(")
 
     def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
         p = self._solve_once(rhs)
@@ -74,6 +71,22 @@ class PencilFDMPoissonSolver:
                 r = rhs0 - _ops.laplacian(p, self.geom)
                 p = p + self._solve_once(r)
         return p
+
+    def solve_with_stats(self, rhs):
+        p = self.solve(rhs)
+        r = self.inner._residual_norm(rhs, p)
+        return p, PoissonStats(cycles=0, status="DIRECT", rel_residual=r)
+
+
+class PencilFDMPoissonSolver(_PencilBase):
+    """Drop-in `solve()/solve_with_stats()` over a z-sharded field."""
+
+    def __init__(self, inner: FDMPoissonSolver, mesh: Mesh,
+                 axis_name: str = "z"):
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.n_dev = mesh.shape[axis_name]
+        self._init_common(inner, self.n_dev, "the mesh size", "PencilFDM")
 
     def _solve_once(self, rhs: jnp.ndarray) -> jnp.ndarray:
         inner = self.inner
@@ -114,13 +127,7 @@ class PencilFDMPoissonSolver:
 
         return run(rhs)
 
-    def solve_with_stats(self, rhs):
-        p = self.solve(rhs)
-        r = self.inner._residual_norm(rhs, p)
-        return p, PoissonStats(cycles=0, status="DIRECT", rel_residual=r)
-
-
-class Pencil2DFDMPoissonSolver:
+class Pencil2DFDMPoissonSolver(_PencilBase):
     """FDM solve over a 2-D (x, z)-pencil decomposition.
 
     Beyond the reference (its Decomposition is strictly 1-D z-slab,
@@ -144,37 +151,11 @@ class Pencil2DFDMPoissonSolver:
 
     def __init__(self, inner: FDMPoissonSolver, mesh: Mesh,
                  x_axis: str = "x", z_axis: str = "z"):
-        bad = [t.kind for t in inner.tr if t.kind not in ("eig", "none")]
-        if bad:
-            raise ValueError(
-                f"pencil solve requires matmul ('eig') transforms on all "
-                f"axes, got {[t.kind for t in inner.tr]} — construct the "
-                f"FDM solver with transform='matmul'")
-        self.inner = inner
         self.mesh = mesh
         self.x_axis, self.z_axis = x_axis, z_axis
         self.px = mesh.shape[x_axis]
         self.pz = mesh.shape[z_axis]
-        n_all = self.px * self.pz
-        nx = int(inner._lam_vecs[0].shape[0])
-        nz = int(inner._lam_vecs[2].shape[2])
-        if nx % n_all or nz % n_all:
-            raise ValueError(
-                f"2-D pencil transpose needs Nx ({nx}) and Nz ({nz}) "
-                f"divisible by Px*Pz ({n_all})")
-        self.refine = inner.refine
-        self.geom = inner.geom
-        self.name = inner.name.replace("FDM(", "Pencil2DFDM(")
-
-    def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
-        p = self._solve_once(rhs)
-        if self.refine:
-            from ..ops import operators as _ops
-            rhs0 = rhs - jnp.mean(rhs) if self.inner.all_neumann else rhs
-            for _ in range(self.refine):
-                r = rhs0 - _ops.laplacian(p, self.geom)
-                p = p + self._solve_once(r)
-        return p
+        self._init_common(inner, self.px * self.pz, "Px*Pz", "Pencil2DFDM")
 
     def _solve_once(self, rhs: jnp.ndarray) -> jnp.ndarray:
         inner = self.inner
@@ -218,8 +199,3 @@ class Pencil2DFDMPoissonSolver:
             return f.astype(f_loc.dtype)
 
         return run(rhs)
-
-    def solve_with_stats(self, rhs):
-        p = self.solve(rhs)
-        r = self.inner._residual_norm(rhs, p)
-        return p, PoissonStats(cycles=0, status="DIRECT", rel_residual=r)

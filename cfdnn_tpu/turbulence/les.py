@@ -39,9 +39,14 @@ class LESModelBase(TurbulenceModelBase):
                       and geom.axes[0].n >= 8 and geom.axes[2].n > 1)
         if structural and n_dev > 1:
             # multi-chip: slab kernel under shard_map with ppermute
-            # z-halos (parallel/fused.py; GSPMD can't partition the call)
+            # z-halos (parallel/fused.py; GSPMD can't partition the call).
+            # 1-D z-slab meshes only — on a 2-D (x,z) pencil mesh the
+            # z-only shard_map would all-gather x every step and size the
+            # VMEM gate with the wrong device count.
             from ..parallel.fused import sharded_slab_eligible
-            self._fuse = ("shard" if sharded_slab_eligible(geom, cfg, n_dev)
+            one_d = len(tuple(cfg.mesh_shape or (1,))) == 1
+            self._fuse = ("shard" if one_d
+                          and sharded_slab_eligible(geom, cfg, n_dev)
                           else False)
         elif structural and slab_fits(geom):
             self._fuse = "slab"

@@ -77,12 +77,20 @@ def analyze(Nx=32, Ny=32, Nz=32, n_dev=None):
                      dtype="float32", mesh_shape=mshape, mesh_axes=maxes,
                      use_pallas=up)
         sim = Simulation(cfg)
+        if "pencil" in label and not sim.poisson.name.startswith(
+                "Pencil2DFDM"):
+            # don't mislabel the GSPMD fallback as the pencil path
+            # (e.g. Nx/Nz not divisible by Px*Pz)
+            print(f"\n[{label}] SKIPPED: pencil solver not selected "
+                  f"(got {sim.poisson.name})")
+            continue
         st = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
         txt = jax.jit(sim._step_impl).lower(st).compile().as_text()
         stats = collective_stats(txt)
         field_bytes = Nx * Ny * Nz * 4
         print(f"\n[{label}] step collectives, {Nx}x{Ny}x{Nz} over "
               f"{n_dev} devices (full field = {field_bytes/1e6:.2f} MB, "
+              f"poisson = {sim.poisson.name}, "
               f"pallas mode = {sim._pallas_predictor_ok}):")
         for op, (c, b, ex) in sorted(stats.items()):
             print(f"  {op:20s} x{c:4d}  {b/1e6:8.3f} MB/device/step   "

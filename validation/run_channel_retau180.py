@@ -39,11 +39,11 @@ def main():
     from cfdnn_tpu import diagnostics as diag
 
     Re_tau = args.re_tau
-    _MKM_U_BULK = {180.0: 15.6, 395.0: 17.5, 590.0: 18.7}
-    if Re_tau not in _MKM_U_BULK:
+    if Re_tau not in diag.MKM_BULK_U_PLUS:
         ap.error(f"--Re-tau {Re_tau:g} has no MKM reference point "
-                 f"(supported: {sorted(_MKM_U_BULK)})")
-    u_bulk_mkm = _MKM_U_BULK[Re_tau]
+                 f"(supported: {sorted(diag.MKM_BULK_U_PLUS)})")
+    u_bulk_mkm = diag.MKM_BULK_U_PLUS[Re_tau]
+    tag = f"[retau{Re_tau:.0f}]"
     delta = 1.0
     nu = 1.0 / Re_tau          # u_tau = 1 units
     cfg = Config(
@@ -70,7 +70,7 @@ def main():
     # bulk time scale: U_b in u_tau units at this MKM point
     T_ft = cfg.Lx / u_bulk_mkm
     T_final = args.flow_throughs * T_ft
-    print(f"[retau180] {cfg.Nx}x{cfg.Ny}x{cfg.Nz} dtype={args.dtype} "
+    print(f"{tag} {cfg.Nx}x{cfg.Ny}x{cfg.Nz} dtype={args.dtype} "
           f"T_final={T_final:.2f} ({args.flow_throughs} flow-throughs), "
           f"poisson={sim.poisson_selection_reason}")
 
@@ -92,7 +92,7 @@ def main():
             st = diag.channel_statistics(sim, state)
             ke = float(d.ke)
             if not np.isfinite(ke):
-                print(f"[retau180] NaN at step {it}")
+                print(f"{tag} NaN at step {it}")
                 return 1
             wall = time.perf_counter() - t0
             ncell = cfg.Nx * cfg.Ny * cfg.Nz
@@ -105,12 +105,12 @@ def main():
                   f"[{ncell * it / wall / 1e6:.0f} Mcells/s]")
 
     rep = diag.realism_report(sim, state)
-    print("[retau180] final Stage-F report (instantaneous snapshot):")
+    print(f"{tag} final Stage-F report (instantaneous snapshot):")
     for k, v in rep.items():
         print(f"    {k}: {v}")
     if acc.n > 0:
         rep_avg = diag.realism_report_averaged(sim, state, acc)
-        print(f"[retau180] Stage-F report (TIME-AVERAGED over {acc.n} "
+        print(f"{tag} Stage-F report (TIME-AVERAGED over {acc.n} "
               f"snapshots, t > {T_avg:.1f}):")
         for k, v in rep_avg.items():
             print(f"    {k}: {v}")
@@ -121,7 +121,7 @@ def main():
     fit = diag.log_law_fit(st_fin)
     uc_mkm = diag.MKM_CENTERLINE_U_PLUS[Re_tau]
     uc_err = abs(fit["centerline_u_plus"] - uc_mkm) / uc_mkm
-    print(f"[retau180] log-law fit: kappa={fit['kappa']:.3f} "
+    print(f"{tag} log-law fit: kappa={fit['kappa']:.3f} "
           f"B={fit['B']:.2f} (n={fit['n_fit_points']}), "
           f"centerline U+={fit['centerline_u_plus']:.2f} "
           f"vs MKM {uc_mkm} ({100 * uc_err:.1f}% off)")
@@ -131,9 +131,9 @@ def main():
     ypc = (1.0 - np.abs(st_fin.y)) * st_fin.Re_tau
     half = len(st_fin.y) // 2
     k_pk = int(np.argmax(st_fin.u_rms[:half]))
-    print(f"[retau180] u'+ peak: {st_fin.u_rms[k_pk] / st_fin.u_tau:.2f} "
+    print(f"{tag} u'+ peak: {st_fin.u_rms[k_pk] / st_fin.u_tau:.2f} "
           f"at y+ = {ypc[k_pk]:.1f} (MKM: ~2.65 at y+ ~ 15)")
-    suffix = "180" if Re_tau == 180.0 else f"{Re_tau:.0f}"
+    suffix = f"{Re_tau:.0f}"
     print(f'QOI_JSON: {{"name": "dns_retau{suffix}_re_tau", '
           f'"value": {rep["Re_tau"]:.6e}}}')
     print(f'QOI_JSON: {{"name": "dns_retau{suffix}_centerline_uplus", '

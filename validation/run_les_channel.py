@@ -41,13 +41,10 @@ def main():
     from cfdnn_tpu import diagnostics as diag
 
     Re_tau = args.re_tau
-    # MKM DNS bulk velocity in u_tau units per Re_tau (Moser-Kim-Mansour
-    # 1999: Re_b/Re_tau ratios)
-    _MKM_U_BULK = {180.0: 15.6, 395.0: 17.5, 590.0: 18.7}
-    if Re_tau not in _MKM_U_BULK:
+    if Re_tau not in diag.MKM_BULK_U_PLUS:
         ap.error(f"--Re-tau {Re_tau:g} has no MKM reference point "
-                 f"(supported: {sorted(_MKM_U_BULK)})")
-    u_bulk_mkm = _MKM_U_BULK[Re_tau]
+                 f"(supported: {sorted(diag.MKM_BULK_U_PLUS)})")
+    u_bulk_mkm = diag.MKM_BULK_U_PLUS[Re_tau]
     delta = 1.0
     nu = 1.0 / Re_tau          # u_tau = 1 units
     cfg = Config(
