@@ -59,23 +59,35 @@ def _axis_names(axis) -> tuple:
     return (axis,) if isinstance(axis, str) else tuple(axis)
 
 
-def field_spec(x, axis=Z_AXIS):
+def field_spec(x, axis=Z_AXIS, mesh: Optional[Mesh] = None):
     """Shard 3-D fields over the mesh axes — the axis named 'x' along
     dim 0, the (at most one) other axis along dim 2 (z); replicate
-    everything else. `axis` is one name or a tuple of names."""
+    everything else. `axis` is one name or a tuple of names.
+
+    With `mesh` given, a dim whose size is not divisible by its mesh
+    axis is left replicated instead of failing device_put: wall-normal
+    staggered components carry N+1 faces (the documented "runs, but
+    through the fallback path" case — GSPMD reshards them inside the
+    jitted step as the stencils demand)."""
     names = _axis_names(axis)
     if hasattr(x, "ndim") and x.ndim == 3:
         x_ax = next((a for a in names if a == X_AXIS), None)
         z_names = [a for a in names if a != X_AXIS]
         if len(z_names) > 1:
             raise ValueError(f"at most one z mesh axis, got {z_names}")
-        return P(x_ax, None, z_names[0] if z_names else None)
+        z_ax = z_names[0] if z_names else None
+        if mesh is not None:
+            if x_ax is not None and x.shape[0] % mesh.shape[x_ax]:
+                x_ax = None
+            if z_ax is not None and x.shape[2] % mesh.shape[z_ax]:
+                z_ax = None
+        return P(x_ax, None, z_ax)
     return P()
 
 
 def state_shardings(state, mesh: Mesh, axis: str = Z_AXIS):
     return jax.tree.map(
-        lambda x: NamedSharding(mesh, field_spec(x, axis)), state)
+        lambda x: NamedSharding(mesh, field_spec(x, axis, mesh)), state)
 
 
 def shard_state(state, mesh: Mesh, axis: str = Z_AXIS):

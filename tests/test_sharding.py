@@ -442,3 +442,28 @@ def test_sharded_ibm_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(st.u), np.asarray(ref.u),
                                    rtol=0, atol=1e-12,
                                    err_msg=f"mesh {mshape}")
+
+
+def test_2d_mesh_duct_walled_z():
+    """Walled z under a 2-D mesh: the staggered w carries Nz+1 faces,
+    which cannot split evenly — field_spec must leave that dim
+    replicated (fallback) rather than fail device_put, and the duct
+    trajectory must still match single-device."""
+    from cfdnn_tpu import zero_state
+    kw = dict(Nx=16, Ny=16, Nz=16, x_max=1.0, y_min=-1.0, y_max=1.0,
+              z_min=-1.0, z_max=1.0, bc_y=BCType.WALL, bc_z=BCType.WALL,
+              nu=0.05, nu_specified=True, dp_dx=-1.0, dp_dx_specified=True,
+              dt=2e-3, adaptive_dt=False, dtype="float64")
+    cfg1 = Config(**kw)
+    sim1 = Simulation(cfg1)
+    cfg2 = Config(**kw, mesh_shape=(2, 4), mesh_axes=("x", "z"))
+    sim2 = Simulation(cfg2)
+    assert sim2.poisson.name.startswith("Pencil2DFDM")
+    s1, s2 = zero_state(cfg1), sim2.initialize(zero_state(cfg2))
+    for _ in range(20):
+        s1, _ = sim1.step(s1)
+        s2, _ = sim2.step(s2)
+    np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s1.u),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(s2.w), np.asarray(s1.w),
+                               rtol=0, atol=1e-13)
