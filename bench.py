@@ -157,8 +157,30 @@ def main():
     refresh_perf_baseline()
 
 
+def _require_device(probe_timeout=180):
+    """Fail fast (instead of hanging forever) when the TPU tunnel is
+    down: backend init blocks inside a C call with no Python-level
+    timeout, so probe it in a THROWAWAY subprocess first. Observed
+    during round 2: a dead axon tunnel left jax.devices() sleeping
+    indefinitely, which would silently eat the whole bench budget."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=probe_timeout, capture_output=True)
+        if r.returncode == 0:
+            return
+        msg = r.stderr.decode(errors="replace")[-500:]
+    except subprocess.TimeoutExpired:
+        msg = f"device probe timed out after {probe_timeout}s"
+    print(f"bench.py: accelerator unreachable — {msg}", file=sys.stderr)
+    sys.exit(2)
+
+
 if __name__ == "__main__":
     import sys
+    _require_device()
     if "--warm" in sys.argv:
         warm_compile_cache()
     else:
