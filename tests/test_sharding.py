@@ -467,3 +467,19 @@ def test_2d_mesh_duct_walled_z():
                                rtol=0, atol=1e-13)
     np.testing.assert_allclose(np.asarray(s2.w), np.asarray(s1.w),
                                rtol=0, atol=1e-13)
+
+
+def test_2d_mesh_checkpoint_roundtrip(tmp_path):
+    """Checkpoint save/load from a 2-D (x,z) pencil mesh: orbax must
+    round-trip the P('x',None,'z')-sharded arrays bit-identically."""
+    from cfdnn_tpu.io.checkpoint import (latest_checkpoint, load_checkpoint,
+                                         save_checkpoint)
+    cfg = _cfg(Nx=32, mesh_shape=(2, 4), mesh_axes=("x", "z"))
+    sim = Simulation(cfg)
+    st = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
+    st, _ = sim.step(st)
+    d = str(tmp_path / "ck2d")
+    save_checkpoint(d, st, cfg)
+    back = load_checkpoint(latest_checkpoint(d), cfg)
+    np.testing.assert_array_equal(np.asarray(back.u), np.asarray(st.u))
+    np.testing.assert_array_equal(np.asarray(back.p), np.asarray(st.p))
