@@ -221,21 +221,9 @@ def implicit_y_diffusion(comps, nu_eff, dt, geom):
             sol = thomas(lower, diag, upper, interior, axis=1)
             f = f.at[:, 1:-1, :].set(sol)
         else:
-            # u/w cell-centered in y: flux faces at inv_dc, no-slip ghosts
-            nu_f = nu_eff if scalar_nu else jnp.concatenate(
-                [nu_eff[:, :1, :], 0.5 * (nu_eff[:, :-1, :] + nu_eff[:, 1:, :]),
-                 nu_eff[:, -1:, :]], axis=1)
-            if scalar_nu:
-                g_lo = nu_eff * inv_dc[:, :-1, :] * inv_d
-                g_hi = nu_eff * inv_dc[:, 1:, :] * inv_d
-            else:
-                g_lo = nu_f[:, :-1, :] * inv_dc[:, :-1, :] * inv_d
-                g_hi = nu_f[:, 1:, :] * inv_dc[:, 1:, :] * inv_d
-            lower = -dt * g_lo
-            upper = -dt * g_hi
-            # Wall rows: the no-slip flux nu u_0 / dc_0 is exactly g_lo[0],
-            # already in the diagonal; Thomas ignores lower[0]/upper[-1].
-            diag = 1.0 + dt * (g_lo + g_hi)
-            f = thomas(lower, diag, upper, f, axis=1)
+            # u/w cell-centered in y: the no-slip wall flux nu u_0 / dc_0
+            # is exactly the zero-Dirichlet scalar solve
+            f = implicit_scalar_y_diffusion(f, nu_eff, dt, geom,
+                                            wall_value=0.0)
         out.append(f)
     return tuple(out)

@@ -66,8 +66,11 @@ def _periodic_eig(ax, order: int) -> _AxisTransform:
     n, h = ax.n, ax.h
     L = np.zeros((n, n))
     idx = np.arange(n)
-    if order >= 4 and n >= 6:
+    if order >= 4 and n >= 4:
         # O4 staggered gradient G (face i from cells, ops c2f_diff4):
+        # (n >= 4 matches the operators' o4_ok gate, ops/grid.py — the
+        # wrap collisions at n in {4, 5} accumulate via +=, keeping
+        # L = -G^T G the exact discrete composition)
         # [+1, -27, +27, -1]/(24h) at cell offsets (i-2, i-1, i, i+1);
         # the matching divergence is D = -G^T, so L = D G = -G^T G.
         Gm = np.zeros((n, n))
@@ -197,9 +200,13 @@ class FDMPoissonSolver:
         if transform == "auto":
             import jax
             try:
-                on_tpu = jax.devices()[0].platform not in ("cpu",)
+                plat = jax.devices()[0].platform.lower()
             except Exception:
-                on_tpu = False
+                plat = "cpu"
+            # matmul (MXU eigenbasis) only on TPUs ("tpu", or "axon" for
+            # the tunneled TPU plugin); GPU gets cuFFT via XLA's fft
+            # lowering, CPU gets pocketfft — NOT the dense matmuls
+            on_tpu = plat.startswith("tpu") or plat == "axon"
             transform = "matmul" if on_tpu else "fft"
         self.transform = transform
         bcs = (cfg.bc_x, cfg.bc_y, cfg.bc_z)
@@ -370,8 +377,13 @@ class FDMPoissonSolver:
 
         f = fwd(p.astype(self.dtype))
         g = fwd(rhs.astype(self.dtype))
-        lam = jnp.where(jnp.abs(self._lam_total()) < self._null_thr,
-                        0.0, self._lam_total())
+        null = jnp.abs(self._lam_total()) < self._null_thr
+        lam = jnp.where(null, 0.0, self._lam_total())
+        # the solver pins null modes by design, so compare on the
+        # mean-free subspace: mask g's null component too (else a
+        # machine-precision all-Neumann solve of a non-mean-free rhs
+        # reports |mean(rhs)| as residual)
+        g = jnp.where(null, 0.0, g)
         num = jnp.linalg.norm((lam * f - g).reshape(-1))
         den = jnp.maximum(jnp.linalg.norm(g.reshape(-1)), 1e-300)
         return num / den

@@ -38,6 +38,12 @@ class RecyclingInflow:
         if cfg.bc_z != BCType.PERIODIC:
             raise ValueError("recycling inflow requires periodic z "
                              "(reference solver_recycling.cpp:186)")
+        if mesh.Nx < 10:
+            raise ValueError(
+                "recycling inflow requires Nx >= 10 so the recycle "
+                "station sits >= 5 cells off both ends (reference "
+                "solver_recycling.cpp:289); np.clip would otherwise "
+                "silently return an invalid station index")
         self.cfg = cfg
         Lx = cfg.Lx
         x_rec = cfg.recycle_x if cfg.recycle_x > 0 else cfg.x_min + 0.8 * Lx
@@ -47,7 +53,9 @@ class RecyclingInflow:
         self.i_rec = i
         self.shift_k = (cfg.recycle_shift_z if cfg.recycle_shift_z >= 0
                         else mesh.Nz // 4)
-        # AR1 coefficient from filter time scale (:300-306)
+        self.shift_interval = max(int(cfg.recycle_shift_interval), 1)
+        # AR1 coefficient from filter time scale (:300-306); the static
+        # value is the fallback when the caller has no traced dt
         if cfg.recycle_filter_tau > 0:
             self.alpha = float(np.exp(-cfg.dt / cfg.recycle_filter_tau))
         else:
@@ -81,24 +89,53 @@ class RecyclingInflow:
 
     # -- per-step pipeline ---------------------------------------------------
 
-    def process(self, comps, inlet):
+    def _shift(self, plane, step):
+        """Spanwise decorrelation shift, applied every
+        `recycle_shift_interval` steps (reference shift schedule,
+        solver_recycling.cpp:570). With no step counter (direct API /
+        tests) the shift applies unconditionally."""
+        rolled = jnp.roll(plane, self.shift_k, axis=-1)
+        if step is None or self.shift_interval <= 1:
+            return rolled
+        return jnp.where(step % self.shift_interval == 0, rolled, plane)
+
+    def _alpha_of(self, dt):
+        """AR1 coefficient exp(-dt/tau) from the ACTUAL step size when the
+        caller passes the traced dt (adaptive-dt runs would otherwise get
+        a filter memory baked from the static cfg.dt); falls back to the
+        construction-time value."""
+        if self.cfg.recycle_filter_tau <= 0:
+            return None
+        if dt is None:
+            return self.alpha
+        return jnp.exp(-dt / self.cfg.recycle_filter_tau)
+
+    def _u_correction(self, rec_u):
+        """Mass-flux correction: uniform offset toward the target bulk,
+        clamped to 10% of the target per step (:785-805). Offsetting by
+        clip(target - bulk) — rather than scaling bulk — still corrects
+        when a transient leaves the instantaneous bulk near zero or
+        negative (scaling would amplify a reversed plane)."""
+        if self.target_bulk <= 0:
+            return rec_u, None
+        bulk = jnp.sum(rec_u * self.area) / self.total_area
+        offset = jnp.clip(self.target_bulk - bulk,
+                          -0.1 * self.target_bulk, 0.1 * self.target_bulk)
+        return rec_u + offset, offset
+
+    def process(self, comps, inlet, dt=None, step=None):
         """Extract + spanwise shift + AR1 filter + mass-flux correction +
         transverse-mean removal. Returns the new inlet planes."""
         u, v, w = comps
-        rec_u = jnp.roll(u[self.i_rec, :, :], self.shift_k, axis=-1)
-        rec_v = jnp.roll(v[self.i_rec, :, :], self.shift_k, axis=-1)
-        rec_w = jnp.roll(w[self.i_rec, :, :], self.shift_k, axis=-1)
-        if self.alpha > 0.0:
-            a = self.alpha
+        rec_u = self._shift(u[self.i_rec, :, :], step)
+        rec_v = self._shift(v[self.i_rec, :, :], step)
+        rec_w = self._shift(w[self.i_rec, :, :], step)
+        a = self._alpha_of(dt)
+        if a is not None:
             rec_u = a * inlet[0] + (1 - a) * rec_u
             rec_v = a * inlet[1] + (1 - a) * rec_v
             rec_w = a * inlet[2] + (1 - a) * rec_w
-        # mass-flux correction: uniform offset, <=10% per step (:785-805)
-        bulk = jnp.sum(rec_u * self.area) / self.total_area
-        if self.target_bulk > 0:
-            scale = jnp.clip(self.target_bulk / jnp.maximum(bulk, 1e-10),
-                             0.9, 1.1)
-            rec_u = rec_u + bulk * (scale - 1.0)
+        rec_u, _ = self._u_correction(rec_u)
         if self.cfg.recycle_remove_transverse_mean:
             rec_v = rec_v - jnp.mean(rec_v)
             rec_w = rec_w - jnp.mean(rec_w)
@@ -125,26 +162,23 @@ class RecyclingInflow:
         u = u.at[0, :, :].set(u[1, :, :] + self.dx0 * (dvdy + dwdz))
         return (u, v, w)
 
-    def stage_diagnostics(self, comps, inlet):
+    def stage_diagnostics(self, comps, inlet, dt=None, step=None):
         """Per-stage L2 telemetry of the recycling pipeline (reference
         recycle stage diagnostics, solver.hpp:734-805): L2 after
         copy+shift, after the AR1 filter, after mean correction, plus the
-        mean/rms of the inlet u plane."""
+        mean/rms of the inlet u plane. Built from the SAME helpers as
+        process() so the telemetry cannot drift from the real pipeline."""
         u = comps[0]
-        rec_u = jnp.roll(u[self.i_rec, :, :], self.shift_k, axis=-1)
+        rec_u = self._shift(u[self.i_rec, :, :], step)
         L2 = lambda f: jnp.sqrt(jnp.mean(f * f))
         out = {"L2_copy": L2(rec_u)}
-        filt = rec_u
-        if self.alpha > 0.0:
-            filt = self.alpha * inlet[0] + (1 - self.alpha) * rec_u
+        a = self._alpha_of(dt)
+        filt = rec_u if a is None else a * inlet[0] + (1 - a) * rec_u
         out["L2_ar1"] = L2(filt)
         out["u_mean_before_corr"] = jnp.mean(filt)
-        bulk = jnp.sum(filt * self.area) / self.total_area
-        if self.target_bulk > 0:
-            scale = jnp.clip(self.target_bulk / jnp.maximum(bulk, 1e-10),
-                             0.9, 1.1)
-            filt = filt + bulk * (scale - 1.0)
-            out["scale_factor"] = scale
+        filt, offset = self._u_correction(filt)
+        if offset is not None:
+            out["bulk_offset"] = offset
         out["L2_mean"] = L2(filt)
         out["u_mean_after_corr"] = jnp.mean(filt)
         out["u_rms_after_corr"] = jnp.sqrt(

@@ -689,7 +689,8 @@ class Simulation:
             # pre-step velocity (reference extract_recycle_plane +
             # process_recycle_inflow, solver_recycling.cpp:466,570)
             inlet = self.recycling.process(
-                comps, (state.inlet_u, state.inlet_v, state.inlet_w))
+                comps, (state.inlet_u, state.inlet_v, state.inlet_w),
+                dt=dt, step=state.step)
         new_comps, p = self._advance_velocity(comps, nu_t, dt, state.p,
                                               forces, state.t, inlet)
         if cfg.filter_strength > 0.0:
@@ -810,6 +811,17 @@ class Simulation:
                     print(f"[watchdog] step {it + 1}: post-projection "
                           f"div_linf = {float(diags.div_linf):.3e} > "
                           f"{cfg.div_threshold:g}")
+                # recycling stage telemetry every recycle_diag_interval
+                # steps (reference recycle_diag cadence, solver.hpp:734)
+                if (self.recycling is not None and cfg.verbose
+                        and cfg.recycle_diag_interval > 0
+                        and (it + 1) % cfg.recycle_diag_interval < check):
+                    d = self.recycling.stage_diagnostics(
+                        (state.u, state.v, state.w),
+                        (state.inlet_u, state.inlet_v, state.inlet_w),
+                        dt=dtv, step=state.step)
+                    print(f"[recycle] step {it + 1}: " + "  ".join(
+                        f"{k}={v:.4g}" for k, v in d.items()))
                 if res < tol * max(dtv, 1e-30):
                     break
         return state, diags

@@ -120,9 +120,9 @@ def test_recycling_stage_diagnostics():
         (state.u, state.v, state.w),
         (state.inlet_u, state.inlet_v, state.inlet_w))
     for key in ("L2_copy", "L2_ar1", "L2_mean", "u_mean_after_corr",
-                "u_rms_after_corr", "scale_factor"):
+                "u_rms_after_corr", "bulk_offset"):
         assert key in d and np.isfinite(d[key]), key
-    assert 0.9 <= d["scale_factor"] <= 1.1
+    assert abs(d["bulk_offset"]) <= 0.1 * 0.4 + 1e-12
 
 
 def test_periodic_vs_recycling_agreement(record_qoi):
@@ -147,3 +147,35 @@ def test_periodic_vs_recycling_agreement(record_qoi):
     record_qoi("pvr_uv_rel_diff", out["uv"])
     assert out["U"] < 0.05, f"mean profile diff {out['U']}"
     assert out["u_rms"] < 1.0 and out["uv"] < 1.0, out
+
+
+def test_mass_flux_correction_recovers_from_backflow():
+    """A transient that reverses the recycle-plane bulk must be corrected
+    TOWARD the target (the old bulk-scaling form amplified a negative
+    bulk: offset = bulk*(clip(target/bulk)-1) pushes the wrong way)."""
+    sim = Simulation(_cfg(recycle_target_bulk_u=1.0))
+    rec = sim.recycling
+    plane = -0.2 * jnp.ones_like(sim.initialize(
+        perturbed_channel(sim.cfg, sim.mesh)).inlet_u)
+    bulk = lambda f: float(jnp.sum(f * rec.area) / rec.total_area)
+    assert bulk(plane) < 0
+    for _ in range(20):
+        plane, off = rec._u_correction(plane)
+    assert abs(bulk(plane) - 1.0) < 1e-6   # converged to the target
+    # per-step offset clamped to 10% of the target
+    plane2 = -0.2 * jnp.ones_like(plane)
+    plane2, off = rec._u_correction(plane2)
+    assert abs(bulk(plane2) - (-0.1)) < 1e-9
+
+
+def test_shift_interval_respected():
+    """recycle_shift_interval gates the spanwise decorrelation shift."""
+    sim = Simulation(_cfg(recycle_shift_interval=5))
+    state = sim.initialize(perturbed_channel(sim.cfg, sim.mesh, amp=0.05))
+    plane = state.u[sim.recycling.i_rec, :, :]
+    shifted = sim.recycling._shift(plane, jnp.asarray(5))
+    unshifted = sim.recycling._shift(plane, jnp.asarray(6))
+    np.testing.assert_array_equal(np.asarray(unshifted), np.asarray(plane))
+    np.testing.assert_array_equal(
+        np.asarray(shifted),
+        np.asarray(jnp.roll(plane, sim.recycling.shift_k, axis=-1)))
