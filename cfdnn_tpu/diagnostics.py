@@ -28,25 +28,32 @@ from .turbulence.base import strain_rotation
 # ---------------------------------------------------------------------------
 
 
-def kinetic_energy(comps, geom):
-    """Volume-weighted mean kinetic energy 0.5 <|u|^2> (cell-centered)."""
-    from .turbulence.base import cell_center_velocity
-    u, v, w = cell_center_velocity(comps, geom)
+def volume_mean(f, geom):
+    """Volume-weighted mean over cell centers (the plain jnp.mean would
+    overweight the clustered near-wall cells on stretched meshes)."""
     V = None
     for a in range(3):
         ax = geom.axes[a]
         if ax.n > 1:
             V = ax.d if V is None else V * ax.d
     if V is None:
-        V = jnp.ones(())
-    Vs = jnp.sum(jnp.broadcast_to(V, u.shape))
-    return 0.5 * jnp.sum((u**2 + v**2 + w**2) * V) / Vs
+        return jnp.mean(f)
+    Vs = jnp.sum(jnp.broadcast_to(V, f.shape))
+    return jnp.sum(f * V) / Vs
+
+
+def kinetic_energy(comps, geom):
+    """Volume-weighted mean kinetic energy 0.5 <|u|^2> (cell-centered)."""
+    from .turbulence.base import cell_center_velocity
+    u, v, w = cell_center_velocity(comps, geom)
+    return 0.5 * volume_mean(u**2 + v**2 + w**2, geom)
 
 
 def dissipation_rate(comps, nu, geom):
-    """epsilon = nu <2 S_ij S_ij> from the cell-centered gradient tensor."""
+    """epsilon = <nu 2 S_ij S_ij>_V from the cell-centered gradient
+    tensor; `nu` may be a scalar or a full nu_eff field (LES/RANS)."""
     sr = strain_rotation(comps, geom)
-    return nu * jnp.mean(sr.S_mag**2)
+    return volume_mean(nu * sr.S_mag**2, geom)
 
 
 def energy_budget(sim, state) -> Dict[str, float]:
@@ -60,7 +67,7 @@ def energy_budget(sim, state) -> Dict[str, float]:
     fx = -cfg.dp_dx / cfg.rho
     from .turbulence.base import cell_center_velocity
     ucc = cell_center_velocity(comps, geom)[0]
-    power = fx * jnp.mean(ucc)
+    power = fx * volume_mean(ucc, geom)
     nu_t = sim.turb.nu_t(state, sim)
     nu_eff = cfg.nu if nu_t is None else cfg.nu + nu_t
     eps = dissipation_rate(comps, nu_eff, geom)
@@ -133,25 +140,35 @@ def channel_statistics(sim, state) -> ChannelStats:
     )
 
 
-def momentum_balance_closure(sim, state) -> float:
-    """Channel momentum balance: total stress tau(y) = nu dU/dy - <u'v'>
-    should be linear, tau = u_tau^2 (1 - y/delta). Returns the max relative
-    closure defect (reference gate <10%)."""
-    cfg, mesh = sim.cfg, sim.mesh
-    st = channel_statistics(sim, state)
-    y = st.y
-    dUdy = np.gradient(st.U, y)
-    nu_t = sim.turb.nu_t(state, sim)
-    nu_eff = cfg.nu if nu_t is None else cfg.nu + float(np.mean(np.asarray(
-        nu_t), axis=(0, 2)).mean())
-    tau_tot = cfg.nu * dUdy - st.uv
+def _closure_defect(st: "ChannelStats", cfg, nu_eff_y) -> float:
+    """Max relative defect of tau(y) = nu_eff dU/dy - <u'v'> vs the exact
+    linear total-stress profile tau = u_tau^2 (1 - y/delta); shared by
+    the snapshot and time-averaged paths."""
+    dUdy = np.gradient(st.U, st.y)
+    tau_tot = nu_eff_y * dUdy - st.uv
     delta = 0.5 * cfg.Ly
     ymid = 0.5 * (cfg.y_min + cfg.y_max)
-    tau_exact = st.u_tau**2 * (-(y - ymid) / delta)
+    tau_exact = st.u_tau**2 * (-(st.y - ymid) / delta)
     scale = max(st.u_tau**2, 1e-30)
     # exclude the few near-wall cells where gradients are least resolved
     sl = slice(2, -2)
     return float(np.max(np.abs(tau_tot[sl] - tau_exact[sl])) / scale)
+
+
+def momentum_balance_closure(sim, state, st: "ChannelStats" = None
+                             ) -> float:
+    """Channel momentum balance: total stress nu_eff dU/dy - <u'v'>
+    should be linear, tau = u_tau^2 (1 - y/delta). Returns the max
+    relative closure defect (reference gate <10%). With a closure
+    active the MODELED stress nu_t(y) dU/dy carries the load (resolved
+    <u'v'> ~ 0 in RANS), so the plane-averaged nu_t joins nu."""
+    cfg = sim.cfg
+    if st is None:
+        st = channel_statistics(sim, state)
+    nu_t = sim.turb.nu_t(state, sim)
+    nu_eff_y = (cfg.nu if nu_t is None
+                else cfg.nu + np.mean(np.asarray(nu_t), axis=(0, 2)))
+    return _closure_defect(st, cfg, nu_eff_y)
 
 
 # ---------------------------------------------------------------------------
@@ -209,17 +226,10 @@ class StatsAccumulator:
             dz_plus=float(mesh.z.h / lv) if mesh.Nz > 1 else 0.0)
 
     def momentum_balance_closure(self) -> float:
-        """Closure defect from the TIME-AVERAGED total stress."""
-        st = self.finalize()
-        cfg = self.sim.cfg
-        dUdy = np.gradient(st.U, st.y)
-        tau_tot = cfg.nu * dUdy - st.uv
-        delta = 0.5 * cfg.Ly
-        ymid = 0.5 * (cfg.y_min + cfg.y_max)
-        tau_exact = st.u_tau**2 * (-(st.y - ymid) / delta)
-        sl_ = slice(2, -2)
-        return float(np.max(np.abs(tau_tot[sl_] - tau_exact[sl_]))
-                     / max(st.u_tau**2, 1e-30))
+        """Closure defect from the TIME-AVERAGED total stress (DNS path:
+        no modeled stress, nu_eff = nu)."""
+        return _closure_defect(self.finalize(), self.sim.cfg,
+                               self.sim.cfg.nu)
 
 
 # ---------------------------------------------------------------------------
@@ -351,21 +361,20 @@ def energy_spectrum_3d(sim, state):
 # ---------------------------------------------------------------------------
 
 
-def realism_report(sim, state) -> Dict[str, object]:
-    """Resolution gates + u_tau consistency + stress ordering + momentum
-    closure + spectrum artifact check (reference Stage-F gates:
-    y+<=1, dx+<=15, dz+<=8, closure <10%, u' > w' > v' ordering)."""
-    st = channel_statistics(sim, state)
+def _stage_f_gates(sim, state, st: ChannelStats, closure: float
+                   ) -> Dict[str, object]:
+    """Shared Stage-F gate block (reference gates: y+<=1, dx+<=15,
+    dz+<=8, closure <10%, u' > w' > v' ordering, spectrum pile-up). The
+    spectrum artifact check always uses the passed snapshot — it detects
+    aliasing, an instantaneous property."""
     checks = {}
     checks["y_plus_ok"] = st.y_plus_1 <= 1.0
     checks["dx_plus_ok"] = st.dx_plus <= 15.0
     checks["dz_plus_ok"] = st.dz_plus <= 8.0
-    mid = len(st.y) // 2
     core = slice(len(st.y) // 4, 3 * len(st.y) // 4)
     checks["stress_ordering_ok"] = bool(
         np.mean(st.u_rms[core]) >= np.mean(st.w_rms[core]) - 1e-12
         and np.mean(st.w_rms[core]) >= np.mean(st.v_rms[core]) - 1e-12)
-    closure = momentum_balance_closure(sim, state)
     checks["momentum_closure"] = closure
     checks["momentum_closure_ok"] = closure < 0.10
     if sim.mesh.Nz > 1:
@@ -379,6 +388,14 @@ def realism_report(sim, state) -> Dict[str, object]:
     return checks
 
 
+def realism_report(sim, state) -> Dict[str, object]:
+    """Resolution gates + u_tau consistency + stress ordering + momentum
+    closure + spectrum artifact check on an instantaneous snapshot."""
+    st = channel_statistics(sim, state)
+    return _stage_f_gates(sim, state, st,
+                          momentum_balance_closure(sim, state, st=st))
+
+
 def realism_report_averaged(sim, state, acc: "StatsAccumulator"
                             ) -> Dict[str, object]:
     """Stage-F report evaluated on TIME-AVERAGED statistics — the form
@@ -386,30 +403,10 @@ def realism_report_averaged(sim, state, acc: "StatsAccumulator"
     running stats; the instantaneous-snapshot closure can sit a few
     points above the 10% gate in a perfectly healthy run, which is
     exactly what the 160x96x96 Tier-2 run showed: 10.6% instantaneous
-    vs the averaged value). Resolution gates use the averaged u_tau;
-    the spectrum artifact check uses the final snapshot (it detects
-    aliasing, an instantaneous property)."""
-    st = acc.finalize()
-    checks = {}
-    checks["y_plus_ok"] = st.y_plus_1 <= 1.0
-    checks["dx_plus_ok"] = st.dx_plus <= 15.0
-    checks["dz_plus_ok"] = st.dz_plus <= 8.0
-    core = slice(len(st.y) // 4, 3 * len(st.y) // 4)
-    checks["stress_ordering_ok"] = bool(
-        np.mean(st.u_rms[core]) >= np.mean(st.w_rms[core]) - 1e-12
-        and np.mean(st.w_rms[core]) >= np.mean(st.v_rms[core]) - 1e-12)
-    closure = acc.momentum_balance_closure()
-    checks["momentum_closure"] = closure
-    checks["momentum_closure_ok"] = closure < 0.10
-    if sim.mesh.Nz > 1:
-        ratio = spectrum_pileup_ratio(spanwise_spectrum(sim, state))
-        checks["spectrum_pileup"] = ratio
-        checks["spectrum_ok"] = ratio < 0.1
-    checks["u_tau"] = st.u_tau
-    checks["Re_tau"] = st.Re_tau
+    vs the averaged value)."""
+    checks = _stage_f_gates(sim, state, acc.finalize(),
+                            acc.momentum_balance_closure())
     checks["n_snapshots"] = acc.n
-    checks["all_ok"] = all(v for k, v in checks.items()
-                           if k.endswith("_ok"))
     return checks
 
 

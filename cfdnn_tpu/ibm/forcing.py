@@ -31,34 +31,51 @@ class IBMForcing:
     def __init__(self, mesh: Mesh, body: IBMBody, cfg: Config,
                  band_factor: float = 1.5):
         self.body = body
-        h = mesh.min_spacing()
-        self.band = band_factor * h   # reference: band = 1.5 h (:32)
         dtype = jnp.dtype(cfg.dtype)
         is2d = mesh.is_2d
 
-        def nodes(axis_pts):
+        def local_band(axis_pts):
+            """band = band_factor * LOCAL cell size at each evaluation
+            point (reference band = 1.5 h for uniform h, :32); with the
+            body in a coarse region of a stretched mesh the global
+            minimum spacing would shrink the band below one cell and
+            degrade the graded ramp to a binary mask."""
             xs, ys, zs = axis_pts
-            return np.meshgrid(xs, ys, zs, indexing="ij")
+            hx = np.interp(xs, mesh.x.centers, np.asarray(mesh.x.d))
+            hy = np.interp(ys, mesh.y.centers, np.asarray(mesh.y.d))
+            H = np.maximum(hx[:, None, None], hy[None, :, None])
+            if not is2d:
+                hz = np.interp(zs, mesh.z.centers, np.asarray(mesh.z.d))
+                H = np.maximum(H, hz[None, None, :])
+            return band_factor * H
+
+        # scalar upper bound on the band (== the exact band on uniform
+        # meshes), kept for external consumers (tests, diagnostics)
+        self.band = float(band_factor * max(
+            np.asarray(mesh.x.d).max(), np.asarray(mesh.y.d).max(),
+            np.asarray(mesh.z.d).max() if not is2d else 0.0))
 
         def weights(axis_pts):
-            X, Y, Z = nodes(axis_pts)
+            xs, ys, zs = axis_pts
+            X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
             phi = self.body.phi(X, Y, Z if not is2d else np.zeros_like(X))
-            w = np.clip(np.abs(phi) / self.band, 0.0, 1.0)
+            band = local_band(axis_pts)
+            w = np.clip(np.abs(phi) / band, 0.0, 1.0)
             w = np.where(phi > 0.0, 1.0, w)
-            w = np.where(phi < -self.band, 0.0, w)
-            return jnp.asarray(w, dtype), phi
+            w = np.where(phi < -band, 0.0, w)
+            return jnp.asarray(w, dtype), phi, band
 
         xf = mesh.x.faces if cfg.bc_x != BCType.PERIODIC else mesh.x.faces[:-1]
         yf = mesh.y.faces if cfg.bc_y != BCType.PERIODIC else mesh.y.faces[:-1]
         zf = mesh.z.faces if cfg.bc_z != BCType.PERIODIC else mesh.z.faces[:-1]
         xc, yc, zc = mesh.x.centers, mesh.y.centers, mesh.z.centers
 
-        self.w_u, _ = weights((xf, yc, zc))
-        self.w_v, _ = weights((xc, yf, zc))
-        self.w_w, _ = weights((xc, yc, zf))
-        _, phi_c = weights((xc, yc, zc))
+        self.w_u, _, _ = weights((xf, yc, zc))
+        self.w_v, _, _ = weights((xc, yf, zc))
+        self.w_w, _, _ = weights((xc, yc, zf))
+        _, phi_c, band_c = weights((xc, yc, zc))
         # solid cell-center mask for Poisson RHS (reference mask_rhs_device)
-        self.fluid_cell = jnp.asarray(phi_c >= -self.band, dtype)
+        self.fluid_cell = jnp.asarray(phi_c >= -band_c, dtype)
         # strictly-fluid cells one stencil halo beyond the forcing band:
         # direct forcing re-introduces divergence at masked faces by design
         # (shared with the first fluid cells), so solenoidality diagnostics
@@ -71,16 +88,40 @@ class IBMForcing:
         if not is2d:
             local_h = np.maximum(local_h,
                                  np.asarray(mesh.z.d)[None, None, :])
-        self.fluid_interior = jnp.asarray(phi_c > self.band + local_h,
+        self.fluid_interior = jnp.asarray(phi_c > band_c + local_h,
                                           dtype)
-        self.n_solid = int(np.sum(phi_c < -self.band))
-        self.n_forcing = int(np.sum((phi_c <= 0.0) & (phi_c >= -self.band)))
-        # cell volume for force reduction
-        dV = (mesh.x.d[:, None, None] * mesh.y.d[None, :, None]
-              * (mesh.z.d[None, None, :] if not is2d else 1.0))
-        self._dV_u = jnp.asarray(np.broadcast_to(
-            np.mean(dV) * np.ones(1), (1,)), dtype)  # uniform-mesh dV scalar
-        self.dV = float(np.mean(dV))
+        self.n_solid = int(np.sum(phi_c < -band_c))
+        self.n_forcing = int(np.sum((phi_c <= 0.0) & (phi_c >= -band_c)))
+
+        # per-face control volumes for the force reduction (a single mean
+        # dV is wrong by the local-to-mean ratio on stretched meshes);
+        # stored as 1-D broadcast factors so the full product never
+        # materializes — XLA fuses it into the reduction
+        def face_d(ax, periodic):
+            d = np.asarray(ax.d)
+            if periodic:
+                return 0.5 * (d + np.roll(d, 1))
+            return np.concatenate([[0.5 * d[0]], 0.5 * (d[:-1] + d[1:]),
+                                   [0.5 * d[-1]]])
+
+        def factors(dx, dy, dz):
+            fz = (jnp.asarray(dz, dtype).reshape(1, 1, -1)
+                  if dz is not None else jnp.ones((1, 1, 1), dtype))
+            return (jnp.asarray(dx, dtype).reshape(-1, 1, 1),
+                    jnp.asarray(dy, dtype).reshape(1, -1, 1), fz)
+
+        dxc, dyc = np.asarray(mesh.x.d), np.asarray(mesh.y.d)
+        dzc = None if is2d else np.asarray(mesh.z.d)
+        self._dV_u = factors(face_d(mesh.x, cfg.bc_x == BCType.PERIODIC),
+                             dyc, dzc)
+        self._dV_v = factors(dxc, face_d(mesh.y, cfg.bc_y == BCType.PERIODIC),
+                             dzc)
+        self._dV_w = factors(dxc, dyc,
+                             None if is2d else
+                             face_d(mesh.z, cfg.bc_z == BCType.PERIODIC))
+        dV = (dxc[:, None, None] * dyc[None, :, None]
+              * (dzc[None, None, :] if not is2d else 1.0))
+        self.dV = float(np.mean(dV))   # legacy scalar (uniform meshes)
 
     # -- step hooks (pure, traced) ----------------------------------------
 
@@ -93,9 +134,12 @@ class IBMForcing:
         u, v, w = comps
         forces = None
         if accumulate and dt is not None:
-            fx = jnp.sum((1.0 - self.w_u) * u) / dt * self.dV
-            fy = jnp.sum((1.0 - self.w_v) * v) / dt * self.dV
-            fz = jnp.sum((1.0 - self.w_w) * w) / dt * self.dV
+            ux, uy, uz = self._dV_u
+            vx, vy, vz = self._dV_v
+            wx, wy, wz = self._dV_w
+            fx = jnp.sum((1.0 - self.w_u) * u * ux * uy * uz) / dt
+            fy = jnp.sum((1.0 - self.w_v) * v * vx * vy * vz) / dt
+            fz = jnp.sum((1.0 - self.w_w) * w * wx * wy * wz) / dt
             forces = (fx, fy, fz)
         return (u * self.w_u, v * self.w_v, w * self.w_w), forces
 

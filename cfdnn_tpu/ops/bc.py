@@ -62,6 +62,14 @@ def pad_center(f, axis: int, bc: BCType, value: float = 0.0,
     hi = _flip(sl(f, axis, -ng, None), axis)
     if bc == BCType.OUTFLOW or (bc in (BCType.WALL, BCType.INFLOW) and kind == "neumann"):
         return _cat([lo, f, hi], axis)
+    if bc == BCType.INFLOW:
+        # an INFLOW axis is an asymmetric inlet/outlet pair (config.py);
+        # a single Dirichlet value cannot express it — clamping BOTH ends
+        # to `value` would impose the inlet value at the outlet
+        raise NotImplementedError(
+            "pad_center(kind='dirichlet') on an INFLOW axis: the "
+            "inlet/outlet pair needs per-end values; use kind='neumann' "
+            "plus an explicit inlet-face overwrite")
     # Dirichlet value at the wall face
     return _cat([2.0 * value - lo, f, 2.0 * value - hi], axis)
 

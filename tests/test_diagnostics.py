@@ -246,3 +246,38 @@ def test_log_law_fit_marginal_window_at_180():
 
 def test_log_law_fit_mkm_table_exists():
     assert set(diag.MKM_CENTERLINE_U_PLUS) == {180.0, 395.0, 590.0}
+
+
+def test_energy_budget_with_turbulence_model():
+    """energy_budget with an active closure: nu_eff is a 3-D field, the
+    dissipation must be its volume-weighted contraction with S^2 (this
+    crashed with TypeError before: float() of a field)."""
+    from cfdnn_tpu.config import TurbulenceModel
+    cfg = Config(Nx=16, Ny=16, Nz=8, stretch_y=True,
+                 nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                 dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
+                 dtype="float64", turb_model=TurbulenceModel.SMAGORINSKY)
+    sim = Simulation(cfg)
+    state = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
+    state, _ = sim.step(state)
+    b = diag.energy_budget(sim, state)
+    for k in ("ke", "power_input", "dissipation", "balance_residual"):
+        assert np.isfinite(b[k]), (k, b)
+    assert b["dissipation"] > 0.0
+
+
+def test_momentum_closure_includes_modeled_stress():
+    """For a converged SST channel the load is carried by nu_t dU/dy;
+    the closure defect must account for it (omitting the modeled stress
+    reported an O(1) defect on a healthy RANS run)."""
+    from cfdnn_tpu.config import TurbulenceModel
+    cfg = Config(Nx=4, Ny=64, Nz=1, nu=1.0 / 180.0, nu_specified=True,
+                 dp_dx=-1.0, dp_dx_specified=True, dt=1e-3,
+                 adaptive_dt=True, CFL_max=0.5, dtype="float64",
+                 turb_model=TurbulenceModel.SST)
+    sim = Simulation(cfg)
+    state = sim.initialize(init_poiseuille(cfg, sim.mesh, fraction=0.05))
+    for _ in range(40):
+        state, _ = sim.run(state, 500)
+    defect = diag.momentum_balance_closure(sim, state)
+    assert defect < 0.10, defect
