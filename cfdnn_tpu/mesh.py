@@ -64,6 +64,21 @@ class Axis1D:
         dc[n] = faces[n] - centers[n - 1]
         return cls(n=n, faces=faces, centers=centers, d=d, dc=dc, uniform=uniform)
 
+    @classmethod
+    def from_faces(cls, faces: np.ndarray) -> "Axis1D":
+        """Axis from explicit (possibly stretched) face positions —
+        used by the multigrid hierarchy, whose coarse levels drop every
+        other face."""
+        n = len(faces) - 1
+        centers = 0.5 * (faces[:-1] + faces[1:])
+        d = np.diff(faces)
+        dc = np.empty(n + 1)
+        dc[1:n] = centers[1:] - centers[:-1]
+        dc[0] = centers[0] - faces[0]
+        dc[n] = faces[n] - centers[n - 1]
+        return cls(n=n, faces=faces, centers=centers, d=d, dc=dc,
+                   uniform=bool(n <= 1 or np.allclose(d, d[0])))
+
     @property
     def lo(self) -> float:
         return float(self.faces[0])

@@ -295,28 +295,6 @@ def _bdiff_stored(F: Array, axis: int, ax: AxisGeom) -> Array:
     return _stored_faces(g, axis, ax)
 
 
-def _conv_conservative(comps: Vel, s: int, geom: Geometry) -> Array:
-    """Divergence-form fluxes d(phi U_d)/dx_d at the phi points."""
-    phi = comps[s]
-    axs = geom.axes[s]
-    out = jnp.zeros_like(phi)
-    for d in range(3):
-        ax = geom.axes[d]
-        if ax.n == 1:
-            continue
-        if d == s:
-            phi_c = f2c_mean(phi, s, axs)
-            F = phi_c * phi_c
-            out = out + _bdiff_stored(F, s, axs)
-        else:
-            phi_e = c2f_mean(phi, d, ax, kind="vel")
-            U_e = c2f_mean(comps[d], s, axs, kind="vel")
-            F = phi_e * U_e
-            lo, hi = face_pair(F, d, ax.bc)
-            out = out + (hi - lo) * ax.inv_d
-    return out
-
-
 def _conv_skew(comps: Vel, s: int, geom: Geometry) -> Array:
     """Exactly energy-conserving skew form.
 

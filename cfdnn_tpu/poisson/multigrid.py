@@ -55,14 +55,7 @@ class _LevelAxis:
     def make(cls, faces: np.ndarray, bc: BCType,
              kinds=("neumann", "neumann")) -> "_LevelAxis":
         n = len(faces) - 1
-        ax = Axis1D.make(n, faces[0], faces[-1])
-        # overwrite with the true (possibly stretched) faces
-        ax = Axis1D(
-            n=n, faces=faces, centers=0.5 * (faces[:-1] + faces[1:]),
-            d=np.diff(faces), dc=np.empty(n + 1), uniform=False)
-        ax.dc[1:n] = ax.centers[1:] - ax.centers[:-1]
-        ax.dc[0] = ax.centers[0] - faces[0]
-        ax.dc[n] = faces[n] - ax.centers[n - 1]
+        ax = Axis1D.from_faces(faces)
         periodic = bc == BCType.PERIODIC
         aS, aP, aN = ax.laplacian_metrics(periodic, lo=kinds[0], hi=kinds[1])
         return cls(n=n, periodic=periodic, aS=aS, aP=aP, aN=aN,
@@ -103,7 +96,7 @@ def _bshape(a, axis):
 class MGPoissonSolver:
     """V-cycle multigrid; `solve(rhs)` is jit-traceable, fixed cycles."""
 
-    def __init__(self, mesh: Mesh, cfg: Config, geom=None, dtype=None,
+    def __init__(self, mesh: Mesh, cfg: Config, dtype=None,
                  coarse_max_cells: int = 1024):
         self.cfg = cfg
         self.dtype = jnp.dtype(dtype or cfg.poisson_dtype or cfg.dtype)
@@ -161,6 +154,17 @@ class MGPoissonSolver:
             if not go_on:
                 break
             faces = [faces[a][::2] if can[a] else faces[a] for a in range(3)]
+        nc_coarse = levels[-1].axes[0].n * levels[-1].axes[1].n \
+            * levels[-1].axes[2].n
+        if nc_coarse > 16 * coarse_max_cells:
+            # the coarse solve assembles a DENSE (nc, nc) inverse — on an
+            # uncoarsenable grid (odd axis sizes) that is the whole fine
+            # grid, which would silently try to allocate TBs
+            raise ValueError(
+                f"multigrid cannot coarsen this grid below {nc_coarse} "
+                f"cells (odd axis sizes prevent halving; the stretched "
+                f"line axis is never coarsened) — use even/power-of-two "
+                f"Nx/Ny/Nz or the FDM solver")
         self.levels = [self._attach_line_eig(lv) for lv in levels]
         levels = self.levels
 
@@ -431,10 +435,40 @@ class MGPoissonSolver:
             r = num / den
         return r
 
+    @staticmethod
+    def _prolong_weights(faces: np.ndarray, periodic: bool):
+        """Self-weights (w_lo, w_hi) for linear interpolation of the
+        coarse error to each child center from the actual CENTER
+        POSITIONS. On uniform axes this is exactly the classic 3/4
+        parent + 1/4 neighbor; on stretched coarsenable axes (e.g. a
+        stretched z when y already owns the line solves) fixed weights
+        would misplace the interpolant near the walls."""
+        fc = 0.5 * (faces[:-1] + faces[1:])          # fine centers
+        cf = faces[::2]
+        pc = 0.5 * (cf[:-1] + cf[1:])                # coarse centers
+        nc = len(pc)
+        lo_child, hi_child = fc[0::2], fc[1::2]
+        if periodic:
+            L = faces[-1] - faces[0]
+            pc_m = np.roll(pc, 1).copy()
+            pc_m[0] -= L
+            pc_p = np.roll(pc, -1).copy()
+            pc_p[-1] += L
+            w_lo = (lo_child - pc_m) / (pc - pc_m)
+            w_hi = (pc_p - hi_child) / (pc_p - pc)
+        else:
+            w_lo = np.ones(nc)
+            w_hi = np.ones(nc)
+            w_lo[1:] = (lo_child[1:] - pc[:-1]) / (pc[1:] - pc[:-1])
+            w_hi[:-1] = (pc[1:] - hi_child[:-1]) / (pc[1:] - pc[:-1])
+            # boundary children: Neumann extension == pure parent value
+        return w_lo, w_hi
+
     def _prolong(self, lv: _Level, e):
         """Linear cell-centered prolongation along coarsened axes
-        (reference prolongate :2156): children get 3/4 parent + 1/4
-        neighbor, Neumann-extended at walls, wrapped when periodic."""
+        (reference prolongate :2156), with position-exact weights
+        (uniform axes reduce to 3/4 parent + 1/4 neighbor); Neumann-
+        extended at walls, wrapped when periodic."""
         for a in range(3):
             if not lv.coarsened[a]:
                 continue
@@ -450,8 +484,12 @@ class MGPoissonSolver:
                 ep = jnp.concatenate(
                     [jax.lax.slice_in_dim(e, 1, e.shape[a], axis=a), last],
                     axis=a)
-            lo = 0.75 * e + 0.25 * em
-            hi = 0.75 * e + 0.25 * ep
+            w_lo, w_hi = self._prolong_weights(lv.axes[a].faces,
+                                               lv.axes[a].periodic)
+            w_lo = jnp.asarray(w_lo.reshape(_bshape(w_lo, a)), e.dtype)
+            w_hi = jnp.asarray(w_hi.reshape(_bshape(w_hi, a)), e.dtype)
+            lo = w_lo * e + (1.0 - w_lo) * em
+            hi = w_hi * e + (1.0 - w_hi) * ep
             # interleave children along axis a
             stacked = jnp.stack([lo, hi], axis=a + 1)
             shape = list(e.shape)

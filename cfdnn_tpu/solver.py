@@ -336,7 +336,7 @@ class Simulation:
                 "operator is O2; an O4 projection against it would not be "
                 "discretely consistent)")
         from .poisson.multigrid import MGPoissonSolver
-        return MGPoissonSolver(self.mesh, cfg, self.geom)
+        return MGPoissonSolver(self.mesh, cfg)
 
     def initial_state(self) -> State:
         return zero_state(self.cfg)

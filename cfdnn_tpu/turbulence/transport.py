@@ -20,10 +20,12 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import BCType
 from ..utils.numerics import safe_tanh
 from ..ops.bc import sl
+from ..ops.operators import _inv_dpos_c, ax_of
 from .base import (TurbulenceModelBase, cell_center_velocity,
                    k_omega_channel_estimate, strain_rotation, wall_distance)
 
@@ -99,12 +101,12 @@ def _neighbors(f, axis, ax, wall_value):
 
 
 def _axis_terms(f_m, f_p, f, axis, ax, vel_c):
-    """(upwind advection, diffusion-laplacian, central gradient) along axis.
+    """(upwind advection, central gradient) along axis.
 
     Same arithmetic as the reference's ghost-padded form (values f_{i-1},
     f_i, f_{i+1} with ghost-aware spacings from pos_c_pad), expressed on
-    same-extent neighbor arrays from _neighbors."""
-    from ..ops.operators import _inv_dpos_c, ax_of
+    same-extent neighbor arrays from _neighbors. Diffusion is handled by
+    the conservative _diffusion below."""
     pos = ax.pos_c_pad
     a = ax_of(pos)
     den_c = sl(pos, a, 2, None) - sl(pos, a, 0, -2)
@@ -115,22 +117,12 @@ def _axis_terms(f_m, f_p, f, axis, ax, vel_c):
     back = (f - f_m) / den_b
     fwd = (f_p - f) / den_f
     adv = vel_c * jnp.where(vel_c >= 0.0, back, fwd)
-    # laplacian: face gradients with ghost-aware spacing -> divergence
-    inv_dpos = _inv_dpos_c(ax)            # (..N+1..) face spacings
-    af = ax_of(inv_dpos)
-    g_lo = (f - f_m) * sl(inv_dpos, af, 0, -1)
-    g_hi = (f_p - f) * sl(inv_dpos, af, 1, None)
-    lap = (g_hi - g_lo) * ax.inv_d
-    return adv, lap, grad_c
+    return adv, grad_c
 
 
-def _transport_terms(f, geom, vel_cc, wall_value, skip_y_lap=False):
-    """Sum upwind advection / laplacian / central gradients over all axes.
-
-    skip_y_lap drops the y-diffusion contribution (handled implicitly by
-    implicit_scalar_y_diffusion under IMEX, forcing.py)."""
+def _transport_terms(f, geom, vel_cc, wall_value):
+    """Sum upwind advection / central gradients over all axes."""
     adv = jnp.zeros_like(f)
-    lap = jnp.zeros_like(f)
     grads = []
     for axis in range(3):
         ax = geom.axes[axis]
@@ -139,12 +131,34 @@ def _transport_terms(f, geom, vel_cc, wall_value, skip_y_lap=False):
             continue
         wv = wall_value if ax.bc == BCType.WALL else None
         f_m, f_p = _neighbors(f, axis, ax, wv)
-        a, l, g = _axis_terms(f_m, f_p, f, axis, ax, vel_cc[axis])
+        a, g = _axis_terms(f_m, f_p, f, axis, ax, vel_cc[axis])
         adv = adv + a
-        if not (skip_y_lap and axis == 1):
-            lap = lap + l
         grads.append(g)
-    return adv, lap, grads
+    return adv, grads
+
+
+def _diffusion(f, geom, nu_eff, wall_value, skip_y=False):
+    """Conservative variable-coefficient diffusion div(nu_eff grad f).
+
+    The nu_eff * lap(f) form drops the grad(nu_eff).grad(f) term, which
+    near a wall (nu_t rising steeply from 0) is the same order as the
+    retained one — and it disagreed with the IMEX y-solve, which already
+    uses face-averaged nu inside the divergence (forcing.py). Face nu is
+    the arithmetic neighbor mean, matching implicit_scalar_y_diffusion."""
+    out = jnp.zeros_like(f)
+    for axis in range(3):
+        ax = geom.axes[axis]
+        if ax.n <= 1 or (skip_y and axis == 1):
+            continue
+        wv = wall_value if ax.bc == BCType.WALL else None
+        f_m, f_p = _neighbors(f, axis, ax, wv)
+        n_m, n_p = _neighbors(nu_eff, axis, ax, None)   # mirror ghosts
+        inv_dpos = _inv_dpos_c(ax)
+        af = ax_of(inv_dpos)
+        g_lo = (f - f_m) * sl(inv_dpos, af, 0, -1) * 0.5 * (n_m + nu_eff)
+        g_hi = (f_p - f) * sl(inv_dpos, af, 1, None) * 0.5 * (nu_eff + n_p)
+        out = out + (g_hi - g_lo) * ax.inv_d
+    return out
 
 
 class SSTTransport(TurbulenceModelBase):
@@ -157,26 +171,37 @@ class SSTTransport(TurbulenceModelBase):
         self.c = constants
         self.nu = cfg.nu
         self.y_wall = wall_distance(mesh, cfg, geom.dtype)
-        # wall-adjacent distance y1 per wall for the omega wall value
-        self.has_wall = cfg.bc_y == BCType.WALL
+        # Wall handling: om_wall Dirichlet ghosts apply on EVERY walled
+        # axis (y and/or z — _neighbors keys on ax.bc, and y_wall is the
+        # min distance over all walls); the IMEX Thomas solve is
+        # y-specific, so it keys on the y wall alone.
+        self.has_y_wall = cfg.bc_y == BCType.WALL
+        self.has_wall = self.has_y_wall or (cfg.bc_z == BCType.WALL
+                                            and mesh.Nz > 1)
         # Menter near-wall treatment: inside the viscous sublayer, omega is
         # pinned to the analytic solution 6 nu / (beta1 y^2). A sequential
         # split of the stiff destruction (point-implicit) and the stiff
         # wall-diffusion (IMEX Thomas) otherwise lands on an unphysical
         # fixed point on strongly stretched grids.
         if self.has_wall:
-            u_tau_est = float(jnp.sqrt(abs(cfg.dp_dx) * 0.5 * cfg.Ly / cfg.rho)) \
-                if cfg.dp_dx != 0 else 1.0
-            y_plus = self.y_wall * u_tau_est / cfg.nu
-            first = jnp.zeros(mesh.Ny).at[0].set(1.0).at[-1].set(1.0)
-            self.om_pin_mask = jnp.logical_or(
-                y_plus < 3.0, first.reshape(1, -1, 1) > 0)
+            first = np.zeros((1, mesh.Ny, 1))
+            if self.has_y_wall:
+                first[:, 0, :] = first[:, -1, :] = 1.0
+            firstz = np.zeros((1, 1, mesh.Nz))
+            if cfg.bc_z == BCType.WALL and mesh.Nz > 1:
+                firstz[:, :, 0] = firstz[:, :, -1] = 1.0
+            pin = (first + firstz) > 0
+            if cfg.dp_dx != 0:
+                # y+ < 3 sublayer mask only when u_tau is known a priori
+                # from the imposed pressure gradient; a bulk-forced run
+                # has no u_tau estimate, so pin wall-adjacent cells only
+                u_tau_est = float(np.sqrt(abs(cfg.dp_dx) * 0.5 * cfg.Ly
+                                          / cfg.rho))
+                y_plus = np.asarray(self.y_wall) * u_tau_est / cfg.nu
+                pin = np.logical_or(y_plus < 3.0, pin)
+            self.om_pin_mask = jnp.asarray(pin)
             self.om_visc = 6.0 * cfg.nu / (constants.beta1
                                            * jnp.maximum(self.y_wall, 1e-12) ** 2)
-
-    def _omega_wall(self):
-        """omega_wall = 10 x 6 nu / (beta1 y1^2) (reference :576-585)."""
-        return None  # computed per axis below via wall distance field
 
     def initialize(self, state, sim):
         k, om = k_omega_channel_estimate(
@@ -208,11 +233,9 @@ class SSTTransport(TurbulenceModelBase):
                 10.0 * 6.0 * self.nu / (c.beta1 * y1 * y1), c.omega_max)
 
         imex = bool(getattr(sim.cfg, "implicit_y_diffusion", False)) \
-            and self.has_wall
-        adv_k, lap_k_unit, gk = _transport_terms(k, geom, vel_cc, 0.0,
-                                                 skip_y_lap=imex)
-        adv_om, lap_om_unit, gom = _transport_terms(om, geom, vel_cc, om_wall,
-                                                    skip_y_lap=imex)
+            and self.has_y_wall
+        adv_k, gk = _transport_terms(k, geom, vel_cc, 0.0)
+        adv_om, gom = _transport_terms(om, geom, vel_cc, om_wall)
 
         # cross-diffusion and F1 (reference :111-123)
         gkgo = sum(a * b for a, b in zip(gk, gom))
@@ -231,13 +254,20 @@ class SSTTransport(TurbulenceModelBase):
         nu_k = self.nu + sigma_k * nu_t
         nu_om = self.nu + sigma_om * nu_t
 
-        # limited production (reference :136-138)
-        P_k = jnp.minimum(2.0 * nu_t * S2, 10.0 * c.beta_star * k * om)
+        # limited production, standard Menter form P_k = nu_t S^2 with
+        # S^2 = 2 S_ij S_ij (= S_mag^2 here). DELIBERATE deviation from
+        # the reference, which doubles it (P_k = 2 nu_t S2 with S2 already
+        # = 2 SijSij, turbulence_transport.cpp:103,136) — a 2x
+        # overproduction of k under pure shear.
+        P_k = jnp.minimum(nu_t * S2, 10.0 * c.beta_star * k * om)
         CD = jnp.maximum(2.0 * (1.0 - F1) * c.sigma_omega2 / om * gkgo, 0.0)
 
-        # point-implicit destruction (reference :168-186)
-        src_k = P_k + nu_k * lap_k_unit - adv_k
-        src_om = alpha * (om / k) * P_k + nu_om * lap_om_unit - adv_om + CD
+        # point-implicit destruction (reference :168-186); conservative
+        # div(nu grad .) diffusion (see _diffusion)
+        diff_k = _diffusion(k, geom, nu_k, 0.0, skip_y=imex)
+        diff_om = _diffusion(om, geom, nu_om, om_wall, skip_y=imex)
+        src_k = P_k + diff_k - adv_k
+        src_om = alpha * (om / k) * P_k + diff_om - adv_om + CD
         k_new = (k + dt * src_k) / (1.0 + dt * c.beta_star * om)
         om_new = (om + dt * src_om) / (1.0 + dt * beta * om)
         if imex:
@@ -279,7 +309,9 @@ class KOmegaTransport(TurbulenceModelBase):
         self.c = constants
         self.nu = cfg.nu
         self.y_wall = wall_distance(mesh, cfg, geom.dtype)
-        self.has_wall = cfg.bc_y == BCType.WALL
+        self.has_y_wall = cfg.bc_y == BCType.WALL
+        self.has_wall = self.has_y_wall or (cfg.bc_z == BCType.WALL
+                                            and mesh.Nz > 1)
 
     def initialize(self, state, sim):
         k, om = k_omega_channel_estimate(
@@ -307,18 +339,20 @@ class KOmegaTransport(TurbulenceModelBase):
                 10.0 * 6.0 * self.nu / (c.beta * y1 * y1), c.omega_max)
 
         imex = bool(getattr(sim.cfg, "implicit_y_diffusion", False)) \
-            and self.has_wall
-        adv_k, lap_k, _ = _transport_terms(k, geom, vel_cc, 0.0,
-                                           skip_y_lap=imex)
-        adv_om, lap_om, _ = _transport_terms(om, geom, vel_cc, om_wall,
-                                             skip_y_lap=imex)
+            and self.has_y_wall
+        adv_k, _ = _transport_terms(k, geom, vel_cc, 0.0)
+        adv_om, _ = _transport_terms(om, geom, vel_cc, om_wall)
 
         nu_k = self.nu + c.sigma_k * nu_t
         nu_om = self.nu + c.sigma_omega * nu_t
-        P_k = jnp.minimum(2.0 * nu_t * S2, 10.0 * c.beta_star * k * om)
+        # standard Wilcox production (see the SST note: the reference
+        # doubles it, turbulence_transport.cpp:1082,1085)
+        P_k = jnp.minimum(nu_t * S2, 10.0 * c.beta_star * k * om)
 
-        src_k = P_k + nu_k * lap_k - adv_k
-        src_om = c.alpha * (om / k) * P_k + nu_om * lap_om - adv_om
+        diff_k = _diffusion(k, geom, nu_k, 0.0, skip_y=imex)
+        diff_om = _diffusion(om, geom, nu_om, om_wall, skip_y=imex)
+        src_k = P_k + diff_k - adv_k
+        src_om = c.alpha * (om / k) * P_k + diff_om - adv_om
         k_new = (k + dt * src_k) / (1.0 + dt * c.beta_star * om)
         om_new = (om + dt * src_om) / (1.0 + dt * c.beta * om)
         if imex:

@@ -51,8 +51,9 @@ def test_sst_channel_mkm(record_qoi):
 def test_sst_channel_mkm395(record_qoi):
     """Second MKM point, Re_tau = 395: the SST channel must recover the
     friction Reynolds number from the fixed dp/dx momentum balance and
-    the MKM bulk velocity U+ = 17.54 (calibrated: settles at Re_tau 392.7
-    / U+ 17.78 after 120k steps, ~30 s on CPU)."""
+    the MKM bulk velocity U+ = 17.54 (calibrated: settles at Re_tau 393.3
+    / U+ 18.14 after 120k steps, ~30 s on CPU, with the standard Menter
+    production P_k = nu_t S^2 — the reference doubles it)."""
     cfg = Config(Nx=4, Ny=128, Nz=1,
                  nu=1.0 / 395.0, nu_specified=True,
                  dp_dx=-1.0, dp_dx_specified=True,
