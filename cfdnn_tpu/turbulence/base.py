@@ -187,5 +187,8 @@ def filter_width(geom) -> Array:
     x, y, z = geom.axes
     dy = y.d  # (1,Ny,1)
     if z.n > 1:
-        return (x.h * dy * z.h) ** (1.0 / 3.0)
+        # per-cell dz when z is stretched (ducts): the scalar z.h is the
+        # FINEST wall spacing and would underestimate Delta in the core
+        dz = z.h if z.uniform else z.d
+        return (x.h * dy * dz) ** (1.0 / 3.0)
     return jnp.sqrt(x.h * dy)

@@ -88,7 +88,11 @@ class EARSMBase(SSTTransport):
         Sxx, Sxy, Syy = sr.S[0][0], sr.S[0][1], sr.S[1][1]
         Oxy = sr.O12
         S_mag = jnp.sqrt(2.0 * (Sxx**2 + Syy**2 + 2.0 * Sxy**2))
-        O_mag = jnp.sqrt(2.0 * Oxy**2)
+        # |Omega| = sqrt(2 O_ij O_ij) = 2|Oxy| in-plane — the same
+        # normalization as S_mag and base.strain_rotation (a sqrt(2)|Oxy|
+        # variant underestimated zeta, skewing the models toward the
+        # irrotational limit; in pure shear eta == zeta must hold)
+        O_mag = 2.0 * jnp.abs(Oxy)
 
         # turbulence time scale tau = k/eps = 1/(C_mu omega) (:269-271)
         tau = 1.0 / (self.C_MU * om)
@@ -121,9 +125,12 @@ class EARSMBase(SSTTransport):
         b_xy = G1 * Ss_xy + G2 * comm_xy + G3 * S2_xy
         b_yy = G1 * Ss_yy + G2 * comm_yy + G3 * S2_yy
 
-        tau_xx = -2.0 * k * b_xx
-        tau_xy = -2.0 * k * b_xy
-        tau_yy = -2.0 * k * b_yy
+        # codebase stress protocol tau_ij = 2 k (b_ij + delta_ij/3) —
+        # the same convention as the TBNN path
+        # (features.anisotropy_to_stress), so consumers comparing
+        # <u'v'> profiles read both model families identically
+        from .features import anisotropy_to_stress
+        tau_xx, tau_xy, tau_yy = anisotropy_to_stress(b_xx, b_xy, b_yy, k)
 
         # equivalent nu_t from tau_xy = -2 nu_t S_xy (:786-797)
         b_mag = jnp.sqrt(b_xx**2 + 2.0 * b_xy**2 + b_yy**2)
@@ -143,7 +150,19 @@ class EARSMBase(SSTTransport):
 
 
 class WallinJohanssonEARSM(EARSMBase):
-    """WJ 2000 with the 2-D closed-form N (reference solve_for_N :349-380)."""
+    """WJ 2000 with the exact 2-D closed-form N.
+
+    DELIBERATE deviation from the reference's simplified
+    N = -A1/(1 + A3 II_S + A4 II_O) (solve_for_N :349-380): that form
+    is ill-posed — at weak strain N -> -A1, the beta1 denominator
+    A1 + N -> 0, and G1 blows up POSITIVE to the clip (62 before
+    clipping at zero invariants), so nu_t behaves inversely to the
+    strain. Here the genuine Wallin-Johansson (JFM 2000) 2-D solution
+    of the cubic N^3 - c1' N^2 - (2.7 II_S + 2 II_O) N + 2 c1' II_O = 0
+    is used, which is well-posed for all invariants (N >= c1'/3 > 0,
+    Q = N^2 - 2 II_O >= N^2 > 0). Log-layer check: at P/eps = 1 pure
+    shear this gives b_xy ~= -0.147 (WJ a_12 ~= -0.3) and an
+    equivalent C_mu ~= 0.089."""
 
     name = "EARSM-WJ"
 
@@ -152,18 +171,28 @@ class WallinJohanssonEARSM(EARSMBase):
         self.wj = wj
 
     def _G(self, eta, zeta):
-        A1, A2, A3 = self.wj.A1, self.wj.A2, self.wj.A3
-        A4 = self.wj.A4
-        II_S = eta * eta
-        II_O = zeta * zeta   # |tr(Omega^2)|
-        denom = 1.0 + A3 * II_S + A4 * II_O
-        denom = jnp.sign(denom) * jnp.maximum(jnp.abs(denom), 0.1)
-        N = jnp.clip(-A1 / denom, -10.0, 10.0)
-        d2 = A1 + N
-        d2 = jnp.sign(d2) * jnp.maximum(jnp.abs(d2), 0.01)
-        G1 = -N / d2
-        G2 = jnp.where(II_O > 1e-10, A2 * N * N / (d2 * d2), 0.0)
-        G3 = jnp.where(II_S > 1e-10, A3 * N / d2, 0.0)
+        # exact 2-D invariants: II_S = tr(S*^2) = eta^2/2 under the
+        # S_mag = sqrt(2 S_ij S_ij) normalization; II_O = tr(O*^2) <= 0
+        II_S = 0.5 * eta * eta
+        II_O = -0.5 * zeta * zeta
+        c1p = 9.0 / 4.0 * (self.wj.C1 - 1.0)
+        P1 = (c1p**2 / 27.0 + 0.45 * II_S - (2.0 / 3.0) * II_O) * c1p
+        P2 = P1**2 - (c1p**2 / 9.0 + 0.9 * II_S + (2.0 / 3.0) * II_O) ** 3
+        sqrtP2 = jnp.sqrt(jnp.maximum(P2, 0.0))
+        t1 = jnp.cbrt(P1 + sqrtP2)
+        arg = P1 - sqrtP2
+        t2 = jnp.sign(arg) * jnp.cbrt(jnp.abs(arg))
+        N_pos = c1p / 3.0 + t1 + t2
+        # P2 < 0: strongly rotational branch (trigonometric root)
+        base = jnp.maximum(P1**2 - P2, 1e-30)
+        theta = jnp.arctan2(jnp.sqrt(jnp.maximum(-P2, 0.0)), P1)
+        N_neg = c1p / 3.0 + 2.0 * base ** (1.0 / 6.0) * jnp.cos(theta / 3.0)
+        N = jnp.where(P2 >= 0.0, N_pos, N_neg)
+        Q = jnp.maximum(N * N - 2.0 * II_O, 1e-10)
+        # b-convention (b = a/2): G = beta_WJ / 2 = -(3/5) {N, 1} / Q
+        G1 = -0.6 * N / Q
+        G2 = -0.6 / Q
+        G3 = jnp.zeros_like(G1)   # the S^2 term vanishes in exact 2-D WJ
         return G1, G2, G3
 
 

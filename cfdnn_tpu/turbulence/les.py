@@ -162,7 +162,11 @@ def _sym3_eigvals(m11, m22, m33, m12, m13, m23):
     d11, d22, d33 = m11 - q, m22 - q, m33 - q
     p2 = (d11 * d11 + d22 * d22 + d33 * d33
           + 2.0 * (m12 * m12 + m13 * m13 + m23 * m23))
-    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-60))
+    # dtype-aware floor: a literal 1e-60 underflows to 0 in float32 (the
+    # default dtype), making ip = inf and the eigenvalues NaN for cells
+    # with exactly zero gradient (quiescent IC, symmetry planes)
+    tiny = jnp.asarray(jnp.finfo(jnp.result_type(p2)).tiny * 1e6, p2.dtype)
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, tiny))
     # det(B) with B = (M - qI)/p
     ip = 1.0 / p
     b11, b22, b33 = d11 * ip, d22 * ip, d33 * ip

@@ -98,6 +98,13 @@ class MLP:
                 acts = [str(a).lower() for a in listed]
                 if len(acts) < len(Ws):
                     acts = acts + ["linear"] * (len(Ws) - len(acts))
+                elif len(acts) > len(Ws):
+                    # a silent zip-truncation would hand the OUTPUT layer
+                    # the preceding hidden activation (e.g. an export
+                    # listing an input-layer placeholder)
+                    raise ValueError(
+                        f"metadata lists {len(acts)} activations for "
+                        f"{len(Ws)} layers under {directory}")
         means = stds = None
         mpath = os.path.join(directory, "input_means.txt")
         spath = os.path.join(directory, "input_stds.txt")
@@ -135,8 +142,8 @@ class MLP:
                        np.asarray(self.means), fmt="%.16e")
             np.savetxt(os.path.join(directory, "input_stds.txt"),
                        np.asarray(self.stds), fmt="%.16e")
-        meta = metadata or {}
-        meta.setdefault("architecture", {})
+        meta = dict(metadata or {})   # never mutate the caller's dict
+        meta["architecture"] = dict(meta.get("architecture") or {})
         meta["architecture"]["layers"] = (
             [self.input_dim] + [int(W.shape[0]) for W in self.Ws])
         meta["architecture"]["activations"] = self.activations

@@ -198,3 +198,39 @@ def test_closure_stable_duct(model, tmp_path):
     if nut is not None:
         assert np.all(np.isfinite(np.asarray(nut)))
         assert np.all(np.asarray(nut) >= 0.0)
+
+
+def test_wj_log_layer_constants():
+    """The exact WJ 2000 2-D closed form must reproduce the published
+    log-layer equilibrium: at P/eps = 1 pure shear (tau dU/dy = 1/0.3),
+    b_xy ~= -0.147 (WJ a_12 ~= -0.30) and equivalent C_mu ~= 0.089.
+    The reference's simplified N = -A1/denom is ill-posed (G1 -> +10
+    clip at weak strain) and is deliberately not reproduced."""
+    import jax.numpy as jnp
+    from cfdnn_tpu.turbulence.earsm import WallinJohanssonEARSM
+    sim = Simulation(_channel_cfg(turb_model=TurbulenceModel.EARSM_WJ))
+    wj = sim.turb
+    assert isinstance(wj, WallinJohanssonEARSM)
+    Ss = 0.5 / 0.3          # tau * S_xy at P/eps = 1
+    G1, G2, G3 = wj._G(jnp.asarray(2.0 * Ss), jnp.asarray(2.0 * Ss))
+    b_xy = float(G1) * Ss
+    assert abs(b_xy - (-0.147)) < 0.01, b_xy
+    # nu_t = -k b_xy / S_xy = (-b_xy / S*_xy) k tau => C_mu_eff = -b_xy/S*
+    C_mu_eff = -b_xy / Ss
+    assert abs(C_mu_eff - 0.089) < 0.01, C_mu_eff
+    # well-posed at zero invariants (old form blew up to the +10 clip)
+    G1z, G2z, _ = wj._G(jnp.asarray(0.0), jnp.asarray(0.0))
+    assert -0.5 < float(G1z) < 0.0
+    assert np.isfinite(float(G2z))
+
+
+def test_sigma_zero_gradient_no_nan_f32():
+    """Sigma model on a quiescent float32 field: the eigenvalue floor
+    must not underflow (a 1e-60 literal is 0 in f32 -> NaN nu_sgs)."""
+    from cfdnn_tpu import zero_state
+    cfg = _channel_cfg(turb_model=TurbulenceModel.SIGMA, dtype="float32")
+    sim = Simulation(cfg)
+    state = sim.initialize(zero_state(cfg))
+    nut = np.asarray(sim.turb.nu_t(state, sim))
+    assert np.all(np.isfinite(nut))
+    assert np.allclose(nut, 0.0)
