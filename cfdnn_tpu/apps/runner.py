@@ -37,7 +37,7 @@ def run_case(name: str, cfg: Config, argv=None,
         from ..io.checkpoint import latest_checkpoint, load_checkpoint
         d = latest_checkpoint(cfg.checkpoint_dir)
         if d is not None:
-            state = load_checkpoint(d, cfg)
+            state = load_checkpoint(d, cfg, sim=sim)  # re-applies sharding
             if cfg.verbose:
                 print(f"[{name}] resumed from {d} "
                       f"(step {int(state.step)}, t={float(state.t):.4f})")
@@ -52,19 +52,26 @@ def run_case(name: str, cfg: Config, argv=None,
     t0 = time.perf_counter()
     step0 = int(state.step)       # nonzero after --resume
     last_ck = [step0]
+    last_out = [0]
+    last_snap = [0]
 
     def console(it, st, d):
         gstep = step0 + it        # global step: resume-safe file numbering
-        if cfg.verbose and it % cfg.output_freq == 0:
+        # ">= interval since last" rather than modulo EVERYWHERE: steady
+        # mode invokes this callback only every diag_interval steps, so a
+        # modulo test whose period is not a multiple of diag_interval
+        # could alias and never fire
+        if cfg.verbose and it - last_out[0] >= cfg.output_freq:
+            last_out[0] = it
             print(f"  step {it:7d}  t={float(st.t):.4f} "
                   f"dt={float(d.dt):.2e} res={float(d.residual):.3e} "
                   f"div={float(d.div_linf):.3e} ke={float(d.ke):.6f}")
-        if snap_every and it % snap_every == 0 and cfg.write_fields:
+        if (snap_every and cfg.write_fields
+                and it - last_snap[0] >= snap_every):
+            last_snap[0] = it
             write_vtk(os.path.join(cfg.output_dir,
                                    f"{name}_{gstep:07d}.vtk"),
                       st, sim.mesh, sim.geom, cfg)
-        # ">= interval since last save" (not modulo): steady mode invokes
-        # the callback only every diag_interval steps
         if (cfg.checkpoint_dir and cfg.checkpoint_interval
                 and gstep - last_ck[0] >= cfg.checkpoint_interval):
             from ..io.checkpoint import save_checkpoint

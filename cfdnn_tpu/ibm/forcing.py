@@ -35,25 +35,27 @@ class IBMForcing:
         is2d = mesh.is_2d
 
         def local_band(axis_pts):
-            """band = band_factor * LOCAL cell size at each evaluation
-            point (reference band = 1.5 h for uniform h, :32); with the
-            body in a coarse region of a stretched mesh the global
-            minimum spacing would shrink the band below one cell and
-            degrade the graded ramp to a binary mask."""
+            """band = band_factor * LOCAL min cell spacing at each
+            evaluation point (reference: band = 1.5 min(dx,dy,dz) of the
+            uniform spacings, ibm_forcing.cpp:30-32 — identical on
+            uniform meshes); with the body in a coarse region of a
+            stretched mesh the GLOBAL minimum spacing would shrink the
+            band below one local cell and degrade the graded ramp to a
+            binary mask."""
             xs, ys, zs = axis_pts
             hx = np.interp(xs, mesh.x.centers, np.asarray(mesh.x.d))
             hy = np.interp(ys, mesh.y.centers, np.asarray(mesh.y.d))
-            H = np.maximum(hx[:, None, None], hy[None, :, None])
+            H = np.minimum(hx[:, None, None], hy[None, :, None])
             if not is2d:
                 hz = np.interp(zs, mesh.z.centers, np.asarray(mesh.z.d))
-                H = np.maximum(H, hz[None, None, :])
+                H = np.minimum(H, hz[None, None, :])
             return band_factor * H
 
         # scalar upper bound on the band (== the exact band on uniform
         # meshes), kept for external consumers (tests, diagnostics)
-        self.band = float(band_factor * max(
+        self.band = float(band_factor * min(
             np.asarray(mesh.x.d).max(), np.asarray(mesh.y.d).max(),
-            np.asarray(mesh.z.d).max() if not is2d else 0.0))
+            np.asarray(mesh.z.d).max() if not is2d else np.inf))
 
         def weights(axis_pts):
             xs, ys, zs = axis_pts

@@ -49,15 +49,19 @@ def save_checkpoint(path: str, state: State, cfg: Config,
     arrays = _state_to_numpy(state)
     try:
         import orbax.checkpoint as ocp
+    except ImportError:
+        # only a MISSING orbax selects the npz fallback; a real orbax
+        # write failure (disk quota, permissions) must propagate, not
+        # silently switch format mid-run
+        np.savez(os.path.join(tmp, "state.npz"), **arrays)
+    else:
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(os.path.join(os.path.abspath(tmp), "state"), arrays,
                    force=True)
-    except Exception:
-        np.savez(os.path.join(tmp, "state.npz"), **arrays)
     cfg_dict = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}
-    cfg_json = {k: (v.value if hasattr(v, "value") else v)
-                for k, v in cfg_dict.items()
-                if not isinstance(v, tuple)}
+    cfg_json = {k: (v.value if hasattr(v, "value") else
+                    list(v) if isinstance(v, tuple) else v)
+                for k, v in cfg_dict.items()}
     with open(os.path.join(tmp, "config.json"), "w") as fh:
         json.dump(cfg_json, fh, indent=1, default=str)
     if os.path.isdir(d):
@@ -78,8 +82,12 @@ def latest_checkpoint(path: str) -> Optional[str]:
     return os.path.join(path, cks[-1]) if cks else None
 
 
-def load_checkpoint(d: str, cfg: Config) -> State:
-    """Restore a State; missing optional fields stay None."""
+def load_checkpoint(d: str, cfg: Config, sim=None) -> State:
+    """Restore a State; missing optional fields stay None.
+
+    Pass `sim` to re-apply the run's sharding: arrays load onto the
+    default device otherwise, so a multi-chip resume would OOM on
+    fields that only fit sharded (and would recompile unsharded)."""
     from ..fields import zero_state
     proto = zero_state(cfg)
     npz = os.path.join(d, "state.npz")
@@ -96,4 +104,8 @@ def load_checkpoint(d: str, cfg: Config) -> State:
             ref = getattr(proto, f.name)
             dt = ref.dtype if ref is not None else None
             kw[f.name] = jnp.asarray(data[f.name], dt)
-    return proto.replace(**kw)
+    state = proto.replace(**kw)
+    if sim is not None and getattr(sim, "device_mesh", None) is not None:
+        from ..parallel.sharding import shard_state
+        state = shard_state(state, sim.device_mesh, sim._mesh_axes)
+    return state

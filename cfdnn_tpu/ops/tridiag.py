@@ -21,11 +21,22 @@ def thomas(lower, diag, upper, rhs, axis: int):
     solve axis are ignored (standard convention).
     """
     n = rhs.shape[axis]
-    full = jnp.broadcast_to
     r = jnp.moveaxis(rhs, axis, 0)
-    l_ = jnp.moveaxis(full(lower, rhs.shape), axis, 0)
-    d_ = jnp.moveaxis(full(diag, rhs.shape), axis, 0)
-    u_ = jnp.moveaxis(full(upper, rhs.shape), axis, 0)
+
+    def prep(c):
+        # broadcast only along the SCAN axis; batch dims stay size-1 and
+        # broadcast inside the scan arithmetic (materializing three full
+        # 3-D coefficient arrays would ~4x the memory traffic of the
+        # implicit-y solve for the common (1,Ny,1) coefficients)
+        c = jnp.asarray(c)
+        if c.ndim != rhs.ndim:
+            c = jnp.broadcast_to(c, rhs.shape)
+        c = jnp.moveaxis(c, axis, 0)
+        if c.shape[0] != n:
+            c = jnp.broadcast_to(c, (n,) + c.shape[1:])
+        return c
+
+    l_, d_, u_ = prep(lower), prep(diag), prep(upper)
 
     def fwd(carry, inp):
         cp_prev, dp_prev = carry

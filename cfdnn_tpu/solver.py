@@ -406,7 +406,7 @@ class Simulation:
         rw = -conv[2] + diff[2]
         return ru, rv, rw
 
-    def _project(self, comps, dt, forces=None, inlet=None, div=None):
+    def _project(self, comps, dt, forces=None, div=None):
         """Divergence -> Poisson -> correction (reference solver.cpp
         1914-2456; solver_time.cpp:736 project_velocity). With IBM: RHS
         solid-cell masking before the solve and re-forcing of the corrected
@@ -611,36 +611,46 @@ class Simulation:
             star, dstar = self._euler_substep(comps, nu_t, dt, forces, t,
                                               inlet, want_div=True)
             self._nan_sentinel("euler:star", star, dt)
-            out, pc = self._project(star, dt, forces, inlet, div=dstar)
+            out, pc = self._project(star, dt, forces, div=dstar)
             self._nan_sentinel("euler:proj", out, dt)
-            return out, p + pc
+            # Non-incremental (pressure-free) predictor: the projection
+            # correction IS the pressure (Chorin), so REPLACE, never
+            # accumulate. The reference does p += p' on the same
+            # pressure-free predictor (solver.cpp:2453), which makes its
+            # stored p grow ~ n_steps * p_phys; measured here on 2-D TGV:
+            # 200 steps -> 200x the analytic pressure before this fix.
+            return out, pc
         if ti == TimeIntegrator.RK2:
             s1, d1 = self._euler_substep(comps, nu_t, dt, forces, t,
                                          inlet, want_div=True)
-            s1, pc1 = self._project(s1, dt, forces, inlet, div=d1)
+            s1, pc1 = self._project(s1, dt, forces, div=d1)
             self._nan_sentinel("rk2:s1", s1, dt)
-            s2 = self._euler_substep(s1, nu_t, dt, forces, t, inlet)
+            s2 = self._euler_substep(s1, nu_t, dt, forces, t + dt, inlet)
             s2 = blend(comps, 0.5, s2, 0.5)
             s2 = self._apply_bc(s2)
-            s2, pc2 = self._project(s2, dt, forces, inlet)
+            s2, pc2 = self._project(s2, dt, forces)
             self._nan_sentinel("rk2:s2", s2, dt)
-            return s2, p + pc1 + pc2
+            # stage-2 state is blended 1/2:1/2, so its divergence (and
+            # hence pc2) carries 1/2 of the full-step pressure
+            return s2, 2.0 * pc2
         # SSP-RK3 (reference solver_time.cpp:1303)
         s1, d1 = self._euler_substep(comps, nu_t, dt, forces, t, inlet,
                                      want_div=True)
-        s1, pc1 = self._project(s1, dt, forces, inlet, div=d1)
+        s1, pc1 = self._project(s1, dt, forces, div=d1)
         self._nan_sentinel("rk3:s1", s1, dt)
-        s2 = self._euler_substep(s1, nu_t, dt, forces, t, inlet)
+        s2 = self._euler_substep(s1, nu_t, dt, forces, t + dt, inlet)
         s2 = blend(comps, 0.75, s2, 0.25)
         s2 = self._apply_bc(s2)
-        s2, pc2 = self._project(s2, dt, forces, inlet)
+        s2, pc2 = self._project(s2, dt, forces)
         self._nan_sentinel("rk3:s2", s2, dt)
-        s3 = self._euler_substep(s2, nu_t, dt, forces, t, inlet)
+        s3 = self._euler_substep(s2, nu_t, dt, forces, t + 0.5 * dt, inlet)
         s3 = blend(comps, 1.0 / 3.0, s3, 2.0 / 3.0)
         s3 = self._apply_bc(s3)
-        s3, pc3 = self._project(s3, dt, forces, inlet)
+        s3, pc3 = self._project(s3, dt, forces)
         self._nan_sentinel("rk3:s3", s3, dt)
-        return s3, p + pc1 + pc2 + pc3
+        # stage-3 blend is 1/3:2/3 -> pc3 = (2/3) p; rescale (Euler-family
+        # pressure accuracy O(dt), standard for per-stage projection)
+        return s3, 1.5 * pc3
 
     def _adaptive_dt(self, comps, nu_t):
         """Directional-CFL + diffusion-limit dt (reference solver.cpp:3369)."""
@@ -708,7 +718,10 @@ class Simulation:
                 # direct forcing re-introduces divergence at body cells by
                 # design; report solenoidality of the fluid region
                 div = div * self.ibm.fluid_interior
-            res = jnp.max(jnp.abs(new_comps[0] - comps[0]))
+            res = jnp.maximum(
+                jnp.max(jnp.abs(new_comps[0] - comps[0])),
+                jnp.maximum(jnp.max(jnp.abs(new_comps[1] - comps[1])),
+                            jnp.max(jnp.abs(new_comps[2] - comps[2]))))
             ke = 0.5 * (jnp.mean(new_comps[0] ** 2)
                         + jnp.mean(new_comps[1] ** 2)
                         + jnp.mean(new_comps[2] ** 2))
@@ -831,8 +844,13 @@ class Simulation:
                                     snapshot_every: int = 0, **kw):
         """solve_steady + periodic snapshot hook (reference
         solve_steady_with_snapshots, src/solver.cpp:2861)."""
+        last = [0]
+
         def cb(it, st, d):
-            if snapshot_every and it % snapshot_every == 0 and snapshot_cb:
+            # ">= interval" (not modulo): solve_steady only invokes the
+            # callback every diag_interval steps, so modulo could alias
+            if snapshot_every and snapshot_cb and it - last[0] >= snapshot_every:
+                last[0] = it
                 snapshot_cb(it, st, d)
         return self.solve_steady(state, callback=cb, **kw)
 

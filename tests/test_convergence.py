@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from cfdnn_tpu import BCType, Config, Simulation, init_poiseuille, poiseuille_exact
+from cfdnn_tpu.config import TimeIntegrator
 from cfdnn_tpu.mesh import Mesh
 from cfdnn_tpu.ops import operators as ops
 from cfdnn_tpu.ops.grid import Geometry
@@ -218,3 +219,37 @@ def test_duct_laminar_bulk_vs_series(record_qoi):
     rel = abs(u_bulk - u_exact) / u_exact
     record_qoi("duct_bulk_rel_err_steady", rel)
     assert rel < 5e-3, (u_bulk, u_exact, rel)
+
+
+@pytest.mark.parametrize("ti", [TimeIntegrator.EULER, TimeIntegrator.RK2,
+                                TimeIntegrator.RK3])
+def test_tgv_pressure_matches_analytic(ti):
+    """The STORED pressure must be the physical pressure (2-D TGV:
+    p = -1/4 (cos 2x + cos 2y) e^{-4 nu t}). The pressure-free predictor
+    means the projection correction IS the pressure — accumulating it
+    (as the reference's p += p' does, solver.cpp:2453) grew state.p by
+    ~p_phys every step (measured 200x after 200 steps)."""
+    import jax.numpy as jnp
+    from cfdnn_tpu import zero_state
+    cfg = Config(Nx=64, Ny=64, Nz=1, x_max=2 * np.pi, y_min=0.0,
+                 y_max=2 * np.pi, bc_x=BCType.PERIODIC, bc_y=BCType.PERIODIC,
+                 nu=0.01, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
+                 dt=2e-3, adaptive_dt=False, dtype="float64",
+                 time_integrator=ti)
+    sim = Simulation(cfg)
+    st = zero_state(cfg)
+    Xf = sim.mesh.x.faces[:-1][:, None]
+    Yc = sim.mesh.y.centers[None, :]
+    Xc = sim.mesh.x.centers[:, None]
+    Yf = sim.mesh.y.faces[:-1][None, :]
+    st = st.replace(u=jnp.asarray((np.cos(Xf) * np.sin(Yc))[..., None]),
+                    v=jnp.asarray((-np.sin(Xc) * np.cos(Yf))[..., None]))
+    for _ in range(200):
+        st, _ = sim.step(st)
+    t = float(st.t)
+    pe = -0.25 * (np.cos(2 * Xc) + np.cos(2 * Yc)) * np.exp(-4 * cfg.nu * t)
+    pp = np.array(st.p)[:, :, 0]
+    pp = pp - pp.mean()
+    pe = pe - pe.mean()
+    err = np.linalg.norm(pp - pe) / np.linalg.norm(pe)
+    assert err < 0.01, err
