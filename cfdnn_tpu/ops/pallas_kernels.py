@@ -319,6 +319,11 @@ def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
                        heavy=True)
     if bx < ng:
         bx = ng   # ng=2 requires bx >= 2 (and even Nx)
+    if Nx % bx:
+        raise ValueError(
+            f"slab predictor cannot tile Nx={Nx} into bx={bx} blocks "
+            f"(odd Nx with O4?) — the last {Nx % bx} planes would never "
+            f"be written; use an even Nx or use_pallas='off'")
     G = Nx // bx
     thin = (bx % ng == 0 and Nx % ng == 0)
     slab_geom = _slab_geometry(geom, bx, ng)
@@ -457,8 +462,6 @@ def _fat_kernel_params(ny, nz, bx):
 def _slab_call(kernel, geom, fields_tripled, fields_plain, out_shapes,
                bx, ng, interpret, dt=None, fat=False):
     """Shared pallas_call assembly for the slab-stencil kernels."""
-    Nx = out_shapes[0].shape[0] if isinstance(out_shapes, list) else \
-        out_shapes.shape[0]
     ref0 = fields_tripled[0] if fields_tripled else fields_plain[0]
     Nx = ref0.shape[0]
     bx = _auto_bx_thin(bx, Nx, geom.axes[1].n, geom.axes[2].n, ng)
@@ -507,21 +510,30 @@ def _slab_call(kernel, geom, fields_tripled, fields_plain, out_shapes,
     return out
 
 
+def _stencil_ng(geom) -> int:
+    """Halo width of the divergence / pressure-gradient stencils: the
+    fake-periodic slab axis re-enables O4 (reach 2) whenever
+    space_order >= 4, so ng must follow — a hardcoded ng=1 silently
+    wrapped the O4 stencils' outermost read to the slab's own opposite
+    edge (wrong values at the edge planes of every slab)."""
+    return 2 if geom.space_order >= 4 else 1
+
+
 def fused_divergence(u, v, w, *, geom, bx=8, interpret=False):
     """Staggered divergence as one slab kernel (periodic uniform x)."""
+    assert geom.axes[0].periodic, \
+        "the fake-periodic slab tiling requires a periodic x axis"
     ny, nz = geom.axes[1].n, geom.axes[2].n
     return _slab_call(_divergence_kernel, geom, [u, v, w], [],
-                      jax.ShapeDtypeStruct((u.shape[0] if geom.axes[0].periodic
-                                            else u.shape[0] - 1, ny, nz),
-                                           u.dtype),
-                      bx, 1, interpret)
+                      jax.ShapeDtypeStruct((u.shape[0], ny, nz), u.dtype),
+                      bx, _stencil_ng(geom), interpret)
 
 
 def fused_correct(u, v, w, p, dt, *, geom, bx=8, interpret=False):
     """u -= dt grad(p) as one slab kernel (periodic uniform x)."""
     shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in (u, v, w)]
     return _slab_call(_correct_kernel, geom, [p], [u, v, w], shapes,
-                      bx, 1, interpret, dt=dt)
+                      bx, _stencil_ng(geom), interpret, dt=dt)
 
 
 # ---------------------------------------------------------------------------
@@ -802,7 +814,7 @@ def _slab_call_xz(kernel, geom, fields_haloed, fields_plain, out_shapes,
     Nx = ref0.shape[0]
     ny = geom.axes[1].n
     Nz = geom.axes[2].n
-    ng = 1
+    ng = _stencil_ng(geom)
     picked = _auto_bxz(Nx, ny, Nz, ng)
     if picked is None:
         return None

@@ -85,7 +85,8 @@ def _shard_spec(axis_name: str):
 
 def sharded_fused_predictor(u, v, w, dt, *, geom, mesh: Mesh,
                             axis_name: str, scheme, nu, fx,
-                            nu_t=None, interpret=False):
+                            nu_t=None, interpret=False,
+                            implicit_y_diffusion: bool = False):
     """z-sharded fused momentum predictor: ppermute halos + slab kernel."""
     from ..ops.pallas_kernels import fused_predictor_general
     ng = 2 if geom.space_order >= 4 else 1
@@ -98,11 +99,14 @@ def sharded_fused_predictor(u, v, w, dt, *, geom, mesh: Mesh,
 
     from ..ops.pallas_kernels import channel_slab_eligible
 
-    class _SchemeCfg:     # minimal view for the eligibility check
+    class _SchemeCfg:     # minimal view for the eligibility check —
+        # implicit_y_diffusion is the CALLER's real flag, not a hardcoded
+        # False (the channel kernel computes explicit y diffusion, so an
+        # implicit-y config routed here would double-count it)
         convective_scheme = scheme
         space_order = geom.space_order
-        implicit_y_diffusion = False
 
+    _SchemeCfg.implicit_y_diffusion = implicit_y_diffusion
     use_channel = channel_slab_eligible(geom_ext, _SchemeCfg)
 
     @functools.partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
@@ -131,9 +135,10 @@ def sharded_fused_predictor(u, v, w, dt, *, geom, mesh: Mesh,
 
 def sharded_fused_divergence(u, v, w, *, geom, mesh: Mesh, axis_name: str,
                              interpret=False):
-    """z-sharded staggered divergence (ng=1: cell k needs face k+1)."""
+    """z-sharded staggered divergence (O2: cell k needs face k+1; the
+    O4 stencil reaches 2, so the halo width follows space_order)."""
     from ..ops.pallas_kernels import fused_divergence
-    ng = 1
+    ng = 2 if geom.space_order >= 4 else 1
     n_dev = mesh.shape[axis_name]
     nz_loc = geom.axes[2].n // n_dev
     geom_ext = extended_z_geometry(geom, nz_loc + 2 * ng)
@@ -157,7 +162,7 @@ def sharded_fused_correct(u, v, w, p, dt, *, geom, mesh: Mesh,
     the velocity operands are read pointwise, so their extension is a
     local wrap whose edge-plane outputs are discarded."""
     from ..ops.pallas_kernels import fused_correct
-    ng = 1
+    ng = 2 if geom.space_order >= 4 else 1
     n_dev = mesh.shape[axis_name]
     nz_loc = geom.axes[2].n // n_dev
     geom_ext = extended_z_geometry(geom, nz_loc + 2 * ng)

@@ -462,3 +462,59 @@ def test_auto_bx_thin_sizing_policy():
     assert _auto_bx_thin(4, 256, 256, 256, ng=2) == 1
     # non-divisible Nx shrinks the block
     assert _auto_bx_thin(4, 18, 48, 48) == 3
+
+
+def test_pallas_o4_step_trajectory_matches_jnp():
+    """O4 (space_order=4) full steps, fused vs operator path: the O4
+    divergence/pressure-gradient stencils reach 2 planes, so the slab
+    divergence/correct kernels must carry ng=2 halos (a hardcoded ng=1
+    silently wrapped the outermost O4 read to the slab's own opposite
+    edge — wrong projection at the edge planes of every slab)."""
+    base = dict(Nx=16, Ny=16, Nz=16, bc_x=BCType.PERIODIC,
+                bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
+                y_min=0.0, y_max=2 * np.pi, z_max=2 * np.pi,
+                nu=1e-3, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
+                dt=1e-3, adaptive_dt=False, dtype="float64",
+                space_order=4, convective_scheme=ConvectiveScheme.SKEW)
+    sim_off = Simulation(Config(use_pallas="off", **base))
+    sim_on = Simulation(Config(use_pallas="on", **base))
+    assert sim_on._pallas_predictor_ok
+    s0 = init_taylor_green(sim_off.cfg, sim_off.mesh)
+    s_off, s_on = s0, s0
+    for _ in range(5):
+        s_off, _ = sim_off.step(s_off)
+        s_on, _ = sim_on.step(s_on)
+    np.testing.assert_allclose(np.asarray(s_on.u), np.asarray(s_off.u),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_on.p), np.asarray(s_off.p),
+                               rtol=0, atol=1e-12)
+
+
+def test_fused_divergence_correct_o4_match_operators():
+    """Direct O4 parity of the slab divergence/correct kernels."""
+    from cfdnn_tpu.ops import operators as ops
+    from cfdnn_tpu.ops.pallas_kernels import fused_correct, fused_divergence
+    cfg = Config(Nx=16, Ny=16, Nz=16, bc_x=BCType.PERIODIC,
+                 bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
+                 y_min=0.0, y_max=2 * np.pi, z_max=2 * np.pi,
+                 nu=1e-3, nu_specified=True, dp_dx=0.0,
+                 dp_dx_specified=True, dtype="float64", space_order=4)
+    sim = Simulation(cfg)
+    geom = sim.geom
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((16, 16, 16)))
+    v = jnp.asarray(rng.standard_normal((16, 16, 16)))
+    w = jnp.asarray(rng.standard_normal((16, 16, 16)))
+    p = jnp.asarray(rng.standard_normal((16, 16, 16)))
+    # several bx values so slab EDGES land in different places
+    for bx in (2, 4, 8):
+        d = fused_divergence(u, v, w, geom=geom, bx=bx, interpret=True)
+        np.testing.assert_allclose(np.asarray(d),
+                                   np.asarray(ops.divergence((u, v, w),
+                                                             geom)),
+                                   rtol=0, atol=1e-12, err_msg=f"bx={bx}")
+        cu, cv, cw = fused_correct(u, v, w, p, 1e-3, geom=geom, bx=bx,
+                                   interpret=True)
+        ru = u - 1e-3 * ops.pressure_grad_face(p, 0, geom)
+        np.testing.assert_allclose(np.asarray(cu), np.asarray(ru),
+                                   rtol=0, atol=1e-12, err_msg=f"bx={bx}")
