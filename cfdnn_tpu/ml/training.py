@@ -137,7 +137,10 @@ def synthetic_channel_dataset(n: int = 20000, nu: float = 1e-3,
     umag = rng.uniform(0.0, 1.5, n)
     u_tau = 0.05
     y_plus = y * u_tau / nu
-    damping = (1.0 - np.exp(-y_plus / 26.0)) ** 2
+    # UNsquared van Driest factor in l_mix: nu_t = l^2 |S| then carries
+    # damping^2, matching MixingLengthModel (squaring it here gave the
+    # labels damping^4)
+    damping = 1.0 - np.exp(-y_plus / 26.0)
     l_mix = np.minimum(0.41 * y * damping, 0.5 * delta)
     nu_t = l_mix**2 * S
     features = np.stack([

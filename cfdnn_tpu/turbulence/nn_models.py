@@ -29,8 +29,11 @@ def _resolve_model_dir(cfg) -> str:
     if cfg.nn_weights_path:
         return cfg.nn_weights_path
     if cfg.nn_preset:
-        for root in ("data/models", os.path.join(os.path.dirname(__file__),
-                                                 "..", "..", "data", "models")):
+        # package-relative FIRST: a cwd that happens to contain
+        # data/models/<preset> must not shadow the shipped preset
+        for root in (os.path.join(os.path.dirname(__file__),
+                                  "..", "..", "data", "models"),
+                     "data/models"):
             cand = os.path.join(root, cfg.nn_preset)
             if os.path.isdir(cand):
                 return cand
@@ -65,6 +68,10 @@ class NNMLPModel(TurbulenceModelBase):
         comps = (state.u, state.v, state.w)
         feats, _ = scalar_features(comps, sim.geom, self.y_wall, self.nu,
                                    self.delta)
+        if self.mlp.Ws[-1].shape[0] != 1:
+            raise ValueError(
+                f"nn_mlp expects a single nu_t output, model has "
+                f"{self.mlp.Ws[-1].shape[0]} outputs")
         out = self.mlp(feats)[:, 0]
         shape = tuple(sim.geom.axes[a].n for a in range(3))
         nut = out.reshape(shape)
@@ -105,16 +112,24 @@ class NNTBNNModel(TurbulenceModelBase):
         comps = (state.u, state.v, state.w)
         geom = sim.geom
         shape = tuple(geom.axes[a].n for a in range(3))
-        k = state.k if state.k is not None else jnp.full(shape, 1e-4, geom.dtype)
-        om = state.omega if state.omega is not None else jnp.ones(shape, geom.dtype)
+        # k/omega: re-estimate from the CURRENT velocity every call (the
+        # reference calls estimate_k inside update() whenever no transport
+        # model provides k, turbulence_nn_tbnn.cpp:677 — a one-time
+        # initialize() estimate would freeze the tau normalization and
+        # nu_t magnitude at the t=0 transitional level forever)
+        k, om = k_omega_channel_estimate(comps, geom, self.y_wall, self.nu)
         k = jnp.clip(k, 1e-10, 100.0)
         om = jnp.clip(om, 1e-10, 1e6)
 
         feats, basis, sr = tbnn_invariants_and_basis(
             comps, geom, k, om, self.y_wall, self.delta)
-        G = self.mlp(feats)                      # (N, >=4)
-        n_basis = min(G.shape[-1], 4)
-        b = jnp.einsum("nb,nbc->nc", G[:, :n_basis], basis[:, :n_basis, :])
+        G = self.mlp(feats)
+        if G.shape[-1] != 4:
+            raise ValueError(
+                f"nn_tbnn expects 4 basis coefficients (2-D basis), model "
+                f"has {G.shape[-1]} outputs — silently truncating would "
+                f"build b_ij from a wrong partial basis sum")
+        b = jnp.einsum("nb,nbc->nc", G, basis)
         b_xx = b[:, 0].reshape(shape)
         b_xy = b[:, 1].reshape(shape)
         b_yy = b[:, 2].reshape(shape)
