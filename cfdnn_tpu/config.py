@@ -259,7 +259,7 @@ class Config:
     recycling_inflow: bool = False
     recycle_x: float = -1.0
     recycle_shift_z: int = -1
-    recycle_shift_interval: int = 100
+    recycle_shift_interval: int = 0   # steps between shift-AMOUNT updates; 0 = constant shift (reference behavior)
     recycle_filter_tau: float = -1.0
     recycle_fringe_length: float = -1.0
     recycle_target_bulk_u: float = -1.0

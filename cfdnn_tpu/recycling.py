@@ -53,7 +53,7 @@ class RecyclingInflow:
         self.i_rec = i
         self.shift_k = (cfg.recycle_shift_z if cfg.recycle_shift_z >= 0
                         else mesh.Nz // 4)
-        self.shift_interval = max(int(cfg.recycle_shift_interval), 1)
+        self.shift_interval = int(cfg.recycle_shift_interval)
         # AR1 coefficient from filter time scale (:300-306); the static
         # value is the fallback when the caller has no traced dt
         if cfg.recycle_filter_tau > 0:
@@ -90,14 +90,19 @@ class RecyclingInflow:
     # -- per-step pipeline ---------------------------------------------------
 
     def _shift(self, plane, step):
-        """Spanwise decorrelation shift, applied every
-        `recycle_shift_interval` steps (reference shift schedule,
-        solver_recycling.cpp:570). With no step counter (direct API /
-        tests) the shift applies unconditionally."""
-        rolled = jnp.roll(plane, self.shift_k, axis=-1)
-        if step is None or self.shift_interval <= 1:
-            return rolled
-        return jnp.where(step % self.shift_interval == 0, rolled, plane)
+        """Spanwise decorrelation shift, applied EVERY step (reference
+        solver_recycling.cpp:645 k_src = (k + shift_k) % Nz on every
+        process call). recycle_shift_interval, per its documented intent
+        ("timesteps between shift updates", config.hpp:216 — the
+        reference declares but never implements it), ROTATES the shift
+        amount every `interval` steps so the inlet decorrelates against
+        a slowly varying offset; 0 (the default, matching reference
+        behavior) keeps it constant."""
+        k = self.shift_k
+        if step is not None and self.shift_interval > 0:
+            k = (self.shift_k
+                 * (1 + step // self.shift_interval)) % plane.shape[-1]
+        return jnp.roll(plane, k, axis=-1)
 
     def _alpha_of(self, dt):
         """AR1 coefficient exp(-dt/tau) from the ACTUAL step size when the

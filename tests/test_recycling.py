@@ -168,14 +168,24 @@ def test_mass_flux_correction_recovers_from_backflow():
     assert abs(bulk(plane2) - (-0.1)) < 1e-9
 
 
-def test_shift_interval_respected():
-    """recycle_shift_interval gates the spanwise decorrelation shift."""
+def test_shift_interval_rotates_amount():
+    """recycle_shift_interval rotates the shift AMOUNT every interval
+    steps (its documented meaning, reference config.hpp:216 — the shift
+    itself applies every step); 0 keeps the reference's constant
+    shift."""
     sim = Simulation(_cfg(recycle_shift_interval=5))
+    rec = sim.recycling
     state = sim.initialize(perturbed_channel(sim.cfg, sim.mesh, amp=0.05))
-    plane = state.u[sim.recycling.i_rec, :, :]
-    shifted = sim.recycling._shift(plane, jnp.asarray(5))
-    unshifted = sim.recycling._shift(plane, jnp.asarray(6))
-    np.testing.assert_array_equal(np.asarray(unshifted), np.asarray(plane))
+    plane = state.u[rec.i_rec, :, :]
+    nz = plane.shape[-1]
     np.testing.assert_array_equal(
-        np.asarray(shifted),
-        np.asarray(jnp.roll(plane, sim.recycling.shift_k, axis=-1)))
+        np.asarray(rec._shift(plane, jnp.asarray(0))),
+        np.asarray(jnp.roll(plane, rec.shift_k % nz, axis=-1)))
+    np.testing.assert_array_equal(
+        np.asarray(rec._shift(plane, jnp.asarray(7))),
+        np.asarray(jnp.roll(plane, (2 * rec.shift_k) % nz, axis=-1)))
+    # default: constant shift every step
+    sim0 = Simulation(_cfg())
+    np.testing.assert_array_equal(
+        np.asarray(sim0.recycling._shift(plane, jnp.asarray(99))),
+        np.asarray(jnp.roll(plane, sim0.recycling.shift_k, axis=-1)))
