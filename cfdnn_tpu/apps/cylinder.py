@@ -83,14 +83,24 @@ class ForceRecorder:
     def strouhal(self):
         if len(self.t) < 16:
             return 0.0
-        cl = np.asarray(self.cl)
-        t = np.asarray(self.t)
+        # window the developed-shedding tail (last half) — counting
+        # crossings from step 1 averages the pre-shedding transient's
+        # noise wiggles into the period
+        n0 = len(self.t) // 2
+        cl = np.asarray(self.cl[n0:])
+        t = np.asarray(self.t[n0:])
         cl = cl - cl.mean()
-        crossings = np.where(np.diff(np.sign(cl)) > 0)[0]
+        sgn = np.sign(cl)
+        # carry the previous sign through exact zeros so a sample landing
+        # on 0 cannot double-count one physical crossing
+        for i in range(1, len(sgn)):
+            if sgn[i] == 0:
+                sgn[i] = sgn[i - 1]
+        crossings = np.where(np.diff(sgn) > 0)[0]
         if len(crossings) < 2:
             return 0.0
         period = (t[crossings[-1]] - t[crossings[0]]) / (len(crossings) - 1)
-        u_ref = 1.0
+        u_ref = self.u_ref if self.u_ref is not None else 1.0
         return self.D / (period * u_ref) if period > 0 else 0.0
 
 

@@ -42,8 +42,14 @@ class TripForcing:
         delta = 0.5 * cfg.Ly
         self.u_tau = float(np.sqrt(delta * abs(cfg.dp_dx / cfg.rho)))
         Lx, Lz = cfg.Lx, cfg.Lz
-        x0 = cfg.trip_x_start if cfg.trip_x_start >= 0 else cfg.x_min + 0.1 * Lx
-        x1 = cfg.trip_x_end if cfg.trip_x_end >= 0 else cfg.x_min + 0.2 * Lx
+        # "set" = a proper interval (both default to -1.0, so start==end
+        # means unset); a >= 0 sentinel test would silently relocate a
+        # legitimate strip at negative x (domains with x_min < 0)
+        if cfg.trip_x_end > cfg.trip_x_start:
+            x0, x1 = cfg.trip_x_start, cfg.trip_x_end
+        else:
+            x0 = cfg.x_min + 0.1 * Lx
+            x1 = cfg.x_min + 0.2 * Lx
         width = max(x1 - x0, 1e-12)
 
         rng = np.random.RandomState(seed)   # deterministic (reference :836)
@@ -157,9 +163,12 @@ def implicit_scalar_y_diffusion(f, nu_eff, dt, geom, wall_value=0.0):
     cell-centered scalar with Dirichlet `wall_value` at both y walls
     (k = 0, omega = omega_wall — the transport IMEX companion of the
     momentum solve; without it the k/omega y-diffusion is explicitly
-    unstable at the IMEX-enlarged dt)."""
+    unstable at the IMEX-enlarged dt). Applies ONLY when y is a WALL
+    axis — the Dirichlet flux rows would silently impose spurious wall
+    friction at an open (inflow/outflow) y boundary."""
+    from .config import BCType as _BC
     yax = geom.axes[1]
-    if yax.periodic or yax.n <= 2:
+    if yax.periodic or yax.n <= 2 or yax.bc != _BC.WALL:
         return f
     scalar_nu = jnp.ndim(nu_eff) == 0
     inv_d = yax.inv_d
@@ -193,10 +202,12 @@ def implicit_y_diffusion(comps, nu_eff, dt, geom):
 
     Wall BCs are folded into the tridiagonal exactly as the explicit ghost
     rules: tangential components see u_ghost = -u_interior (no-slip),
-    normal (v) has Dirichlet boundary faces pinned.
+    normal (v) has Dirichlet boundary faces pinned. WALL-y only (an open
+    y boundary must keep its explicit zero-gradient ghosts).
     """
+    from .config import BCType as _BC
     yax = geom.axes[1]
-    if yax.periodic or yax.n <= 2:
+    if yax.periodic or yax.n <= 2 or yax.bc != _BC.WALL:
         return comps
     scalar_nu = jnp.ndim(nu_eff) == 0
 
@@ -222,8 +233,26 @@ def implicit_y_diffusion(comps, nu_eff, dt, geom):
             f = f.at[:, 1:-1, :].set(sol)
         else:
             # u/w cell-centered in y: the no-slip wall flux nu u_0 / dc_0
-            # is exactly the zero-Dirichlet scalar solve
-            f = implicit_scalar_y_diffusion(f, nu_eff, dt, geom,
+            # is exactly the zero-Dirichlet scalar solve. Staggered
+            # components carry an extra face along their own axis when
+            # that axis is non-periodic (u: Nx+1) — average the
+            # cell-centered nu_eff onto the face grid so the broadcasts
+            # inside thomas() line up.
+            nu_s = nu_eff
+            if not scalar_nu and nu_eff.shape[s] != f.shape[s]:
+                lo = [slice(None)] * 3
+                hi = [slice(None)] * 3
+                lo[s] = slice(0, -1)
+                hi[s] = slice(1, None)
+                first = [slice(None)] * 3
+                last = [slice(None)] * 3
+                first[s] = slice(0, 1)
+                last[s] = slice(-1, None)
+                nu_s = jnp.concatenate(
+                    [nu_eff[tuple(first)],
+                     0.5 * (nu_eff[tuple(lo)] + nu_eff[tuple(hi)]),
+                     nu_eff[tuple(last)]], axis=s)
+            f = implicit_scalar_y_diffusion(f, nu_s, dt, geom,
                                             wall_value=0.0)
         out.append(f)
     return tuple(out)

@@ -144,3 +144,46 @@ def test_force_ramp_and_bulk_controller():
         state, _ = sim2.step(state)
     u_bulk = float(jnp.mean(state.u))
     assert abs(u_bulk - 0.3) < 0.05
+
+
+def test_implicit_y_diffusion_staggered_nu_nonperiodic_x():
+    """IMEX y-diffusion with a FIELD nu_eff and non-periodic x: the
+    staggered u carries Nx+1 faces vs nu_eff's Nx cells — the solve must
+    interpolate nu onto the face grid instead of crashing at trace time."""
+    from cfdnn_tpu import Config, Simulation, perturbed_channel
+    from cfdnn_tpu.config import BCType, TurbulenceModel
+    cfg = Config(Nx=16, Ny=16, Nz=8, x_min=0.0, x_max=4.0, z_max=1.0,
+                 bc_x=BCType.INFLOW, bc_y=BCType.WALL, bc_z=BCType.PERIODIC,
+                 nu=1e-3, nu_specified=True, dp_dx=-2e-3,
+                 dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
+                 dtype="float64", implicit_y_diffusion=True,
+                 recycling_inflow=True, recycle_filter_tau=0.05,
+                 turb_model=TurbulenceModel.SMAGORINSKY)
+    sim = Simulation(cfg)
+    state = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
+    state, d = sim.step(state)
+    assert np.isfinite(float(d.ke))
+
+
+def test_implicit_y_diffusion_noop_on_open_y():
+    """Open (non-wall) y boundary: the implicit solve must be a no-op —
+    its Dirichlet wall-flux rows would add spurious friction there."""
+    from cfdnn_tpu import Config, Simulation
+    from cfdnn_tpu.config import BCType
+    from cfdnn_tpu.forcing import implicit_y_diffusion
+    from cfdnn_tpu.ops.grid import Geometry
+    from cfdnn_tpu.mesh import Mesh
+    import jax.numpy as jnp
+    cfg = Config(Nx=8, Ny=8, Nz=8, bc_x=BCType.PERIODIC,
+                 bc_y=BCType.OUTFLOW, bc_z=BCType.PERIODIC,
+                 y_min=0.0, y_max=1.0, z_max=1.0,
+                 nu=1e-3, nu_specified=True, dp_dx=0.0,
+                 dp_dx_specified=True, dtype="float64")
+    mesh = Mesh.from_config(cfg)
+    geom = Geometry.make(mesh, cfg)
+    rng = np.random.default_rng(0)
+    comps = tuple(jnp.asarray(rng.standard_normal((8, 8, 8)))
+                  for _ in range(3))
+    out = implicit_y_diffusion(comps, 1e-3, 1e-2, geom)
+    for a, b in zip(out, comps):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
