@@ -483,3 +483,21 @@ def test_2d_mesh_checkpoint_roundtrip(tmp_path):
     back = load_checkpoint(latest_checkpoint(d), cfg)
     np.testing.assert_array_equal(np.asarray(back.u), np.asarray(st.u))
     np.testing.assert_array_equal(np.asarray(back.p), np.asarray(st.p))
+
+
+def test_sharded_resume_reapplies_sharding(tmp_path):
+    """load_checkpoint(sim=...) must place the restored arrays back onto
+    the run's device mesh (a resume otherwise loads everything onto
+    device 0 — OOM for fields that only fit sharded)."""
+    from cfdnn_tpu.io.checkpoint import (latest_checkpoint, load_checkpoint,
+                                         save_checkpoint)
+    cfg = _cfg(mesh_shape=(8,))
+    sim = Simulation(cfg)
+    st = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
+    st, _ = sim.step(st)
+    save_checkpoint(str(tmp_path / "ck"), st, cfg)
+    back = load_checkpoint(latest_checkpoint(str(tmp_path / "ck")), cfg,
+                           sim=sim)
+    assert back.u.sharding.spec == jax.sharding.PartitionSpec(
+        None, None, "z"), back.u.sharding
+    np.testing.assert_array_equal(np.asarray(back.u), np.asarray(st.u))
