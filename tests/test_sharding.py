@@ -501,3 +501,25 @@ def test_sharded_resume_reapplies_sharding(tmp_path):
     assert back.u.sharding.spec == jax.sharding.PartitionSpec(
         None, None, "z"), back.u.sharding
     np.testing.assert_array_equal(np.asarray(back.u), np.asarray(st.u))
+
+
+def test_2d_mesh_o4_refine_matches_single_device():
+    """O4 schemes + iterative refinement on the 2-D pencil mesh: the O4
+    eigen symbols ride the same transposes and the refinement stencil
+    crosses both shard axes under GSPMD — trajectory must stay
+    bitwise-level with single-device."""
+    kw = dict(Nx=32, Ny=16, Nz=32, stretch_y=True, nu=1e-3,
+              nu_specified=True, dp_dx=-1e-3, dp_dx_specified=True,
+              dt=1e-3, adaptive_dt=False, dtype="float64",
+              space_order=4, poisson_refine=1)
+    sim1 = Simulation(Config(**kw))
+    sim2 = Simulation(Config(**kw, mesh_shape=(2, 4), mesh_axes=("x", "z")))
+    assert sim2.poisson.name.startswith("Pencil2DFDM")
+    assert sim2.poisson.refine == 1
+    s1 = perturbed_channel(sim1.cfg, sim1.mesh, amp=0.05)
+    s2 = sim2.initialize(s1)
+    for _ in range(3):
+        s1, _ = sim1.step(s1)
+        s2, _ = sim2.step(s2)
+    np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s1.u),
+                               rtol=0, atol=1e-13)
