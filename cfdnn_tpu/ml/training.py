@@ -20,12 +20,16 @@ from ..turbulence.nn_core import MLP, _act
 
 
 def _forward(params, activations, x):
+    """Raw-parameter forward pass, kept arithmetically IDENTICAL to
+    MLP.__call__'s layer loop (x @ W.T + b then activation) — the
+    trained (W, b) lists are installed verbatim into an MLP, so any
+    divergence here would train different semantics than inference."""
     for (W, b), act in zip(params, activations):
         x = _act(act)(x @ W.T + b)
     return x
 
 
-def _fit(params, activations, loss_fn, data, epochs, batch, lr, seed, log):
+def _fit(params, loss_fn, data, epochs, batch, lr, seed, log):
     opt = optax.adam(lr)
     opt_state = opt.init(params)
     n = data[0].shape[0]
@@ -45,8 +49,8 @@ def _fit(params, activations, loss_fn, data, epochs, batch, lr, seed, log):
             idx = perm[s:s + batch]
             params, opt_state, loss = step(
                 params, opt_state, *(jnp.asarray(d[idx]) for d in data))
-            losses.append(float(loss))
-        history.append(float(np.mean(losses)))
+            losses.append(loss)   # device scalar: no per-batch host sync
+        history.append(float(jnp.mean(jnp.stack(losses))))
         if log and (epoch % max(1, epochs // 10) == 0 or epoch == epochs - 1):
             print(f"  epoch {epoch:4d}: loss {history[-1]:.6e}")
     return params, history
@@ -80,7 +84,7 @@ def train_mlp(features: np.ndarray, nu_t_labels: np.ndarray,
         pred = _forward(params, activations, X)
         return jnp.mean((pred - y) ** 2)
 
-    params, history = _fit(params, activations, loss_fn, (Xn, y),
+    params, history = _fit(params, loss_fn, (Xn, y),
                            epochs, batch, lr, seed, log)
     mlp = MLP(Ws=[p[0] for p in params], bs=[p[1] for p in params],
               activations=activations,
@@ -107,7 +111,7 @@ def train_tbnn(invariants: np.ndarray, basis: np.ndarray,
         b_pred = jnp.einsum("nb,nbc->nc", G, T)        # (N, 3)
         return jnp.mean((b_pred - b) ** 2)
 
-    params, history = _fit(params, activations, loss_fn,
+    params, history = _fit(params, loss_fn,
                            (Xn, basis, b_labels), epochs, batch, lr, seed, log)
     mlp = MLP(Ws=[p[0] for p in params], bs=[p[1] for p in params],
               activations=activations,
