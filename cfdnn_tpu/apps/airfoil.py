@@ -37,12 +37,27 @@ def main(argv=None, aoa_deg: float = 0.0, digits: str = "0012"):
     rest = []
     i = 0
     while i < len(raw):
-        if raw[i] == "--aoa_deg":
-            aoa_deg = float(raw[i + 1]); i += 2
-        elif raw[i] == "--digits":
-            digits = raw[i + 1]; i += 2
+        arg = raw[i]
+        # accept both "--flag value" and "--flag=value", and error
+        # clearly on a missing value (raw[i+1] would IndexError)
+        for name in ("--aoa_deg", "--digits"):
+            if arg == name or arg.startswith(name + "="):
+                if "=" in arg:
+                    val = arg.split("=", 1)[1]
+                    i += 1
+                else:
+                    if i + 1 >= len(raw):
+                        raise SystemExit(f"airfoil: {name} needs a value")
+                    val = raw[i + 1]
+                    i += 2
+                if name == "--aoa_deg":
+                    aoa_deg = float(val)
+                else:
+                    digits = val
+                break
         else:
-            rest.append(raw[i]); i += 1
+            rest.append(arg)
+            i += 1
 
     body = NACABody(X_LE, Y_LE, CHORD, np.deg2rad(aoa_deg), digits)
     forces = []
@@ -51,6 +66,11 @@ def main(argv=None, aoa_deg: float = 0.0, digits: str = "0012"):
         forces.append((float(st.t), float(d.fx), float(d.fy)))
 
     def validate(sim, state, diags):
+        if not forces:
+            # callback never fired (smoke run shorter than diag_interval):
+            # emitting NaN QOIs would break the CI metrics JSON parser
+            print("[airfoil] no force samples recorded; skipping QOIs")
+            return {}
         tail = forces[-max(1, len(forces) // 4):]
         fx = np.mean([f[1] for f in tail])
         fy = np.mean([f[2] for f in tail])

@@ -30,7 +30,17 @@ def validate(sim, state, diags):
     cfg = sim.cfg
     from ..ops.operators import f2c_mean
     u_c = np.asarray(f2c_mean(state.u, 0, sim.geom.axes[0]))
-    u_bulk = float(u_c.mean())
+    # VOLUME-weighted bulk: a plain cell mean over-weights the fine
+    # near-wall cells when --stretch_y/--stretch_z are set
+    wy = np.asarray(sim.mesh.y.d).reshape(1, -1, 1)
+    wz = np.asarray(sim.mesh.z.d).reshape(1, 1, -1)
+    u_bulk = float((u_c * wy * wz).sum()
+                   / (u_c.shape[0] * wy.sum() * wz.sum()))
+    if abs(cfg.Ly - cfg.Lz) > 1e-12 * cfg.Ly:
+        # the series below hardcodes the SQUARE cross-section (a = b)
+        print(f"[duct] rectangular cross-section Ly={cfg.Ly:g} != "
+              f"Lz={cfg.Lz:g}: series gate skipped (square-only)")
+        return {"duct_u_bulk": u_bulk, "div_linf": float(diags.div_linf)}
     a = 0.5 * cfg.Ly
     G = -cfg.dp_dx / cfg.rho
     # exact rectangular-duct bulk velocity (Fourier series, square a=b)

@@ -47,24 +47,36 @@ def separation_points(sim, state, body=None):
     yc = np.asarray(sim.mesh.y.centers)
     dy = float(sim.mesh.y.d[0])
     surf = body.hill_height(xc)
-    u_near = np.empty_like(xc)
-    for i, x in enumerate(xc):
-        # first center comfortably above the forcing band
-        j = int(np.searchsorted(yc, surf[i] + 1.2 * dy))
-        j = min(j, len(yc) - 1)
-        u_near[i] = u_c[i, j]
+    # first center comfortably above the forcing band (vectorized gather)
+    j = np.minimum(np.searchsorted(yc, surf + 1.2 * dy), len(yc) - 1)
+    u_near = u_c[np.arange(len(xc)), j]
     neg = u_near < 0
     if not neg.any():
         return 0.0, 0.0, float(u_near.min())
-    idx = np.where(neg)[0]
-    x_sep = float(xc[idx[0]] / H)
-    x_r = float(xc[idx[-1]] / H)
+    # PRIMARY bubble = the contiguous negative segment containing the
+    # most-negative column (a secondary windward-foot recirculation
+    # would otherwise stretch x_r to the wrong flank)
+    i_min = int(np.argmin(u_near))
+    lo = i_min
+    while lo > 0 and neg[lo - 1]:
+        lo -= 1
+    hi = i_min
+    while hi + 1 < len(neg) and neg[hi + 1]:
+        hi += 1
+    x_sep = float(xc[lo] / H)
+    x_r = float(xc[hi] / H)
     return x_sep, x_r, float(u_near.min())
 
 
 def validate(sim, state, diags):
     x_sep, x_r, u_min = separation_points(sim, state)
-    u_bulk = float(np.asarray(state.u).mean())
+    # fluid-only bulk (the solid hill cells are forced to ~0 and would
+    # understate Re_b)
+    if sim.ibm is not None:
+        wu = np.asarray(sim.ibm.w_u)
+        u_bulk = float((np.asarray(state.u) * wu).sum() / max(wu.sum(), 1.0))
+    else:
+        u_bulk = float(np.asarray(state.u).mean())
     re_b = u_bulk * H / sim.cfg.nu
     print(f"[hills] x_sep/h={x_sep:.2f} x_r/h={x_r:.2f} "
           f"u_near_min={u_min:.4f} Re_b~{re_b:.0f}")

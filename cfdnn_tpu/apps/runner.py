@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 import sys
 import time
+
+import numpy as np
 from typing import Callable, Optional
 
 from ..config import Config, SimulationMode
@@ -105,5 +107,10 @@ def run_case(name: str, cfg: Config, argv=None,
             # metrics (round-1 ADVICE: div_linf/strouhal silently
             # redefined what the baseline gated).
             key = k if k.startswith(name) else f"{name}_{k}"
+            if not np.isfinite(float(v)):
+                # "value": nan is invalid JSON and breaks the CI
+                # metrics ingestion for the whole run
+                print(f"[{name}] QOI {key} is non-finite; skipped")
+                continue
             print(f'QOI_JSON: {{"name": "{key}", "value": {float(v):.6e}}}')
     return sim, state, diags

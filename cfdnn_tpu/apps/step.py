@@ -102,7 +102,15 @@ def reattachment_length(sim, state) -> float:
     neg = np.where(u_wall < 0)[0]
     if len(neg) == 0:
         return 0.0
-    k = neg[-1]
+    # end of the CONTIGUOUS bubble attached to the step — the globally
+    # last negative cell could be a detached pocket near the outlet
+    # (transient) and would wildly over-report x_r
+    k = neg[0]
+    for n in neg[1:]:
+        if n == k + 1:
+            k = n
+        else:
+            break
     if k + 1 >= len(u_wall):
         return float((x_ds[k] - X_STEP) / S)
     # linear interpolation of the zero crossing

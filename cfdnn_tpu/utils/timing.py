@@ -69,19 +69,36 @@ class TimingStats:
 def timed_scope(category: str, annotate: bool = True):
     """RAII timer (reference TIMED_SCOPE). Category names ending `_jit`
     count toward device utilization. Also emits a profiler annotation so
-    scopes show up in `jax.profiler` traces (the NVTX analogue)."""
+    scopes show up in `jax.profiler` traces (the NVTX analogue).
+
+    Records in a finally block — the reference scope is RAII, so an
+    exception escaping the scope must still account its time (otherwise
+    the utilization gate reads partial data)."""
     ctx = (jax.profiler.TraceAnnotation(category) if annotate
            else contextlib.nullcontext())
     t0 = time.perf_counter()
-    with ctx:
-        yield
-    TimingStats.instance().record(category, time.perf_counter() - t0)
+    try:
+        with ctx:
+            yield
+    finally:
+        TimingStats.instance().record(category, time.perf_counter() - t0)
 
 
 def timed_jit_call(category: str, fn, *args):
-    """Call a jitted fn with block_until_ready under a `_jit` scope."""
-    with timed_scope(category if category.endswith("_jit")
-                     else category + "_jit"):
+    """Call a jitted fn with block_until_ready under a `_jit` scope.
+
+    A call that TRACES+COMPILES (empty jit cache) is booked to
+    `<category>_compile` — a host bucket — instead: compilation is host
+    work, and counting it as `_jit` would let the 70% device-utilization
+    gate pass on compile time alone. Detection uses the jit cache size,
+    so pre-warmed functions are unaffected."""
+    cat = category if category.endswith("_jit") else category + "_jit"
+    try:
+        if fn._cache_size() == 0:
+            cat = cat.removesuffix("_jit") + "_compile"
+    except AttributeError:
+        pass
+    with timed_scope(cat):
         out = fn(*args)
         jax.block_until_ready(out)
     return out

@@ -165,7 +165,10 @@ def test_periodic_hills_separation_structure(record_qoi):
     record_qoi("hills_x_reattach_lowre", x_r)
     assert u_min < -0.05, f"no recirculation bubble (u_min={u_min})"
     assert 0.2 < x_sep < 2.5, f"separation off the lee flank: {x_sep}"
-    assert 4.0 < x_r < 9.0, f"reattachment out of the valley: {x_r}"
+    # primary-bubble reattachment (the old idx[-1] estimator stretched
+    # to a windward-foot secondary pocket at ~7.8; the contiguous-bubble
+    # measure lands at ~3.8 at this low Re)
+    assert 3.0 < x_r < 9.0, f"reattachment out of the valley: {x_r}"
 
 
 def test_naca_symmetry_and_lift_slope(record_qoi):
