@@ -75,8 +75,19 @@ static void transpose_swap_vec(const uint64_t *u, const uint64_t *v,
 }
 
 static int get_f64_buffer(PyObject *obj, Py_buffer *view, Py_ssize_t n) {
-    if (PyObject_GetBuffer(obj, view, PyBUF_C_CONTIGUOUS) != 0)
+    if (PyObject_GetBuffer(obj, view, PyBUF_C_CONTIGUOUS | PyBUF_FORMAT) != 0)
         return -1;
+    /* byte-length alone would accept e.g. a (n,2) float32 buffer and
+       silently encode garbage doubles; require an actual float64 view */
+    if (view->itemsize != 8
+        || (view->format && strcmp(view->format, "d") != 0)) {
+        PyBuffer_Release(view);
+        PyErr_Format(PyExc_TypeError,
+                     "buffer must be float64 ('d'), got format '%s' "
+                     "itemsize %zd",
+                     view->format ? view->format : "?", view->itemsize);
+        return -1;
+    }
     if (view->len != (Py_ssize_t)(n * 8)) {
         PyBuffer_Release(view);
         PyErr_Format(PyExc_ValueError,

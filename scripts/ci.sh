@@ -33,7 +33,7 @@ if [[ "${2:-}" == "--update-gated" ]]; then
   python scripts/collect_qois.py --update-gated artifacts/ci_metrics.json "$GATED"
 elif [[ -f "$GATED" ]]; then
   python scripts/collect_qois.py --compare \
-    artifacts/ci_metrics.json "$GATED" "${REQUIRE_ALL[@]}" \
+    artifacts/ci_metrics.json "$GATED" ${REQUIRE_ALL[@]+"${REQUIRE_ALL[@]}"} \
     || STATUS=1
 fi
 exit "$STATUS"

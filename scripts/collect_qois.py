@@ -26,13 +26,20 @@ import sys
 
 def collect(log_path: str, out_path: str):
     qois = {}
-    pat = re.compile(r"QOI_JSON:\s*(\{.*\})")
+    # non-greedy + per-line tolerance: a QOI print interleaved with
+    # other output on one line (extra trailing '}' text) must not abort
+    # the whole collection — the gate report would be lost for the run
+    pat = re.compile(r"QOI_JSON:\s*(\{.*?\})")
     with open(log_path) as fh:
         for line in fh:
             m = pat.search(line)
             if m:
-                d = json.loads(m.group(1))
-                qois[d["name"]] = d["value"]
+                try:
+                    d = json.loads(m.group(1))
+                    qois[d["name"]] = d["value"]
+                except (json.JSONDecodeError, KeyError) as e:
+                    print(f"collect_qois: skipping malformed QOI line "
+                          f"({e}): {line.rstrip()}", file=sys.stderr)
     with open(out_path, "w") as fh:
         json.dump(qois, fh, indent=1, sort_keys=True)
     print(f"collected {len(qois)} QOIs -> {out_path}")

@@ -24,11 +24,18 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _layer_sort_key(k):
+    """Natural sort: numeric path components compare as integers, so
+    '10.weight' sorts AFTER '2.weight' (lexical sort scrambled layer
+    order for nn.Sequential modules with >= 10 children)."""
+    return [int(p) if p.isdigit() else p for p in k.split(".")]
+
+
 def state_dict_layers(sd):
     """Ordered (W, b) pairs from a torch state_dict: every '*.weight' 2-D
-    tensor, sorted by key, paired with its '*.bias'."""
+    tensor, naturally sorted by key, paired with its '*.bias'."""
     pairs = []
-    for k in sorted(sd.keys()):
+    for k in sorted(sd.keys(), key=_layer_sort_key):
         if not k.endswith("weight"):
             continue
         W = sd[k].detach().cpu().numpy()
@@ -65,6 +72,11 @@ def export(model_path, out_dir, means_path=None, stds_path=None,
                    fmt="%.16e")
         np.savetxt(os.path.join(out_dir, f"layer{i}_b.txt"), b,
                    fmt="%.16e")
+        if i > 0 and W.shape[1] != sizes[-1]:
+            raise SystemExit(
+                f"layer{i} ({key}): input width {W.shape[1]} does not "
+                f"chain from the previous layer's output {sizes[-1]} — "
+                f"layer ordering or a non-MLP checkpoint")
         sizes.append(W.shape[0])
         print(f"layer{i}: {key} {W.shape}")
 
@@ -80,8 +92,12 @@ def export(model_path, out_dir, means_path=None, stds_path=None,
             raise SystemExit(f"{name}: {arr.size} values, expected {n_in}")
         np.savetxt(tgt, arr, fmt="%.16e")
 
-    acts = (activations.split(",") if activations
+    acts = ([a.strip() for a in activations.split(",")] if activations
             else ["tanh"] * (len(layers) - 1) + ["linear"])
+    if len(acts) != len(layers):
+        raise SystemExit(
+            f"--activations lists {len(acts)} entries for {len(layers)} "
+            f"layers (MLP.load would reject the metadata)")
     meta = {
         "name": os.path.basename(out_dir.rstrip("/")),
         "source": f"pytorch:{os.path.basename(model_path)}",
@@ -104,6 +120,7 @@ def verify(module, out_dir, n_in):
     mlp = MLP.load(out_dir)
     x = np.random.default_rng(0).standard_normal((64, n_in)).astype(
         np.float32)
+    module.eval()   # train-mode dropout/batchnorm would randomize ref
     with torch.no_grad():
         ref = module(torch.from_numpy(x)).numpy()
     # undo the loader's input normalization for the comparison by feeding
@@ -127,8 +144,9 @@ def main():
     args = ap.parse_args()
     module, sizes, acts = export(args.model, args.output, args.means,
                                  args.stds, args.activations)
-    if module is not None and args.means is None and not any(
-            a not in ("tanh", "linear", "relu") for a in acts):
+    if (module is not None and args.means is None and args.stds is None
+            and not any(a not in ("tanh", "linear", "relu")
+                        for a in acts)):
         try:
             verify(module, args.output, sizes[0])
         except Exception as e:      # activation mismatch etc.
