@@ -523,3 +523,22 @@ def test_2d_mesh_o4_refine_matches_single_device():
         s2, _ = sim2.step(s2)
     np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s1.u),
                                rtol=0, atol=1e-13)
+
+
+def test_2d_pencil_4x2_aspect():
+    """(4,2) mesh (transposed aspect vs the (2,4) tests): the z-major
+    combined-rank arithmetic must hold for Px > Pz too."""
+    cfg1 = _cfg(Nx=32)
+    sim1 = Simulation(cfg1)
+    cfg2 = _cfg(Nx=32, mesh_shape=(4, 2), mesh_axes=("x", "z"))
+    sim2 = Simulation(cfg2)
+    assert sim2.poisson.name.startswith("Pencil2DFDM")
+    rng = np.random.default_rng(5)
+    rhs = jnp.asarray(rng.standard_normal((32, 16, 32)))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rhs_sh = jax.device_put(
+        rhs, NamedSharding(sim2.device_mesh, P("x", None, "z")))
+    p1 = sim1.poisson.solve(rhs)
+    p2 = jax.jit(sim2.poisson.solve)(rhs_sh)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=0, atol=1e-12)
