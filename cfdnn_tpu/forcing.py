@@ -233,25 +233,17 @@ def implicit_y_diffusion(comps, nu_eff, dt, geom):
             f = f.at[:, 1:-1, :].set(sol)
         else:
             # u/w cell-centered in y: the no-slip wall flux nu u_0 / dc_0
-            # is exactly the zero-Dirichlet scalar solve. Staggered
-            # components carry an extra face along their own axis when
-            # that axis is non-periodic (u: Nx+1) — average the
-            # cell-centered nu_eff onto the face grid so the broadcasts
-            # inside thomas() line up.
+            # is exactly the zero-Dirichlet scalar solve. The component
+            # lives at faces along its own axis, so cell-centered nu_eff
+            # must be averaged onto that face grid — including the wrap
+            # on PERIODIC axes, where the staggered shape coincidentally
+            # matches the cell count (u: Nx faces == Nx cells) but face i
+            # sits between cells i-1 and i, not at cell i. Matches the
+            # explicit operator's nu placement (ops/operators.diffusive).
             nu_s = nu_eff
-            if not scalar_nu and nu_eff.shape[s] != f.shape[s]:
-                lo = [slice(None)] * 3
-                hi = [slice(None)] * 3
-                lo[s] = slice(0, -1)
-                hi[s] = slice(1, None)
-                first = [slice(None)] * 3
-                last = [slice(None)] * 3
-                first[s] = slice(0, 1)
-                last[s] = slice(-1, None)
-                nu_s = jnp.concatenate(
-                    [nu_eff[tuple(first)],
-                     0.5 * (nu_eff[tuple(lo)] + nu_eff[tuple(hi)]),
-                     nu_eff[tuple(last)]], axis=s)
+            if not scalar_nu:
+                from .ops.operators import c2f_mean
+                nu_s = c2f_mean(nu_eff, s, geom.axes[s], kind="scalar")
             f = implicit_scalar_y_diffusion(f, nu_s, dt, geom,
                                             wall_value=0.0)
         out.append(f)

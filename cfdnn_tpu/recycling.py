@@ -38,6 +38,11 @@ class RecyclingInflow:
         if cfg.bc_z != BCType.PERIODIC:
             raise ValueError("recycling inflow requires periodic z "
                              "(reference solver_recycling.cpp:186)")
+        if cfg.bc_y != BCType.WALL:
+            raise ValueError(
+                "recycling inflow requires wall y BCs (developing "
+                "channel/boundary layer; the inlet continuity stencil "
+                "in correct_inlet_divergence assumes Ny+1 v-faces)")
         if mesh.Nx < 10:
             raise ValueError(
                 "recycling inflow requires Nx >= 10 so the recycle "
@@ -102,6 +107,11 @@ class RecyclingInflow:
         if step is not None and self.shift_interval > 0:
             k = (self.shift_k
                  * (1 + step // self.shift_interval)) % plane.shape[-1]
+            # the rotation orbit passes through 0 whenever shift_k shares
+            # a factor with Nz (e.g. Nz//4 with 4 | Nz) — an unshifted
+            # window is exactly the spanwise-locked feedback the shift
+            # exists to prevent; substitute the base shift there
+            k = jnp.where(k == 0, self.shift_k, k)
         return jnp.roll(plane, k, axis=-1)
 
     def _alpha_of(self, dt):

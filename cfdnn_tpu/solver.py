@@ -169,7 +169,7 @@ class Simulation:
         self._step_jit = jax.jit(self._step_impl)
         self._nsteps_jit = jax.jit(self._nsteps_impl, static_argnums=(1,))
 
-    def _apply_bc(self, comps):
+    def _apply_bc(self, comps, pin_tangential=True):
         """apply_velocity_bc + inlet-face pinning for the bare (non-
         recycling) inflow/outflow pair: the momentum update otherwise
         advances the inlet face like an interior point and the inflow
@@ -182,13 +182,39 @@ class Simulation:
         inflow = getattr(self, "_inflow_u", None)
         if inflow is not None:
             comps = (comps[0].at[0].set(inflow), comps[1], comps[2])
+            if pin_tangential:
+                # pin the tangential components' first-cell values too
+                # (the IC's, typically 0 for a uniform freestream): with
+                # only the zero-gradient inlet ghosts, v/w at the inlet
+                # drift under upstream influence from the wake by the same
+                # mechanism measured for u (reference apply_velocity_bc
+                # imposes the full inlet profile, solver_operators.cpp:43).
+                # Predictor stages only — after the projection the small
+                # tangential dp correction must stand, or the overwrite
+                # re-introduces divergence at the inlet cells (measured
+                # 1.2e-8 vs <1e-10)
+                comps = (comps[0],
+                         comps[1].at[0].set(self._inflow_v),
+                         comps[2].at[0].set(self._inflow_w))
         return comps
+
+    def _yz_area_weights(self, dtype):
+        """Normalized cross-section (y,z) area weights — the correct
+        averaging measure for plane/bulk velocities on stretched meshes
+        (an unweighted mean over-weights the fine near-wall cells)."""
+        geom = self.geom
+        wy = jnp.asarray(geom.axes[1].d, dtype).reshape(-1, 1)
+        wz = jnp.asarray(geom.axes[2].d, dtype).reshape(1, -1)
+        w = wy * wz
+        return w / jnp.sum(w)
 
     @property
     def _convective_out(self) -> bool:
+        # available in recycling runs too (reference solver_recycling.cpp
+        # :191-208 documents x_hi = convective outflow as the recycling
+        # pair); opt-in via cfg.convective_outflow either way
         cfg = self.cfg
-        return (cfg.convective_outflow and cfg.bc_x == BCType.INFLOW
-                and self.recycling is None)
+        return cfg.convective_outflow and cfg.bc_x == BCType.INFLOW
 
     def _convective_outlet(self, star, old, dt):
         """Time-discrete convective outlet on the inflow/outflow pair's
@@ -205,7 +231,10 @@ class Simulation:
         if cfg.outflow_u_c > 0:
             uc = jnp.asarray(cfg.outflow_u_c, self.dtype)
         else:
-            uc = jnp.maximum(jnp.mean(u_old[-1]), 0.0)
+            # area-weighted outlet-plane bulk (an unweighted mean under-
+            # estimates U_c on stretched-y meshes -> partially reflective)
+            w = self._yz_area_weights(u_old.dtype)
+            uc = jnp.maximum(jnp.sum(u_old[-1] * w), 0.0)
         lam = uc * dt / dx
         out = []
         for s, o in zip(star, old):
@@ -358,6 +387,8 @@ class Simulation:
             # traced before initialize(), or a re-initialize with a new
             # IC, would otherwise silently pin a stale/absent profile.
             self._inflow_u = state.u[0]
+            self._inflow_v = state.v[0]
+            self._inflow_w = state.w[0]
             self._build_jits()
         if self.device_mesh is not None:
             from .parallel.sharding import shard_state
@@ -387,7 +418,12 @@ class Simulation:
         if cfg.force_ramp_time > 0:
             fx = fx * (1.0 - jnp.exp(-t / cfg.force_ramp_time))
         if cfg.bulk_velocity_target > 0:
-            u_bulk = jnp.mean(comps[0])
+            # volume-weighted bulk (x-faces are uniform; weight the
+            # stretched y/z cross-section) — an unweighted mean would
+            # drive the wrong Re_bulk on stretched meshes
+            u = comps[0]
+            w = self._yz_area_weights(u.dtype)
+            u_bulk = jnp.sum(u * w[None, :, :]) / u.shape[0]
             fx = fx + (cfg.bulk_velocity_target - u_bulk) / dt
         return fx
 
@@ -421,10 +457,7 @@ class Simulation:
             # reference only corrects flux in its recycling path
             # (solver_recycling.cpp:771-800) — this hardens the plain mode.
             u = comps[0]
-            wy = jnp.asarray(geom.axes[1].d, u.dtype).reshape(-1, 1)
-            wz = jnp.asarray(geom.axes[2].d, u.dtype).reshape(1, -1)
-            w = wy * wz
-            w = w / jnp.sum(w)
+            w = self._yz_area_weights(u.dtype)
             q_in = jnp.sum(u[0] * w)
             q_out = jnp.sum(u[-1] * w)
             comps = (u.at[-1].add(q_in - q_out), comps[1], comps[2])
@@ -478,7 +511,7 @@ class Simulation:
             comps, f = self.ibm.apply(comps, dt, accumulate=forces is not None)
             if forces is not None:
                 forces.append(f)
-        comps = self._apply_bc(comps)
+        comps = self._apply_bc(comps, pin_tangential=False)
         return comps, p_corr
 
     def _euler_substep(self, comps, nu_t, dt, forces=None, t=0.0,
@@ -706,12 +739,17 @@ class Simulation:
                                               forces, state.t, inlet)
         if cfg.filter_strength > 0.0:
             # explicit Laplacian filter every filter_interval steps
-            # (reference apply_velocity_filter, solver.cpp:4065)
+            # (reference apply_velocity_filter, solver.cpp:4065).
+            # lax.cond, not jnp.where: the filter is a full 3-component
+            # stencil pass, and where() would evaluate it every step
+            # (wasting ~(interval-1)/interval of its bandwidth)
             from .forcing import velocity_filter
-            filt = velocity_filter(new_comps, geom, cfg.filter_strength)
             apply_now = (state.step + 1) % max(cfg.filter_interval, 1) == 0
-            new_comps = tuple(
-                jnp.where(apply_now, fc, c) for fc, c in zip(filt, new_comps))
+            new_comps = jax.lax.cond(
+                apply_now,
+                lambda c: velocity_filter(c, geom, cfg.filter_strength),
+                lambda c: c,
+                new_comps)
         zero = jnp.zeros((), self.dtype)
         if with_diags:
             div = ops.divergence(new_comps, geom)

@@ -187,3 +187,46 @@ def test_implicit_y_diffusion_noop_on_open_y():
     out = implicit_y_diffusion(comps, 1e-3, 1e-2, geom)
     for a, b in zip(out, comps):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_implicit_y_diffusion_periodic_face_nu_placement():
+    """On a PERIODIC staggered axis the component's face count equals the
+    cell count, but face i sits between cells i-1 and i: variable nu must
+    be c2f-averaged WITH WRAP, not taken at cell i (half-cell offset).
+    Gate: the backward-Euler update at tiny dt matches the conservative
+    d/dy(nu_face du/dy) operator built with the correctly placed nu."""
+    cfg = _cfg(Nz=1, Ny=32, nu=1e-2, Nx=16)
+    sim = Simulation(cfg)
+    geom = sim.geom
+    state = sim.initial_state()
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal(state.u.shape))
+    # nu varying sharply in x so misplacement is O(1) of the signal
+    xc = np.asarray(sim.mesh.x.centers)
+    nu_eff = jnp.asarray(
+        (1e-2 * (1.0 + 0.9 * np.cos(2 * np.pi * xc / cfg.Lx)))[:, None, None]
+        * np.ones((1, cfg.Ny, 1)))
+    dt = 1e-6
+    out = implicit_y_diffusion((u, state.v, state.w), nu_eff, dt, geom)
+    got = (np.asarray(out[0]) - np.asarray(u)) / dt
+    # reference operator: nu on u's x-faces (wrapped average), then the
+    # same wall-Dirichlet y-flux form the solve discretizes
+    from cfdnn_tpu.ops.operators import c2f_mean
+    nu_f = np.asarray(c2f_mean(nu_eff, 0, geom.axes[0], kind="scalar"))
+    un = np.asarray(u)
+    d = np.asarray(sim.mesh.y.d)
+    yf = np.asarray(sim.mesh.y.faces)
+    yc = np.asarray(sim.mesh.y.centers)
+    dc = np.diff(np.concatenate([[yf[0]], yc, [yf[-1]]]))  # Ny+1 spacings
+    nu_face_y = np.concatenate(
+        [nu_f[:, :1], 0.5 * (nu_f[:, :-1] + nu_f[:, 1:]), nu_f[:, -1:]],
+        axis=1)
+    upad = np.concatenate(
+        [-un[:, :1], un, -un[:, -1:]], axis=1)           # no-slip ghosts*
+    # * the solve's wall rows use flux (u0 - 0)/dc0, equivalent to a zero
+    #   Dirichlet at the wall; emulate with the same one-sided flux:
+    flux = nu_face_y * (upad[:, 1:] - upad[:, :-1]) / dc[None, :, None]
+    flux[:, 0] = nu_face_y[:, 0] * un[:, 0] / dc[0]
+    flux[:, -1] = -nu_face_y[:, -1] * un[:, -1] / dc[-1]
+    want = (flux[:, 1:] - flux[:, :-1]) / d[None, :, None]
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
