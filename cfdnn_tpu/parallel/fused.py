@@ -83,17 +83,24 @@ def _shard_spec(axis_name: str):
     return P(None, None, axis_name)
 
 
+def _ext_setup(geom, mesh: Mesh, axis_name: str, ng: int | None = None):
+    """Shared preamble of the sharded_fused_* wrappers: halo width from
+    the space order (unless pinned), the z-extended local geometry, and
+    the slab PartitionSpec. One definition so a halo-width fix can never
+    again land in some wrappers but not others (commit dd662bf)."""
+    if ng is None:
+        ng = 2 if geom.space_order >= 4 else 1
+    nz_loc = geom.axes[2].n // mesh.shape[axis_name]
+    return ng, extended_z_geometry(geom, nz_loc + 2 * ng), _shard_spec(axis_name)
+
+
 def sharded_fused_predictor(u, v, w, dt, *, geom, mesh: Mesh,
                             axis_name: str, scheme, nu, fx,
                             nu_t=None, interpret=False,
                             implicit_y_diffusion: bool = False):
     """z-sharded fused momentum predictor: ppermute halos + slab kernel."""
     from ..ops.pallas_kernels import fused_predictor_general
-    ng = 2 if geom.space_order >= 4 else 1
-    n_dev = mesh.shape[axis_name]
-    nz_loc = geom.axes[2].n // n_dev
-    geom_ext = extended_z_geometry(geom, nz_loc + 2 * ng)
-    spec = _shard_spec(axis_name)
+    ng, geom_ext, spec = _ext_setup(geom, mesh, axis_name)
     has_nut = nu_t is not None
     in_specs = (spec, spec, spec, P()) + ((spec,) if has_nut else ())
 
@@ -138,11 +145,7 @@ def sharded_fused_divergence(u, v, w, *, geom, mesh: Mesh, axis_name: str,
     """z-sharded staggered divergence (O2: cell k needs face k+1; the
     O4 stencil reaches 2, so the halo width follows space_order)."""
     from ..ops.pallas_kernels import fused_divergence
-    ng = 2 if geom.space_order >= 4 else 1
-    n_dev = mesh.shape[axis_name]
-    nz_loc = geom.axes[2].n // n_dev
-    geom_ext = extended_z_geometry(geom, nz_loc + 2 * ng)
-    spec = _shard_spec(axis_name)
+    ng, geom_ext, spec = _ext_setup(geom, mesh, axis_name)
 
     @functools.partial(jax.shard_map, mesh=mesh,
                        in_specs=(spec, spec, spec), out_specs=spec,
@@ -162,11 +165,7 @@ def sharded_fused_correct(u, v, w, p, dt, *, geom, mesh: Mesh,
     the velocity operands are read pointwise, so their extension is a
     local wrap whose edge-plane outputs are discarded."""
     from ..ops.pallas_kernels import fused_correct
-    ng = 2 if geom.space_order >= 4 else 1
-    n_dev = mesh.shape[axis_name]
-    nz_loc = geom.axes[2].n // n_dev
-    geom_ext = extended_z_geometry(geom, nz_loc + 2 * ng)
-    spec = _shard_spec(axis_name)
+    ng, geom_ext, spec = _ext_setup(geom, mesh, axis_name)
 
     @functools.partial(jax.shard_map, mesh=mesh,
                        in_specs=(spec, spec, spec, spec, P()),
@@ -188,11 +187,7 @@ def sharded_fused_nu_sgs(u, v, w, *, geom, mesh: Mesh, axis_name: str,
                          model_fn, interpret=False):
     """z-sharded fused LES gradient+nu_sgs pipeline."""
     from ..ops.pallas_kernels import fused_nu_sgs
-    ng = 1
-    n_dev = mesh.shape[axis_name]
-    nz_loc = geom.axes[2].n // n_dev
-    geom_ext = extended_z_geometry(geom, nz_loc + 2 * ng)
-    spec = _shard_spec(axis_name)
+    ng, geom_ext, spec = _ext_setup(geom, mesh, axis_name, ng=1)
 
     @functools.partial(jax.shard_map, mesh=mesh,
                        in_specs=(spec, spec, spec), out_specs=spec,
@@ -207,12 +202,17 @@ def sharded_fused_nu_sgs(u, v, w, *, geom, mesh: Mesh, axis_name: str,
 
 
 def sharded_slab_eligible(geom, cfg, n_dev: int) -> bool:
-    """Structural gate for the sharded fast path: globally periodic +
+    """Structural gate for the sharded fast path: periodic + uniform x
+    (the slab kernels tile x with fake-periodic wrap planes, so a
+    wall/inflow x axis would be silently wrapped), globally periodic +
     uniform z, an even z split, at least ng planes per shard, and a local
-    extended block that fits the slab kernels' VMEM budget."""
+    extended block that fits the slab kernels' VMEM budget. Self-
+    contained — callers need not re-check the x axis."""
     from ..ops.pallas_kernels import slab_fits
-    z = geom.axes[2]
+    x, z = geom.axes[0], geom.axes[2]
     ng = 2 if cfg.space_order >= 4 else 1
+    if not (x.periodic and x.uniform and x.n >= 8):
+        return False
     if not (z.periodic and z.uniform and z.n % n_dev == 0):
         return False
     nz_loc = z.n // n_dev

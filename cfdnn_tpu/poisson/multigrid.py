@@ -81,6 +81,13 @@ class _Level:
     line_dsqrt: Optional[jnp.ndarray] = None      # broadcast along line axis
     line_dinv_sqrt: Optional[jnp.ndarray] = None
     line_shifts: Tuple[jnp.ndarray, ...] = ()     # per-other-axis aP vectors
+    # precomputed transfer constants (entry per axis, None if uncoarsened):
+    # restriction volume weights and prolongation self-weight pairs —
+    # device constants like coefs/line_Q, so _restrict/_prolong never
+    # rebuild host-side NumPy weights inside a solve
+    restrict_d: Tuple[Optional[jnp.ndarray], ...] = (None, None, None)
+    prolong_w: Tuple[Optional[Tuple[jnp.ndarray, jnp.ndarray]], ...] = \
+        (None, None, None)
 
     @property
     def shape(self):
@@ -165,7 +172,8 @@ class MGPoissonSolver:
                 f"cells (odd axis sizes prevent halving; the stretched "
                 f"line axis is never coarsened) — use even/power-of-two "
                 f"Nx/Ny/Nz or the FDM solver")
-        self.levels = [self._attach_line_eig(lv) for lv in levels]
+        self.levels = [self._attach_transfer(self._attach_line_eig(lv))
+                       for lv in levels]
         levels = self.levels
 
         # ---- volume weights (compatibility projection) -------------------
@@ -337,8 +345,13 @@ class MGPoissonSolver:
             denom = denom + s
         # strictly negative for any real smoother configuration (Neumann
         # line null mode is shifted by the other axes' diagonals); guard
-        # the degenerate 1-D case by pinning the null mode to zero
-        null = jnp.abs(denom) < jnp.asarray(1e-30, denom.dtype)
+        # the degenerate 1-D case by pinning the null mode to zero. The
+        # threshold is RELATIVE (same convention as fdm._null_thr): the
+        # all-Neumann null eigenvalue comes out of eigh as roundoff
+        # ~eps*||M|| (~1e-13 observed), orders of magnitude above any
+        # absolute cutoff tight enough for the regular modes. denom is
+        # built from level constants, so XLA constant-folds the mask.
+        null = jnp.abs(denom) < 1e-10 * jnp.max(jnp.abs(denom))
         t = jnp.where(null, 0.0, t / jnp.where(null, 1.0, denom))
         return mat(lv.line_Q, t) * lv.line_dinv_sqrt
 
@@ -418,14 +431,34 @@ class MGPoissonSolver:
             rho = rho_new
         return x
 
+    def _attach_transfer(self, lv: _Level) -> _Level:
+        """Precompute the per-axis transfer constants (restriction volume
+        weights, prolongation self-weights) as device arrays, consistent
+        with coefs/line_Q — keeps host-side weight construction out of
+        _restrict/_prolong call sites."""
+        rd, pw = [], []
+        for a in range(3):
+            if not lv.coarsened[a]:
+                rd.append(None)
+                pw.append(None)
+                continue
+            d = lv.axes[a].d
+            rd.append(jnp.asarray(d.reshape(_bshape(d, a)), self.dtype))
+            w_lo, w_hi = self._prolong_weights(lv.axes[a].faces,
+                                               lv.axes[a].periodic)
+            pw.append((
+                jnp.asarray(w_lo.reshape(_bshape(w_lo, a)), self.dtype),
+                jnp.asarray(w_hi.reshape(_bshape(w_hi, a)), self.dtype)))
+        return dataclasses.replace(lv, restrict_d=tuple(rd),
+                                   prolong_w=tuple(pw))
+
     def _restrict(self, lv: _Level, r):
         """Volume-weighted full-weighting restriction along coarsened axes
         (reference restrict_residual :1972, xz-variant :2069)."""
         for a in range(3):
             if not lv.coarsened[a]:
                 continue
-            d = jnp.asarray(lv.axes[a].d.reshape(_bshape(lv.axes[a].d, a)),
-                            r.dtype)
+            d = lv.restrict_d[a]
             num = jax.lax.slice_in_dim(r * d, 0, r.shape[a], 2, axis=a) + \
                 jax.lax.slice_in_dim(r * d, 1, r.shape[a], 2, axis=a)
             den = jax.lax.slice_in_dim(
@@ -484,10 +517,7 @@ class MGPoissonSolver:
                 ep = jnp.concatenate(
                     [jax.lax.slice_in_dim(e, 1, e.shape[a], axis=a), last],
                     axis=a)
-            w_lo, w_hi = self._prolong_weights(lv.axes[a].faces,
-                                               lv.axes[a].periodic)
-            w_lo = jnp.asarray(w_lo.reshape(_bshape(w_lo, a)), e.dtype)
-            w_hi = jnp.asarray(w_hi.reshape(_bshape(w_hi, a)), e.dtype)
+            w_lo, w_hi = lv.prolong_w[a]
             lo = w_lo * e + (1.0 - w_lo) * em
             hi = w_hi * e + (1.0 - w_hi) * ep
             # interleave children along axis a

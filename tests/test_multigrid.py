@@ -91,6 +91,22 @@ def test_mg_stretched_y_semicoarsening():
     assert rel < 1e-6, f"stretched-y MG residual {rel}"
 
 
+def test_mg_line_solve_null_mode_pinned():
+    """Degenerate 1-D all-Neumann line solve: the null-mode coefficient
+    must be pinned to zero, not divided by the eigh-roundoff eigenvalue
+    (~1e-13), which would amplify a constant rhs by ~1e12. The guard is a
+    RELATIVE threshold (absolute 1e-30 can never trigger)."""
+    cfg, mesh, geom = _setup(1, 64, stretch_y=True, bc_y=BCType.WALL)
+    mg = MGPoissonSolver(mesh, cfg)
+    lv = mg.levels[0]
+    assert lv.line_axis == 1 and lv.line_Q is not None
+    assert not lv.line_shifts          # degenerate: no other-axis shift
+    ones = jnp.ones(lv.shape, mg.dtype)     # pure null mode
+    x = mg._line_solve_eig(lv, ones)
+    # un-pinned: |x| ~ 1/eps_eigh ~ 1e12; pinned: exactly the projected 0
+    assert float(jnp.abs(x).max()) < 1e-6
+
+
 def test_mg_adaptive_mode():
     cfg, mesh, geom = _setup(32, 32)
     rng = np.random.default_rng(3)
