@@ -179,12 +179,37 @@ def _upwind_pair(pad, pos, axis, a):
     return num_b / den_b, num_f / den_f
 
 
-def _upwind2_pair(pad2, pos2, axis, a):
-    """(backward, forward) minmod-limited 2nd-order upwind derivatives.
+def _upwind2_deriv_pair(f_m2, f_m1, f_0, f_p1, f_p2, h_b, h_f):
+    """(backward, forward) minmod-limited 2nd-order upwind derivatives,
+    as the difference of MUSCL face reconstructions:
 
-    Matches reference convective_*_upwind2 (include/solver_kernels.hpp:
-    1863-2198) with local spacings on stretched axes.
+      backward: [ (f_0 + s_0/2) - (f_m1 + s_m1/2) ] / h_b
+      forward:  [ (f_p1 - s_p1/2) - (f_0 - s_0f/2) ] / h_f
+
+    with minmod-limited cell slopes s. In smooth regions this reduces to
+    the consistent Beam-Warming stencil (3f_0 - 4f_m1 + f_m2)/(2h) + O(h^2);
+    at extrema the limiter drops it to first-order upwind.
+
+    Role parity with reference convective_*_upwind2 (include/
+    solver_kernels.hpp:1863-2198) — but NOT its formula: the reference
+    ADDS 0.5*minmod(d0, d-1) to the first-order difference, i.e. it
+    applies a face-reconstruction increment as a derivative correction,
+    which evaluates to 1.5x the true derivative in smooth monotone
+    regions (an inconsistent scheme; see PARITY.md "Known reference
+    defects corrected").
     """
+    d_m1 = f_m1 - f_m2
+    d_0 = f_0 - f_m1
+    d_p1 = f_p1 - f_0
+    d_p2 = f_p2 - f_p1
+    back = (d_0 + 0.5 * (_minmod(d_p1, d_0) - _minmod(d_0, d_m1))) / h_b
+    fwd = (d_p1 - 0.5 * (_minmod(d_p2, d_p1) - _minmod(d_p1, d_0))) / h_f
+    return back, fwd
+
+
+def _upwind2_pair(pad2, pos2, axis, a):
+    """(backward, forward) limited 2nd-order upwind derivatives from a
+    2-ghost pad, with local spacings on stretched axes."""
     f_m2 = sl(pad2, axis, 0, -4)
     f_m1 = sl(pad2, axis, 1, -3)
     f_0 = sl(pad2, axis, 2, -2)
@@ -192,9 +217,7 @@ def _upwind2_pair(pad2, pos2, axis, a):
     f_p2 = sl(pad2, axis, 4, None)
     h_b = sl(pos2, a, 2, -2) - sl(pos2, a, 1, -3)
     h_f = sl(pos2, a, 3, -1) - sl(pos2, a, 2, -2)
-    slope_b = _minmod(f_0 - f_m1, f_m1 - f_m2)
-    slope_f = _minmod(f_p1 - f_0, f_p2 - f_p1)
-    return (f_0 - f_m1 + 0.5 * slope_b) / h_b, (f_p1 - f_0 - 0.5 * slope_f) / h_f
+    return _upwind2_deriv_pair(f_m2, f_m1, f_0, f_p1, f_p2, h_b, h_f)
 
 
 def _upwind_pair_periodic(f, pos, axis, a):
@@ -214,9 +237,7 @@ def _upwind2_pair_periodic(f, pos2, axis, a):
     f_p2 = _R(f, 2, axis)
     h_b = sl(pos2, a, 2, -2) - sl(pos2, a, 1, -3)
     h_f = sl(pos2, a, 3, -1) - sl(pos2, a, 2, -2)
-    slope_b = _minmod(f - f_m1, f_m1 - f_m2)
-    slope_f = _minmod(f_p1 - f, f_p2 - f_p1)
-    return (f - f_m1 + 0.5 * slope_b) / h_b, (f_p1 - f - 0.5 * slope_f) / h_f
+    return _upwind2_deriv_pair(f_m2, f_m1, f, f_p1, f_p2, h_b, h_f)
 
 
 # ---------------------------------------------------------------------------
@@ -240,6 +261,10 @@ def _advecting_velocity(comps: Vel, s: int, d: int, geom: Geometry) -> Array:
 
 def _conv_advective(comps: Vel, s: int, geom: Geometry,
                     scheme: ConvectiveScheme) -> Array:
+    # SKEW is handled by _conv_skew (convective() routes it there); the
+    # advective form here is NOT energy-conserving, so silently accepting
+    # SKEW would mislabel a central scheme as skew
+    assert scheme != ConvectiveScheme.SKEW
     phi = comps[s]
     out = jnp.zeros_like(phi)
     for d in range(3):
@@ -247,7 +272,7 @@ def _conv_advective(comps: Vel, s: int, geom: Geometry,
         if ax.n == 1:
             continue
         adv = _advecting_velocity(comps, s, d, geom)
-        if scheme == ConvectiveScheme.CENTRAL or scheme == ConvectiveScheme.SKEW:
+        if scheme == ConvectiveScheme.CENTRAL:
             if geom.use_o4(d):
                 dphi = same_diff4(phi, d, ax)
             else:

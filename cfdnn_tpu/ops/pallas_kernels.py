@@ -313,56 +313,15 @@ def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
     periodic-uniform x axis; x tiled into slabs with `ng` halo planes from
     the neighbor blocks (ng = 2 for O4 stencils). Covers the channel/duct
     hot path and the O4 DNS path."""
-    Nx = u.shape[0]
-    ng = 2 if geom.space_order >= 4 else 1
-    bx = _auto_bx_thin(bx, Nx, geom.axes[1].n, geom.axes[2].n, ng,
-                       heavy=True)
-    if bx < ng:
-        bx = ng   # ng=2 requires bx >= 2 (and even Nx)
-    if Nx % bx:
-        raise ValueError(
-            f"slab predictor cannot tile Nx={Nx} into bx={bx} blocks "
-            f"(odd Nx with O4?) — the last {Nx % bx} planes would never "
-            f"be written; use an even Nx or use_pallas='off'")
-    G = Nx // bx
-    thin = (bx % ng == 0 and Nx % ng == 0)
-    slab_geom = _slab_geometry(geom, bx, ng)
-
-    def specs_for(arr):
-        if thin:
-            return _thin_specs(arr, bx, ng, Nx)
-        blk = (bx,) + arr.shape[1:]
-        return [pl.BlockSpec(blk, lambda i, o=off: ((i + o) % G, 0, 0),
-                             memory_space=pltpu.VMEM)
-                for off in (-1, 0, 1)]
-
-    garrs = [jnp.asarray(a, u.dtype) for a in _geom_arrays(slab_geom)]
-    fields = (u, v, w) if nu_t is None else (u, v, w, nu_t)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in garrs]
-    for arr in fields:
-        in_specs += specs_for(arr)
-    out_specs = [pl.BlockSpec((bx,) + arr.shape[1:], lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM)
-                 for arr in (u, v, w)]
-    out_shape = [jax.ShapeDtypeStruct(arr.shape, arr.dtype)
-                 for arr in (u, v, w)]
-    dt_arr = jnp.reshape(jnp.asarray(dt, u.dtype), (1,))
-    kernel = functools.partial(_general_kernel, slab_geom=slab_geom,
-                               scheme=scheme, nu=nu, fx=fx, ng=ng,
-                               has_nut=nu_t is not None)
-    triple = []
-    for arr in fields:
-        triple += [arr, arr, arr]
-    return pl.pallas_call(
-        kernel,
-        grid=(G,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        compiler_params=_fat_kernel_params(u.shape[1], u.shape[2], bx),
-        interpret=interpret,
-    )(dt_arr, *garrs, *triple)
+    assert geom.axes[0].periodic, \
+        "the fake-periodic slab tiling requires a periodic x axis"
+    fields = [u, v, w] if nu_t is None else [u, v, w, nu_t]
+    shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in (u, v, w)]
+    return _slab_call(
+        _general_kernel, geom, fields, [], shapes, bx, _stencil_ng(geom),
+        interpret, dt=dt, fat=True, heavy=True,
+        kernel_kwargs=dict(scheme=scheme, nu=nu, fx=fx,
+                           has_nut=nu_t is not None))
 
 
 def _nu_sgs_kernel(*refs, slab_geom, model_fn, ng):
@@ -385,34 +344,13 @@ def fused_nu_sgs(u, v, w, *, geom, model_fn, bx=4, interpret=False):
     """Run `model_fn(comps, geom) -> nu_sgs(cells)` as a fused x-slab
     Pallas kernel (LES closures: one HBM pass over the velocity instead of
     materialized gradient tensors). Requires periodic uniform x."""
-    Nx = u.shape[0]
-    ng = 1
-    bx = _auto_bx_thin(bx, Nx, geom.axes[1].n, geom.axes[2].n)
-    G = Nx // bx
-    slab_geom = _slab_geometry(geom, bx, ng)
-
-    def specs_for(arr):
-        return _thin_specs(arr, bx, 1, Nx)
-
-    garrs = [jnp.asarray(a, u.dtype) for a in _geom_arrays(slab_geom)]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in garrs]
-    for arr in (u, v, w):
-        in_specs += specs_for(arr)
-    ny = geom.axes[1].n
-    nz = geom.axes[2].n
-    out_spec = pl.BlockSpec((bx, ny, nz), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    kernel = functools.partial(_nu_sgs_kernel, slab_geom=slab_geom,
-                               model_fn=model_fn, ng=ng)
-    return pl.pallas_call(
-        kernel,
-        grid=(G,),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((Nx, ny, nz), u.dtype),
-        compiler_params=_fat_kernel_params(ny, nz, bx),
-        interpret=interpret,
-    )(*garrs, u, u, u, v, v, v, w, w, w)
+    assert geom.axes[0].periodic, \
+        "the fake-periodic slab tiling requires a periodic x axis"
+    ny, nz = geom.axes[1].n, geom.axes[2].n
+    return _slab_call(
+        _nu_sgs_kernel, geom, [u, v, w], [],
+        jax.ShapeDtypeStruct((u.shape[0], ny, nz), u.dtype),
+        bx, 1, interpret, fat=True, kernel_kwargs=dict(model_fn=model_fn))
 
 
 def _divergence_kernel(*refs, slab_geom, ng):
@@ -460,11 +398,24 @@ def _fat_kernel_params(ny, nz, bx):
 
 
 def _slab_call(kernel, geom, fields_tripled, fields_plain, out_shapes,
-               bx, ng, interpret, dt=None, fat=False):
-    """Shared pallas_call assembly for the slab-stencil kernels."""
+               bx, ng, interpret, dt=None, fat=False, heavy=False,
+               kernel_kwargs=None):
+    """Shared pallas_call assembly for ALL the slab-stencil kernels
+    (predictor, divergence, correct, nu_sgs): slab sizing + guards, thin
+    vs full halo-block specs, geometry threading, tripled operands, SMEM
+    dt, out specs. One definition so sizing/guard fixes cannot land in
+    one kernel's copy but not another's."""
     ref0 = fields_tripled[0] if fields_tripled else fields_plain[0]
     Nx = ref0.shape[0]
-    bx = _auto_bx_thin(bx, Nx, geom.axes[1].n, geom.axes[2].n, ng)
+    bx = _auto_bx_thin(bx, Nx, geom.axes[1].n, geom.axes[2].n, ng,
+                       heavy=heavy)
+    if bx < ng:
+        bx = ng   # ng=2 needs bx >= 2: an ng-plane halo block cannot be
+        # cut from a 1-plane neighbor (same guard as the predictor)
+    if Nx % bx:
+        raise ValueError(
+            f"slab kernel cannot tile Nx={Nx} into bx={bx} blocks "
+            f"(odd Nx with O4?) — use an even Nx or use_pallas='off'")
     G = Nx // bx
     thin = (bx % ng == 0 and Nx % ng == 0)
     slab_geom = _slab_geometry(geom, bx, ng)
@@ -499,7 +450,8 @@ def _slab_call(kernel, geom, fields_tripled, fields_plain, out_shapes,
     cp = (_fat_kernel_params(geom.axes[1].n, geom.axes[2].n, bx) if fat
           else _slab_compiler_params(geom.axes[1].n, geom.axes[2].n))
     out = pl.pallas_call(
-        functools.partial(kernel, slab_geom=slab_geom, ng=ng),
+        functools.partial(kernel, slab_geom=slab_geom, ng=ng,
+                          **(kernel_kwargs or {})),
         grid=(G,),
         in_specs=in_specs,
         out_specs=out_specs if isinstance(out_shapes, list) else out_specs[0],
@@ -531,6 +483,8 @@ def fused_divergence(u, v, w, *, geom, bx=8, interpret=False):
 
 def fused_correct(u, v, w, p, dt, *, geom, bx=8, interpret=False):
     """u -= dt grad(p) as one slab kernel (periodic uniform x)."""
+    assert geom.axes[0].periodic, \
+        "the fake-periodic slab tiling requires a periodic x axis"
     shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in (u, v, w)]
     return _slab_call(_correct_kernel, geom, [p], [u, v, w], shapes,
                       bx, _stencil_ng(geom), interpret, dt=dt)

@@ -17,8 +17,12 @@ import jax.numpy as jnp
 def thomas(lower, diag, upper, rhs, axis: int):
     """Solve tridiagonal systems along `axis`.
 
-    lower/diag/upper broadcast against rhs; lower[0] and upper[-1] along the
-    solve axis are ignored (standard convention).
+    lower/diag/upper broadcast against rhs (full-rank or scalar). A 1-D
+    length-n vector is taken ALONG THE SOLVE AXIS — never by trailing-dim
+    alignment, which would silently lay the coefficients across the batch
+    whenever a trailing dim happens to equal n (e.g. axis=1 on a cubic
+    grid). lower[0] and upper[-1] along the solve axis are ignored
+    (standard convention).
     """
     n = rhs.shape[axis]
     r = jnp.moveaxis(rhs, axis, 0)
@@ -29,7 +33,17 @@ def thomas(lower, diag, upper, rhs, axis: int):
         # 3-D coefficient arrays would ~4x the memory traffic of the
         # implicit-y solve for the common (1,Ny,1) coefficients)
         c = jnp.asarray(c)
-        if c.ndim != rhs.ndim:
+        if c.ndim == 1 and c.shape[0] == n:
+            s = [1] * rhs.ndim
+            s[axis] = n
+            c = c.reshape(s)
+        elif c.ndim != rhs.ndim:
+            if c.ndim != 0:
+                raise ValueError(
+                    f"thomas coefficient of shape {c.shape} is ambiguous "
+                    f"against rhs {rhs.shape} (solve axis {axis}, n={n}); "
+                    f"pass a scalar, a length-n vector, or a full-rank "
+                    f"broadcastable array")
             c = jnp.broadcast_to(c, rhs.shape)
         c = jnp.moveaxis(c, axis, 0)
         if c.shape[0] != n:

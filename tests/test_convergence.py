@@ -51,6 +51,44 @@ def test_divergence_order(order, expected):
     assert rate > expected - 0.3, f"order {order}: measured rate {rate}"
 
 
+@pytest.mark.parametrize("scheme,linf_order,l2_order", [
+    ("upwind", 1.0, 1.0),
+    ("upwind2", 1.0, 1.5),     # minmod clips at smooth extrema: O(h) in a
+])                             # width-O(h) band -> Linf 1, L2 1.5
+def test_upwind_convective_order(scheme, linf_order, l2_order):
+    """u du/dx for u = 2 + sin(x) on a periodic axis: the upwind schemes
+    must CONVERGE. Regression for the reference's upwind2 defect (a MUSCL
+    reconstruction increment applied as a derivative correction gives
+    1.5x the derivative in smooth monotone regions — an O(1) error that
+    never shrinks; PARITY.md 'Known reference defects corrected')."""
+    from cfdnn_tpu.config import ConvectiveScheme
+    sch = ConvectiveScheme(scheme)
+    errs_inf, errs_2, Ns = [], [], [32, 64, 128]
+    for N in Ns:
+        cfg = Config(Nx=N, Ny=8, Nz=1, bc_x=BCType.PERIODIC,
+                     nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                     dp_dx_specified=True, dtype="float64",
+                     convective_scheme=sch)
+        mesh = Mesh.from_config(cfg)
+        geom = Geometry.make(mesh, cfg)
+        xf = mesh.x.faces[:-1]
+        u = jnp.asarray(np.broadcast_to(
+            (2.0 + np.sin(xf)).reshape(N, 1, 1), (N, 8, 1)))
+        v = jnp.zeros((N, 9, 1))
+        w = jnp.zeros((N, 8, 1))
+        conv = np.asarray(ops.convective((u, v, w), geom, sch)[0])
+        exact = ((2.0 + np.sin(xf)) * np.cos(xf)).reshape(N, 1, 1)
+        e = conv - exact
+        errs_inf.append(np.abs(e).max())
+        errs_2.append(np.sqrt((e ** 2).mean()))
+    assert _rate(errs_inf, Ns) > linf_order - 0.15, \
+        f"{scheme} Linf errors do not converge: {errs_inf}"
+    assert _rate(errs_2, Ns) > l2_order - 0.15, \
+        f"{scheme} L2 errors do not converge: {errs_2}"
+    # the old inconsistent form plateaus at ~0.5*max|cos| = 0.5
+    assert errs_inf[-1] < (0.1 if scheme == "upwind" else 0.05)
+
+
 @pytest.mark.parametrize("order,expected", [(2, 2.0), (4, 4.0)])
 def test_laplacian_order(order, expected):
     errs, Ns = [], [16, 32, 64]
