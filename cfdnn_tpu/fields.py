@@ -49,6 +49,11 @@ class State:
     t: jax.Array                      # scalar physical time
     step: jax.Array                   # scalar int step counter
     dt_prev: jax.Array                # last dt used (diagnostics/adaptive)
+    # Kahan carry for t: in the f32 working dtype, plain t += dt loses the
+    # low bits of dt once t/dt > ~2^24 (time freezes at ~1.6e7 steps and
+    # drifts long before); the compensated sum keeps t exact to O(eps).
+    # Optional so pre-existing checkpoints (no such key) restore cleanly.
+    t_comp: Optional[jax.Array] = None
     # Turbulence transport variables (None unless a transport closure is on)
     k: Optional[jax.Array] = None
     omega: Optional[jax.Array] = None
@@ -101,6 +106,7 @@ def zero_state(cfg: Config) -> State:
     return State(
         u=z(su), v=z(sv), w=z(sw), p=z(sc),
         t=jnp.zeros((), dtype),
+        t_comp=jnp.zeros((), dtype),
         step=jnp.zeros((), jnp.int32),
         dt_prev=jnp.asarray(cfg.dt, dtype),
         **kw,
@@ -196,7 +202,8 @@ def init_turbulent_channel(cfg: Config, mesh: Mesh, U_bulk: float = 15.6,
         rng = np.random.default_rng(11)
         scale = amp * U_bulk
         eta_c = (mesh.y.centers - ymid) / delta        # [-1, 1]
-        eta_f = (mesh.y.faces - ymid) / delta
+        # slice to the stored-DOF face count (periodic y drops face Ny)
+        eta_f = ((mesh.y.faces - ymid) / delta)[: st.v.shape[1]]
         xg_f = mesh.x.faces[: st.u.shape[0]]
         xg_c = mesh.x.centers
         zg_c = mesh.z.centers

@@ -31,18 +31,9 @@ def _native():
 
 def _vel_centers(state, geom):
     """Velocity interpolated to cell centers (host-side numpy)."""
-    from ..ops.operators import f2c_mean
-    comps = (state.u, state.v, state.w)
-    out = []
-    for i in range(3):
-        ax = geom.axes[i]
-        if ax.n > 1:
-            out.append(np.asarray(f2c_mean(comps[i], i, ax)))
-        else:
-            out.append(np.broadcast_to(
-                np.asarray(comps[i]),
-                tuple(geom.axes[a].n for a in range(3))))
-    return out
+    from ..turbulence.base import cell_center_velocity
+    return [np.asarray(c)
+            for c in cell_center_velocity((state.u, state.v, state.w), geom)]
 
 
 def write_vtk(path: str, state, mesh, geom, cfg,
@@ -51,8 +42,8 @@ def write_vtk(path: str, state, mesh, geom, cfg,
 
     2D => ASCII; 3D => big-endian binary doubles when cfg.vtk_binary
     (reference write_vtk :45-109). STRUCTURED_POINTS uses the uniform
-    spacing; stretched meshes are written with mean spacing plus a sidecar
-    `<path>.ycoords.txt` carrying the true y centers.
+    spacing; stretched axes are written with mean spacing plus sidecars
+    `<path>.ycoords.txt` / `.zcoords.txt` carrying the true centers.
     """
     u, v, w = _vel_centers(state, geom)
     p = np.asarray(state.p)
@@ -71,8 +62,10 @@ def write_vtk(path: str, state, mesh, geom, cfg,
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     dx = mesh.x.h
+    # mean spacing on stretched axes (the true coordinates go in the
+    # sidecars below); z.h would be the smallest wall-adjacent cell
     dy = float(np.mean(mesh.y.d))
-    dz = mesh.z.h if Nz > 1 else 1.0
+    dz = float(np.mean(mesh.z.d)) if Nz > 1 else 1.0
 
     def c_order(a):
         # VTK iterates x fastest: transpose (i,j,k) -> (k,j,i) then ravel
@@ -88,6 +81,10 @@ def write_vtk(path: str, state, mesh, geom, cfg,
         line("BINARY\n" if binary else "ASCII\n")
         line("DATASET STRUCTURED_POINTS\n")
         line(f"DIMENSIONS {Nx} {Ny} {Nz}\n")
+        # ORIGIN is the domain corner while the data are cell-centered —
+        # a half-cell shift inherited verbatim from the reference writer
+        # (src/solver_vtk.cpp:87) so its postprocessing scripts read both
+        # frameworks' files identically; the sidecars carry true centers.
         line(f"ORIGIN {mesh.x.lo} {mesh.y.lo} {mesh.z.lo}\n")
         line(f"SPACING {dx} {dy} {dz}\n")
         line(f"POINT_DATA {Nx * Ny * Nz}\n")
@@ -118,6 +115,8 @@ def write_vtk(path: str, state, mesh, geom, cfg,
 
     if not mesh.y.uniform:
         np.savetxt(path + ".ycoords.txt", mesh.y.centers, fmt="%.16e")
+    if not mesh.z.uniform:
+        np.savetxt(path + ".zcoords.txt", mesh.z.centers, fmt="%.16e")
 
 
 def read_vtk_scalars(path: str) -> Dict[str, np.ndarray]:

@@ -56,13 +56,9 @@ class Axis1D:
         else:
             faces = np.linspace(lo, hi, n + 1)
             uniform = True
-        centers = 0.5 * (faces[:-1] + faces[1:])
-        d = np.diff(faces)
-        dc = np.empty(n + 1)
-        dc[1:n] = centers[1:] - centers[:-1]
-        dc[0] = centers[0] - faces[0]
-        dc[n] = faces[n] - centers[n - 1]
-        return cls(n=n, faces=faces, centers=centers, d=d, dc=dc, uniform=uniform)
+        ax = cls.from_faces(faces)
+        ax.uniform = uniform   # exact flag, not from_faces' allclose guess
+        return ax
 
     @classmethod
     def from_faces(cls, faces: np.ndarray) -> "Axis1D":
@@ -121,15 +117,19 @@ class Axis1D:
             # ghost distances (mirror): 2*(center-to-wall)
             g_lo = 2.0 * (self.centers[0] - self.faces[0])
             g_hi = 2.0 * (self.faces[-1] - self.centers[-1])
+            # dirichlet (ghost = -p0 mirrored at g = 2*dc_boundary): the
+            # ghost term 2/(d*g) equals aS/aN exactly because dc at the
+            # boundary IS center-to-wall — Dirichlet leaves aP unchanged
+            # while Neumann folds the boundary coefficient into aP. Keep
+            # the identity asserted so a change to from_faces' dc
+            # convention cannot silently skew the boundary operator.
+            assert abs(aS[0] - 2.0 / (d[0] * g_lo)) <= 1e-12 * aS[0]
+            assert abs(aN[-1] - 2.0 / (d[-1] * g_hi)) <= 1e-12 * aN[-1]
             if lo == "neumann":
                 aP[0] += aS[0]
-            else:  # dirichlet: ghost = -p0 at mirrored position
-                aP[0] += aS[0] - 2.0 / (d[0] * g_lo)
             aS[0] = 0.0
             if hi == "neumann":
                 aP[-1] += aN[-1]
-            else:
-                aP[-1] += aN[-1] - 2.0 / (d[-1] * g_hi)
             aN[-1] = 0.0
         return aS, aP, aN
 

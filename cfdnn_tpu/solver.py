@@ -777,9 +777,17 @@ class Simulation:
             fx = sum(f[0] for f in forces)
             fy = sum(f[1] for f in forces)
             fz = sum(f[2] for f in forces)
+        # Kahan-compensated t += dt: in f32 the plain sum freezes once
+        # t/dt > ~2^24 and drifts long before (fields.State.t_comp). XLA
+        # does not reassociate float arithmetic, so the carry survives jit.
+        t_comp = (state.t_comp if state.t_comp is not None
+                  else jnp.zeros((), state.t.dtype))
+        y = dt - t_comp
+        t_new = state.t + y
         new_state = state.replace(
             u=new_comps[0], v=new_comps[1], w=new_comps[2], p=p,
-            t=state.t + dt, step=state.step + 1, dt_prev=dt,
+            t=t_new, t_comp=(t_new - state.t) - y,
+            step=state.step + 1, dt_prev=dt,
             nu_t=nu_t if state.nu_t is not None else None,
         )
         if inlet is not None:

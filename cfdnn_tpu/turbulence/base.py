@@ -98,11 +98,20 @@ def cell_center_velocity(comps, geom):
     """(u,v,w) interpolated to cell centers (reference u_center helpers,
     include/fields.hpp:12-222)."""
     from ..ops.operators import f2c_mean
-    return tuple(
-        f2c_mean(comps[i], i, geom.axes[i]) if geom.axes[i].n > 1 else
-        jnp.broadcast_to(comps[i], tuple(geom.axes[a].n for a in range(3)))
-        for i in range(3)
-    )
+
+    def center(i):
+        ax = geom.axes[i]
+        if ax.n > 1:
+            return f2c_mean(comps[i], i, ax)
+        c = comps[i]
+        if c.shape[i] == 2:
+            # unit axis with stored boundary faces (e.g. Nz=1, bc_z=WALL):
+            # the single cell's center value is the face mean
+            c = 0.5 * (jnp.take(c, 0, i) + jnp.take(c, 1, i))
+            c = jnp.expand_dims(c, i)
+        return jnp.broadcast_to(c, tuple(geom.axes[a].n for a in range(3)))
+
+    return tuple(center(i) for i in range(3))
 
 
 # ---------------------------------------------------------------------------

@@ -5,10 +5,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-C_MU = 0.09
-K_FLOOR = 1e-10
-OMEGA_FLOOR = 1e-10
-
 
 def safe_tanh(x, cap: float = 30.0):
     """tanh with the argument clamped to +-cap (tanh(30) == 1.0 to 26

@@ -125,3 +125,40 @@ def test_cylinder_external_mode(tmp_path):
     assert sim.cfg.bc_x.value == "inflow"
     assert getattr(sim, "_inflow_u", None) is not None
     assert np.isfinite(float(diags.ke))
+
+
+def test_vtk_stretched_z_sidecar(tmp_path):
+    """Stretched-z meshes must write mean spacing + a .zcoords.txt sidecar
+    (regression: z spacing was the smallest wall-adjacent cell, silently
+    shrinking the VTK z extent ~3x with no way to recover coordinates)."""
+    from cfdnn_tpu import BCType, Config, Simulation, zero_state
+    cfg = Config(Nx=8, Ny=8, Nz=16, bc_z=BCType.WALL, stretch_z=True,
+                 z_min=0.0, z_max=1.0, nu=1e-3, nu_specified=True,
+                 dp_dx=-1e-3, dp_dx_specified=True, dtype="float64")
+    sim = Simulation(cfg)
+    path = str(tmp_path / "duct.vtk")
+    write_vtk(path, zero_state(cfg), sim.mesh, sim.geom, cfg)
+    zc = np.loadtxt(path + ".zcoords.txt")
+    np.testing.assert_allclose(zc, sim.mesh.z.centers)
+    with open(path, "rb") as fh:
+        head = fh.read(300).decode(errors="replace")
+    dz = float(head.split("SPACING")[1].split("\n")[0].split()[2])
+    # mean spacing reconstructs the true extent: Nz * dz == Lz
+    assert abs(16 * dz - 1.0) < 1e-12
+
+
+def test_vtk_unit_axis_with_wall_faces(tmp_path):
+    """Nz=1 with bc_z=WALL stores 2 boundary w-faces; snapshotting must
+    average them to the cell center, not crash broadcasting (Nx,Ny,2)->
+    (Nx,Ny,1). Twin helper cell_center_velocity shares the fix."""
+    from cfdnn_tpu import BCType, Config, Simulation, zero_state
+    cfg = Config(Nx=8, Ny=8, Nz=1, bc_z=BCType.WALL, nu=1e-3,
+                 nu_specified=True, dp_dx=-1e-3, dp_dx_specified=True,
+                 dtype="float64")
+    sim = Simulation(cfg)
+    st = zero_state(cfg)
+    st = st.replace(w=st.w.at[:, :, 0].set(1.0).at[:, :, 1].set(3.0))
+    path = str(tmp_path / "quasi2d.vtk")
+    write_vtk(path, st, sim.mesh, sim.geom, cfg)
+    data = read_vtk_scalars(path)
+    np.testing.assert_allclose(data["velocity"][:, 2], 2.0)

@@ -177,3 +177,38 @@ class TestStepSmoke:
         state, d = sim.step(state)
         assert np.isfinite(float(d.ke))
         assert float(d.div_linf) < 1e-10
+
+
+# ---------------------------------------------------------------------------
+# Time-accumulation precision + IC layout regressions
+# ---------------------------------------------------------------------------
+
+class TestTimeAndICs:
+    def test_time_advances_past_f32_freeze(self):
+        """Kahan-compensated t += dt: in float32, plain accumulation
+        freezes once eps(t) > dt (t=2048, dt=1e-4 -> t+dt == t). The
+        carried t_comp must keep time advancing and accurate."""
+        cfg = Config(Nx=8, Ny=8, Nz=1, nu=0.05, nu_specified=True,
+                     dp_dx=-1e-3, dp_dx_specified=True, dt=1e-4,
+                     adaptive_dt=False, dtype="float32").finalize()
+        sim = Simulation(cfg)
+        state = zero_state(cfg).replace(t=jnp.asarray(2048.0, jnp.float32))
+        n = 50
+        for _ in range(n):
+            state, _ = sim.step(state)
+        t = float(state.t) + float(state.t_comp)
+        # plain f32 accumulation would leave t == 2048.0 exactly
+        assert t > 2048.0
+        assert abs((t - 2048.0) - n * cfg.dt) < 0.2 * n * cfg.dt
+
+    def test_turbulent_channel_ic_periodic_y(self):
+        """init_turbulent_channel must respect the stored-DOF v layout
+        (periodic y drops face Ny; the perturbation grid must follow)."""
+        from cfdnn_tpu.fields import init_turbulent_channel
+        cfg = Config(Nx=8, Ny=8, Nz=8, bc_y=BCType.PERIODIC,
+                     y_min=0.0, y_max=2 * np.pi, z_min=0.0, z_max=2 * np.pi,
+                     nu=1e-3, nu_specified=True, dp_dx=0.0,
+                     dp_dx_specified=True, dtype="float64").finalize()
+        st = init_turbulent_channel(cfg, Mesh.from_config(cfg))
+        assert st.v.shape == (8, 8, 8)
+        assert np.all(np.isfinite(np.asarray(st.v)))
