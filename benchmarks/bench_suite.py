@@ -97,27 +97,34 @@ def bench_poisson(n=128):
         ("mg_6cycles", MGPoissonSolver(mesh_ch, cfg_ch).solve),
     ]
     for name, solve in solvers:
-        # scan many solves inside ONE dispatch: per-call tunnel overhead
-        # (~25 ms) would otherwise swamp a ~0.1-2 ms solve. The MG body
-        # is itself a while_loop, so keep its scan short (compile time).
-        nsolv = 200 if name.startswith("fdm") else 5
+        # Differential timing: scan L1 and L2 solves inside one dispatch
+        # each and report (t2 - t1) / (L2 - L1). The ~25 ms/dispatch
+        # tunnel overhead cancels exactly — it distorted the ~1.3 ms MG
+        # solve into 7.4 ms at a naive L=5, and even at L=200 it added
+        # ~0.13 ms to the sub-ms FDM solves.
+        L1, L2 = (40, 200) if name.startswith("fdm") else (10, 50)
 
-        @jax.jit
-        def f(r, s=solve, L=nsolv):
-            def body(c, _):
-                return s(c), None
-            out, _ = jax.lax.scan(body, r, None, length=L)
-            return out
+        def make(L, s=solve):
+            @jax.jit
+            def f(r):
+                def body(c, _):
+                    return s(c), None
+                out, _ = jax.lax.scan(body, r, None, length=L)
+                return out
+            return f
 
-        o = f(rhs)
-        jax.block_until_ready(o)
-        best = float("inf")
+        f1, f2 = make(L1), make(L2)
+        jax.block_until_ready(f1(rhs))
+        jax.block_until_ready(f2(rhs))
+        best1 = best2 = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            o = f(rhs)
-            jax.block_until_ready(o)
-            best = min(best, (time.perf_counter() - t0) / nsolv)
-        _emit(f"poisson_{name}_{n}cube", best, n**3)
+            jax.block_until_ready(f1(rhs))
+            best1 = min(best1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            jax.block_until_ready(f2(rhs))
+            best2 = min(best2, time.perf_counter() - t0)
+        _emit(f"poisson_{name}_{n}cube", (best2 - best1) / (L2 - L1), n**3)
 
 
 def bench_les_ibm(n=128):
