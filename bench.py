@@ -28,23 +28,30 @@ BASELINE_CHANNEL_MCELLS = 452.0   # H200, 128^3 channel, MG + CUDA graph
 
 
 def _time_steps(sim, state, steps=1000, reps=3):
-    """Best-of-reps seconds/step after a compile+warmup run of the same
-    static step count (the shared-TPU tunnel adds timing noise).
+    """Differential best-of-reps seconds/step.
 
-    steps=1000 per dispatch: the n-step loop is a single on-device
-    lax.scan, so a long run amortizes the ~25 ms/call tunnel dispatch +
-    transfer overhead that would otherwise dominate (device-trace busy
-    time at 128^3 is 0.197 ms/step; 100-step calls report 0.49 ms)."""
+    The n-step loop is a single on-device lax.scan. Timing dispatches of
+    `steps` and `steps//5` and reporting the marginal cost cancels the
+    ~25 ms/call tunnel dispatch + transfer overhead exactly — at 1000
+    steps a naive average still carries +0.025 ms/step, which is >10% of
+    the 128^3 step. The differential result matches the device-trace
+    busy time (0.197 ms/step at 128^3 vs 0.49 ms naive at 100 steps)."""
+    short = max(steps // 5, 1)
     state, d = sim.run(state, steps)
     jax.block_until_ready(state)
-    best = float("inf")
+    jax.block_until_ready(sim.run(state, short)[0])
+    best_l = best_s = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        state, d = sim.run(state, steps)
-        jax.block_until_ready(state)
-        best = min(best, time.perf_counter() - t0)
+        out, d = sim.run(state, steps)
+        jax.block_until_ready(out)
+        best_l = min(best_l, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out_s, _ = sim.run(state, short)
+        jax.block_until_ready(out_s)
+        best_s = min(best_s, time.perf_counter() - t0)
     assert np.isfinite(float(d.ke)), "NaN in benchmark run"
-    return best / steps, d
+    return (best_l - best_s) / (steps - short), d
 
 
 def bench_tgv(n=128):

@@ -20,19 +20,27 @@ import numpy as np
 
 
 def _time_run(sim, state, steps=1000, reps=3):
-    """The n-step loop is one on-device lax.scan; long runs amortize the
-    ~25 ms/dispatch tunnel overhead (device-trace busy time at 128^3 is
-    0.197 ms/step while 100-step dispatches report 0.49 ms wall)."""
+    """Differential timing: the n-step loop is one on-device lax.scan;
+    time dispatches of `steps` and `steps//5` and report the marginal
+    cost so the ~25 ms/call tunnel dispatch + transfer overhead cancels
+    exactly (it would otherwise add 25/steps ms/step — 10%+ for the
+    sub-ms benches run with short scans)."""
+    short = max(steps // 5, 1)
     state, d = sim.run(state, steps)
     jax.block_until_ready(state)
-    best = float("inf")
+    jax.block_until_ready(sim.run(state, short)[0])
+    best_l = best_s = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        state, d = sim.run(state, steps)
-        jax.block_until_ready(state)
-        best = min(best, time.perf_counter() - t0)
+        out, d = sim.run(state, steps)
+        jax.block_until_ready(out)
+        best_l = min(best_l, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out_s, _ = sim.run(state, short)
+        jax.block_until_ready(out_s)
+        best_s = min(best_s, time.perf_counter() - t0)
     assert np.isfinite(float(d.ke))
-    return best / steps
+    return (best_l - best_s) / (steps - short)
 
 
 def _emit(name, ms, ncells, extra=None):
