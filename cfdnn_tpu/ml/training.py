@@ -161,6 +161,17 @@ def synthetic_channel_dataset(n: int = 20000, nu: float = 1e-3,
     Oxy = 0.5 * Om * rng.choice([-1.0, 1.0], n)
     Sxx_n, Sxy_n, Oxy_n = Sxx * tau_t, Sxy * tau_t, Oxy * tau_t
     Syy_n = -Sxx_n
+    # Cap the k/eps-normalized tensor magnitude at |S*| <= 3: the raw
+    # lognormal strain times tau_t in [0.5, 5] reaches ~30, far outside
+    # the O(1-3) range of real normalized channel/hills data (McConkey),
+    # and the resulting unbounded b labels dominate the tensor-basis MSE
+    # so badly that training cannot generalize (a-priori holdout R^2
+    # was negative before this cap).
+    s_mag = np.sqrt(Sxx_n**2 + Syy_n**2 + 2 * Sxy_n**2)
+    cap = np.minimum(1.0, 3.0 / np.maximum(s_mag, 1e-12))
+    Sxx_n, Sxy_n, Syy_n = Sxx_n * cap, Sxy_n * cap, Syy_n * cap
+    Oxy_n = Oxy_n * np.minimum(1.0, 3.0 / np.maximum(
+        np.sqrt(2.0) * np.abs(Oxy_n), 1e-12))
     inv = np.stack([
         2.0 * (Sxx_n**2 + Syy_n**2 + 2 * Sxy_n**2),
         4.0 * Oxy_n**2,

@@ -31,7 +31,9 @@ def main():
 
     if args.npz:
         d = np.load(args.npz)
-        inv, basis, b = d["invariants"], d["basis"], d["b"]
+        # preprocess_mcconkey_csv.py writes the labels as "anisotropy"
+        inv, basis = d["invariants"], d["basis"]
+        b = d["anisotropy"] if "anisotropy" in d else d["b"]
     else:
         data = synthetic_channel_dataset(args.n_synth)
         inv, basis, b = data["invariants"], data["basis"], data["b"]

@@ -210,3 +210,55 @@ def test_sst_distilled_preset_runs_channel(record_qoi):
     record_qoi("mlp_sst_preset_nut_peak_plus", peak_plus)
     # SST channel peak nu_t+ sits in 10-40 (test_rans_accuracy gate)
     assert 5.0 < peak_plus < 60.0, peak_plus
+
+
+def test_validate_trained_model_script(tmp_path):
+    """scripts/validate_trained_model.py a-priori gates (reference
+    scripts/validate_trained_model.py): a model trained on the dataset
+    scores near-perfect R^2 on a holdout of it; identity-weight junk
+    fails the same gate."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import validate_trained_model as vtm
+
+    d = synthetic_channel_dataset(n=4000, seed=3)
+    mlp, _ = train_mlp(d["features"], d["nu_t"], hidden=[32],
+                       epochs=120, batch=512)
+    hold = synthetic_channel_dataset(n=2000, seed=4)
+    res = vtm.validate_mlp(mlp, {"features": hold["features"],
+                                 "nu_t": hold["nu_t"]})
+    assert res["r2"] > 0.8, res
+
+    tb, _ = train_tbnn(d["invariants"], d["basis"], d["b"],
+                       hidden=[32, 32], epochs=120, batch=512)
+    res_tb = vtm.validate_tbnn(tb, {"invariants": hold["invariants"],
+                                    "basis": hold["basis"],
+                                    "b": hold["b"]})
+    assert res_tb["r2"] > 0.5, res_tb
+    assert set(res_tb["component_rmse"]) == {"b_xx", "b_xy", "b_yy"}
+
+    # a random-weight model must NOT pass the same gate
+    import jax
+    junk = MLP.from_dims([6, 8, 1], key=jax.random.PRNGKey(9))
+    res_junk = vtm.validate_mlp(junk, {"features": hold["features"],
+                                       "nu_t": hold["nu_t"]})
+    assert res_junk["r2"] < 0.5
+
+
+def test_fix_normalization_stats_script(tmp_path):
+    """scripts/fix_normalization_stats.py detects and repairs degenerate
+    scaling (reference scripts/fix_normalization_stats.py)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import fix_normalization_stats as fns
+
+    means = np.array([0.0, 1.0, np.nan])
+    stds = np.array([1.0, 0.0, 2.0])
+    issues = fns.check(means, stds)
+    assert any("non-finite" in s for s in issues)
+    assert any("zero stds" in s for s in issues)
+    assert fns.check(np.zeros(3), np.ones(3)) == []
