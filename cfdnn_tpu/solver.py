@@ -442,11 +442,14 @@ class Simulation:
         rw = -conv[2] + diff[2]
         return ru, rv, rw
 
-    def _project(self, comps, dt, forces=None, div=None):
+    def _project(self, comps, dt, forces=None, div=None, fw=1.0):
         """Divergence -> Poisson -> correction (reference solver.cpp
         1914-2456; solver_time.cpp:736 project_velocity). With IBM: RHS
         solid-cell masking before the solve and re-forcing of the corrected
-        velocity (reference solver.cpp:2098-2125, 2457+)."""
+        velocity (reference solver.cpp:2098-2125, 2457+). `fw` is the
+        force-accumulation weight: the coefficient with which this stage's
+        applied IBM impulse propagates into the final RK state (see
+        _advance_velocity)."""
         geom = self.geom
         if (self.cfg.bc_x == BCType.INFLOW and self.recycling is None):
             # Bare (non-recycling) inflow/outflow pair: pin the outlet mass
@@ -510,12 +513,12 @@ class Simulation:
         if self.ibm is not None:
             comps, f = self.ibm.apply(comps, dt, accumulate=forces is not None)
             if forces is not None:
-                forces.append(f)
+                forces.append(tuple(fw * c for c in f))
         comps = self._apply_bc(comps, pin_tangential=False)
         return comps, p_corr
 
     def _euler_substep(self, comps, nu_t, dt, forces=None, t=0.0,
-                       inlet=None, want_div=False):
+                       inlet=None, want_div=False, fw=1.0):
         """One Euler predictor substep. With want_div=True returns
         (star, div) where div is div(u*) produced by the fused
         predictor+divergence kernel when eligible (_fuse_div_ok), else
@@ -607,7 +610,7 @@ class Simulation:
         if self.ibm is not None:
             star, f = self.ibm.apply(star, dt, accumulate=forces is not None)
             if forces is not None:
-                forces.append(f)
+                forces.append(tuple(fw * c for c in f))
         if want_div:
             return star, div_star
         return star
@@ -654,12 +657,23 @@ class Simulation:
             # stored p grow ~ n_steps * p_phys; measured here on 2-D TGV:
             # 200 steps -> 200x the analytic pressure before this fix.
             return out, pc
+        # IBM force-accumulation weights: each stage's applied impulse
+        # propagates into the final state through the downstream convex
+        # blends, so the physically-consistent per-step force weights each
+        # recorded impulse by the product of the blend coefficients between
+        # its application and the step output (stage-apply weights sum to 1
+        # across the SSP combination). Summing unweighted stage forces
+        # over-reported RK3 drag 2.15x (measured: Re=20 cylinder Cd 4.89
+        # vs the Euler-validated 2.28).
         if ti == TimeIntegrator.RK2:
+            # impulse paths: sub1/proj1 live in s1 -> blended 0.5; sub2's
+            # impulse is inside the blended term -> 0.5; proj2 -> 1.
             s1, d1 = self._euler_substep(comps, nu_t, dt, forces, t,
-                                         inlet, want_div=True)
-            s1, pc1 = self._project(s1, dt, forces, div=d1)
+                                         inlet, want_div=True, fw=0.5)
+            s1, pc1 = self._project(s1, dt, forces, div=d1, fw=0.5)
             self._nan_sentinel("rk2:s1", s1, dt)
-            s2 = self._euler_substep(s1, nu_t, dt, forces, t + dt, inlet)
+            s2 = self._euler_substep(s1, nu_t, dt, forces, t + dt, inlet,
+                                     fw=0.5)
             s2 = blend(comps, 0.5, s2, 0.5)
             s2 = self._apply_bc(s2)
             s2, pc2 = self._project(s2, dt, forces)
@@ -668,16 +682,22 @@ class Simulation:
             # hence pc2) carries 1/2 of the full-step pressure
             return s2, 2.0 * pc2
         # SSP-RK3 (reference solver_time.cpp:1303)
+        # impulse paths: s1 content is blended 1/4 into s2 then 2/3 into
+        # s3 (-> 1/6); sub2's impulse rides the same 1/4 blend (-> 1/6);
+        # proj2 lands after the blend (-> 2/3); sub3's impulse is inside
+        # the 2/3 term; proj3 is final (-> 1).
         s1, d1 = self._euler_substep(comps, nu_t, dt, forces, t, inlet,
-                                     want_div=True)
-        s1, pc1 = self._project(s1, dt, forces, div=d1)
+                                     want_div=True, fw=1.0 / 6.0)
+        s1, pc1 = self._project(s1, dt, forces, div=d1, fw=1.0 / 6.0)
         self._nan_sentinel("rk3:s1", s1, dt)
-        s2 = self._euler_substep(s1, nu_t, dt, forces, t + dt, inlet)
+        s2 = self._euler_substep(s1, nu_t, dt, forces, t + dt, inlet,
+                                 fw=1.0 / 6.0)
         s2 = blend(comps, 0.75, s2, 0.25)
         s2 = self._apply_bc(s2)
-        s2, pc2 = self._project(s2, dt, forces)
+        s2, pc2 = self._project(s2, dt, forces, fw=2.0 / 3.0)
         self._nan_sentinel("rk3:s2", s2, dt)
-        s3 = self._euler_substep(s2, nu_t, dt, forces, t + 0.5 * dt, inlet)
+        s3 = self._euler_substep(s2, nu_t, dt, forces, t + 0.5 * dt, inlet,
+                                 fw=2.0 / 3.0)
         s3 = blend(comps, 1.0 / 3.0, s3, 2.0 / 3.0)
         s3 = self._apply_bc(s3)
         s3, pc3 = self._project(s3, dt, forces)

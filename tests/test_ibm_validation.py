@@ -197,3 +197,41 @@ def test_naca_symmetry_and_lift_slope(record_qoi):
     assert abs(cl0) < 0.05, f"symmetric foil lift |Cl| = {abs(cl0)}"
     assert cl8 > 0.1, f"positive incidence must lift: Cl(8deg) = {cl8}"
     assert cl8 > cl0 + 0.1
+
+
+def test_ibm_force_integrator_invariance():
+    """The reported drag must not depend on the time integrator: each
+    RK stage's applied IBM impulse reaches the final state through the
+    SSP convex blends, so force accumulation weights every impulse by
+    its downstream blend product (stage weights sum to 1). The
+    unweighted sum over-reported RK3 drag 2.15x (Cd 4.89 vs 2.28 on the
+    Re=20 cylinder before the fix)."""
+    from cfdnn_tpu.config import TimeIntegrator
+
+    U_inf, D, Re = 1.0, 1.0, 20.0
+    cds = {}
+    for integ in (TimeIntegrator.EULER, TimeIntegrator.RK2,
+                  TimeIntegrator.RK3):
+        cfg = Config(
+            Nx=64, Ny=48, Nz=1,
+            x_min=0.0, x_max=16.0, y_min=-6.0, y_max=6.0,
+            bc_x=BCType.PERIODIC, bc_y=BCType.PERIODIC,
+            nu=U_inf * D / Re, nu_specified=True,
+            dp_dx=0.0, dp_dx_specified=True,
+            dt=5e-3, adaptive_dt=False, dtype="float64",
+            time_integrator=integ,
+        )
+        sim = Simulation(cfg)
+        sim.set_ibm_forcing(CylinderBody(4.0, 0.0, 0.5 * D))
+        state = sim.initial_state()
+        state = state.replace(u=jnp.full_like(state.u, U_inf))
+        state, d = sim.run(state, 700)
+        samples = []
+        for _ in range(30):
+            state, d = sim.step(state)
+            samples.append(float(d.fx))
+        assert np.isfinite(float(d.ke))
+        cds[integ.value] = float(np.mean(samples)) / (0.5 * U_inf**2 * D)
+    base = cds["euler"]
+    for name, cd in cds.items():
+        assert abs(cd - base) < 0.05 * abs(base), cds

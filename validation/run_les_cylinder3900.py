@@ -1,0 +1,122 @@
+"""LES cylinder at Re=3900 — the canonical subcritical-wake benchmark
+(reference: scripts/les_cylinder_re3900.sh; published targets Ong &
+Wallace 1996 / Norberg: Cd ~ 1.0 +- 0.05, St ~ 0.215 +- 0.005).
+
+Reference-matching setup (its config block, les_cylinder_re3900.sh):
+256x192x32 over [0,25] x [-8,8] x [0,pi], D=1 cylinder at (5,0),
+nu = 1/3900, WALE SGS, adaptive dt at CFL 0.4, inflow/outflow in x
+(convective outlet), periodic y/z. 3-D: the Re=3900 wake is strongly
+three-dimensional (mode-B streamwise vortices); a 2-D run over-predicts
+Cd by ~40%.
+
+The reference budgeted ~4 h on an H200 for 150k steps (~31 shedding
+cycles); this driver runs the same trajectory in minutes on one v5e
+chip, then gates:
+  St in [0.19, 0.24]      (zero crossings of Cl over the sampled tail)
+  Cd in [0.85, 1.35]      (mean over the sampled tail)
+
+    python validation/run_les_cylinder3900.py            # full run
+    python validation/run_les_cylinder3900.py --smoke    # 200 steps, no gates
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(Nx=256, Ny=192, Nz=32, smoke=False):
+    import jax
+    import jax.numpy as jnp
+
+    from cfdnn_tpu import BCType, Config, Simulation
+    from cfdnn_tpu.config import (ConvectiveScheme, TimeIntegrator,
+                                  TurbulenceModel)
+    from cfdnn_tpu.ibm import CylinderBody
+
+    U_inf, D, Re = 1.0, 1.0, 3900.0
+    cfg = Config(
+        Nx=Nx, Ny=Ny, Nz=Nz,
+        x_min=0.0, x_max=25.0, y_min=-8.0, y_max=8.0,
+        z_min=0.0, z_max=float(np.pi),
+        bc_x=BCType.INFLOW, bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
+        nu=U_inf * D / Re, nu_specified=True,
+        dp_dx=0.0, dp_dx_specified=True,
+        dt=1e-3, adaptive_dt=True, CFL_max=0.4, dt_safety=0.9,
+        time_integrator=TimeIntegrator.RK3,
+        convective_scheme=ConvectiveScheme.SKEW,
+        turb_model=TurbulenceModel.WALE,
+        convective_outflow=True, dtype="float32",
+    ).finalize()
+    sim = Simulation(cfg)
+    sim.set_ibm_forcing(CylinderBody(5.0, 0.0, 0.5 * D))
+    print(f"{Nx}x{Ny}x{Nz}: {D / ((cfg.x_max - cfg.x_min) / Nx):.1f} "
+          f"cells/D, nu={cfg.nu:.3e}", flush=True)
+
+    state = sim.initial_state()
+    x = jnp.asarray(sim.mesh.x.centers)[:, None, None]
+    yc = jnp.asarray(sim.mesh.y.centers)[None, :, None]
+    zc = jnp.asarray(sim.mesh.z.centers)[None, None, :]
+    # wake-region seed with a z-varying component to trigger mode-B 3-D
+    v0 = 1e-2 * jnp.exp(-(yc**2)) * jnp.sin(x) * (1.0 + 0.5 * jnp.sin(4 * zc))
+    state = state.replace(
+        u=jnp.full_like(state.u, U_inf),
+        v=jnp.broadcast_to(v0, state.v.shape).astype(state.v.dtype))
+    state = sim.initialize(state)          # captures the inflow profile
+
+    if smoke:
+        state, d = sim.run(state, 200)
+        assert np.isfinite(float(d.ke)), "blow-up in smoke run"
+        print(f"smoke ok: ke={float(d.ke):.4f}")
+        return
+
+    # transient: ~13 shedding periods (T_shed ~ 4.65) to the developed wake
+    while float(state.t) < 60.0:
+        state, d = sim.run(state, 2000)
+        assert np.isfinite(float(d.ke)), "blow-up in transient"
+    print(f"transient done: t={float(state.t):.1f}", flush=True)
+
+    # dt is adaptive: size the sampling stride in simulated time
+    t0 = float(state.t)
+    state, d = sim.run(state, 200)
+    dt_now = (float(state.t) - t0) / 200
+    stride = max(1, round(0.05 / dt_now))        # ~0.05 t.u. per sample
+    span = 130.0                                  # ~28 shedding periods
+    n_samples = int(span / (stride * dt_now))
+    print(f"dt={dt_now:.4e}, stride={stride} steps/sample, "
+          f"{n_samples} samples", flush=True)
+
+    t, cl, cd = [], [], []
+    q_A = 0.5 * U_inf**2 * D * (cfg.z_max - cfg.z_min)   # per-span force
+    for _ in range(n_samples):
+        state, d = sim.run(state, stride)
+        t.append(float(state.t))
+        cd.append(float(d.fx) / q_A)
+        cl.append(float(d.fy) / q_A)
+    t, cd = np.asarray(t), np.asarray(cd)
+    cl = np.asarray(cl) - np.mean(cl)
+    # the Re=3900 Cl signal carries broadband 3-D content: smooth before
+    # zero-crossing detection (boxcar over ~T_shed/8 of simulated time)
+    dt_s = (t[-1] - t[0]) / max(len(t) - 1, 1)
+    w = max(int(round(4.65 / 8.0 / dt_s)), 3)
+    k = np.ones(w) / w
+    cls = np.convolve(cl, k, mode="same")
+    up = np.where((cls[:-1] < 0) & (cls[1:] >= 0))[0]
+    assert len(up) >= 6, f"too few shedding periods ({len(up)})"
+    period = (t[up[-1]] - t[up[0]]) / (len(up) - 1)
+    st = D / (period * U_inf)
+    cd_mean = float(np.mean(cd))
+    print(f"St = {st:.4f} (published ~0.215), Cd = {cd_mean:.3f} "
+          f"(published ~1.0), {len(up) - 1} periods over "
+          f"t=[{t[0]:.0f},{t[-1]:.0f}]", flush=True)
+    print(f'QOI_JSON: {{"name": "les_cyl3900_st", "value": {st:.6e}}}')
+    print(f'QOI_JSON: {{"name": "les_cyl3900_cd", "value": {cd_mean:.6e}}}')
+    assert 0.19 <= st <= 0.24, st
+    assert 0.85 <= cd_mean <= 1.35, cd_mean
+    print("LES cylinder Re=3900 validation PASSED")
+
+
+if __name__ == "__main__":
+    main(smoke="--smoke" in sys.argv)
