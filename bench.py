@@ -36,22 +36,17 @@ def _time_steps(sim, state, steps=1000, reps=3):
     steps a naive average still carries +0.025 ms/step, which is >10% of
     the 128^3 step. The differential result matches the device-trace
     busy time (0.197 ms/step at 128^3 vs 0.49 ms naive at 100 steps)."""
+    from cfdnn_tpu.utils.timing import marginal_step_seconds
     short = max(steps // 5, 1)
     state, d = sim.run(state, steps)
     jax.block_until_ready(state)
     jax.block_until_ready(sim.run(state, short)[0])
-    best_l = best_s = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out, d = sim.run(state, steps)
-        jax.block_until_ready(out)
-        best_l = min(best_l, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        out_s, _ = sim.run(state, short)
-        jax.block_until_ready(out_s)
-        best_s = min(best_s, time.perf_counter() - t0)
     assert np.isfinite(float(d.ke)), "NaN in benchmark run"
-    return (best_l - best_s) / (steps - short), d
+    s = marginal_step_seconds(
+        lambda: jax.block_until_ready(sim.run(state, steps)[0]),
+        lambda: jax.block_until_ready(sim.run(state, short)[0]),
+        steps, short, reps)
+    return s, d
 
 
 def bench_tgv(n=128):

@@ -25,22 +25,16 @@ def _time_run(sim, state, steps=1000, reps=3):
     cost so the ~25 ms/call tunnel dispatch + transfer overhead cancels
     exactly (it would otherwise add 25/steps ms/step — 10%+ for the
     sub-ms benches run with short scans)."""
+    from cfdnn_tpu.utils.timing import marginal_step_seconds
     short = max(steps // 5, 1)
     state, d = sim.run(state, steps)
     jax.block_until_ready(state)
     jax.block_until_ready(sim.run(state, short)[0])
-    best_l = best_s = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out, d = sim.run(state, steps)
-        jax.block_until_ready(out)
-        best_l = min(best_l, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        out_s, _ = sim.run(state, short)
-        jax.block_until_ready(out_s)
-        best_s = min(best_s, time.perf_counter() - t0)
     assert np.isfinite(float(d.ke))
-    return (best_l - best_s) / (steps - short)
+    return marginal_step_seconds(
+        lambda: jax.block_until_ready(sim.run(state, steps)[0]),
+        lambda: jax.block_until_ready(sim.run(state, short)[0]),
+        steps, short, reps)
 
 
 def _emit(name, ms, ncells, extra=None):
@@ -106,10 +100,11 @@ def bench_poisson(n=128):
     ]
     for name, solve in solvers:
         # Differential timing: scan L1 and L2 solves inside one dispatch
-        # each and report (t2 - t1) / (L2 - L1). The ~25 ms/dispatch
-        # tunnel overhead cancels exactly — it distorted the ~1.3 ms MG
-        # solve into 7.4 ms at a naive L=5, and even at L=200 it added
-        # ~0.13 ms to the sub-ms FDM solves.
+        # each and report the marginal cost. The ~25 ms/dispatch tunnel
+        # overhead cancels exactly — it distorted the ~1.3 ms MG solve
+        # into 7.4 ms at a naive L=5, and even at L=200 it added ~0.13 ms
+        # to the sub-ms FDM solves.
+        from cfdnn_tpu.utils.timing import marginal_step_seconds
         L1, L2 = (40, 200) if name.startswith("fdm") else (10, 50)
 
         def make(L, s=solve):
@@ -124,15 +119,11 @@ def bench_poisson(n=128):
         f1, f2 = make(L1), make(L2)
         jax.block_until_ready(f1(rhs))
         jax.block_until_ready(f2(rhs))
-        best1 = best2 = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f1(rhs))
-            best1 = min(best1, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            jax.block_until_ready(f2(rhs))
-            best2 = min(best2, time.perf_counter() - t0)
-        _emit(f"poisson_{name}_{n}cube", (best2 - best1) / (L2 - L1), n**3)
+        s = marginal_step_seconds(
+            lambda: jax.block_until_ready(f2(rhs)),
+            lambda: jax.block_until_ready(f1(rhs)),
+            L2, L1, reps=3)
+        _emit(f"poisson_{name}_{n}cube", s, n**3)
 
 
 def bench_les_ibm(n=128):
@@ -186,19 +177,22 @@ def bench_models(n=64):
         _emit(f"model_{model.value}_{n}cube", s, n**3)
 
 
-def bench_large(n=512):
+def bench_large(n=512, turb_model=None):
     """Production-scale single-chip TGV (one-plane slab kernels under the
-    raised scoped-VMEM cap; README 512^3 rows). NOT in `all`: the Mosaic
-    compile is ~2 min and the run needs ~8 GB of HBM headroom."""
+    raised scoped-VMEM cap; README 512^3 rows), optionally with an LES
+    closure active. NOT in `all`: the Mosaic compile is ~2 min and the
+    run needs ~8 GB of HBM headroom."""
     from cfdnn_tpu import (BCType, Config, Simulation, init_taylor_green)
+    kw = {} if turb_model is None else {"turb_model": turb_model}
     cfg = Config(Nx=n, Ny=n, Nz=n, bc_y=BCType.PERIODIC,
                  x_max=2 * np.pi, y_max=2 * np.pi, z_max=2 * np.pi,
                  nu=0.000625, nu_specified=True, dt=1e-3,
                  adaptive_dt=False, benchmark=True,
-                 dtype="float32").finalize()
+                 dtype="float32", **kw).finalize()
     sim = Simulation(cfg)
     s = _time_run(sim, init_taylor_green(cfg, sim.mesh), steps=20, reps=3)
-    _emit(f"tgv_{n}cube_large", s, n**3,
+    tag = "tgv" if turb_model is None else "les"
+    _emit(f"{tag}_{n}cube_large", s, n**3,
           {"pallas_mode": str(sim._pallas_predictor_ok)})
 
 
@@ -218,10 +212,17 @@ def bench_large_channel(n=512):
           {"poisson": sim.poisson_selection_reason})
 
 
+def bench_large_les(n=512):
+    """README 512^3 LES row: bench_large with Smagorinsky active."""
+    from cfdnn_tpu.config import TurbulenceModel
+    bench_large(n, turb_model=TurbulenceModel.SMAGORINSKY)
+
+
 ALL = {"tgv": bench_tgv, "channel": bench_channel,
        "poisson": bench_poisson, "les_ibm": bench_les_ibm,
        "models": bench_models}
-EXTRA = {"large": bench_large, "large_channel": bench_large_channel}
+EXTRA = {"large": bench_large, "large_channel": bench_large_channel,
+         "large_les": bench_large_les}
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"

@@ -161,17 +161,22 @@ def synthetic_channel_dataset(n: int = 20000, nu: float = 1e-3,
     Oxy = 0.5 * Om * rng.choice([-1.0, 1.0], n)
     Sxx_n, Sxy_n, Oxy_n = Sxx * tau_t, Sxy * tau_t, Oxy * tau_t
     Syy_n = -Sxx_n
-    # Cap the k/eps-normalized tensor magnitude at |S*| <= 3: the raw
-    # lognormal strain times tau_t in [0.5, 5] reaches ~30, far outside
-    # the O(1-3) range of real normalized channel/hills data (McConkey),
-    # and the resulting unbounded b labels dominate the tensor-basis MSE
-    # so badly that training cannot generalize (a-priori holdout R^2
-    # was negative before this cap).
+    # Smoothly squash the k/eps-normalized tensor magnitude to |S*| <= 5
+    # (scale = cap*tanh(mag/cap)/mag): the raw lognormal strain times
+    # tau_t in [0.5, 5] reaches ~30, far outside the O(1-5) range of
+    # real normalized channel/hills data (McConkey), and the resulting
+    # unbounded b labels dominate the tensor-basis MSE so badly that
+    # training cannot generalize (a-priori holdout R^2 was negative
+    # before this). tanh (not a hard clip) keeps the tail states present
+    # with a monotone mapping, so the trained net still sees near-cap
+    # inputs; runtime invariants beyond the range extrapolate through
+    # the solver's nu_t clipping, as with any a-priori-trained closure.
+    cap = 5.0
     s_mag = np.sqrt(Sxx_n**2 + Syy_n**2 + 2 * Sxy_n**2)
-    cap = np.minimum(1.0, 3.0 / np.maximum(s_mag, 1e-12))
-    Sxx_n, Sxy_n, Syy_n = Sxx_n * cap, Sxy_n * cap, Syy_n * cap
-    Oxy_n = Oxy_n * np.minimum(1.0, 3.0 / np.maximum(
-        np.sqrt(2.0) * np.abs(Oxy_n), 1e-12))
+    sc = cap * np.tanh(s_mag / cap) / np.maximum(s_mag, 1e-12)
+    Sxx_n, Sxy_n, Syy_n = Sxx_n * sc, Sxy_n * sc, Syy_n * sc
+    o_mag = np.sqrt(2.0) * np.abs(Oxy_n)
+    Oxy_n = Oxy_n * cap * np.tanh(o_mag / cap) / np.maximum(o_mag, 1e-12)
     inv = np.stack([
         2.0 * (Sxx_n**2 + Syy_n**2 + 2 * Sxy_n**2),
         4.0 * Oxy_n**2,

@@ -102,3 +102,37 @@ def timed_jit_call(category: str, fn, *args):
         out = fn(*args)
         jax.block_until_ready(out)
     return out
+
+
+def marginal_step_seconds(run_long, run_short, n_long: int, n_short: int,
+                          reps: int = 3) -> float:
+    """Differential wall time per step, cancelling constant per-dispatch
+    overhead (on the tunnel-attached TPU a single dispatch carries ~25 ms
+    of launch + transfer around the actual device time).
+
+    `run_long`/`run_short` are zero-arg callables that execute n_long /
+    n_short steps and block until the result is ready; both must already
+    be warmed (compiled + run once). Times each `reps` times interleaved,
+    takes the per-length minimum (the least-noise estimator), and returns
+    (t_long - t_short) / (n_long - n_short).
+
+    Guard: if timing noise makes the marginal nonpositive (a spike caught
+    by the long run but not the short one), fall back to the naive
+    t_long / n_long — a strict upper bound — so downstream consumers
+    (perf-regression gates, Mcells/s reports) never see a zero or
+    negative step time that would silently disable or invert them."""
+    import time as _time
+
+    assert n_long > n_short >= 1
+    best_l = best_s = float("inf")
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        run_long()
+        best_l = min(best_l, _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        run_short()
+        best_s = min(best_s, _time.perf_counter() - t0)
+    marginal = (best_l - best_s) / (n_long - n_short)
+    if marginal <= 0.0:
+        return best_l / n_long
+    return marginal

@@ -51,6 +51,8 @@ def validate_tbnn(mlp, data):
     basis = np.asarray(data["basis"], np.float64)
     if basis.shape[1] == 10:               # Pope 10-basis -> 2-D T1..T4
         basis = basis[:, :4, :]
+    if basis.shape[2] == 6:                # 3-D tensor components ->
+        basis = basis[:, :, [0, 1, 3]]     # (T_xx, T_xy, T_yy)
     G = np.asarray(mlp(inv.astype(np.float32)), np.float64)   # (N, 4)
     b_pred = np.einsum("bn,bnc->bc", G, basis)
     err = b_pred - b_true

@@ -73,7 +73,6 @@ def test_2d_flow_embedded_in_3d_matches():
     sim3 = Simulation(cfg3)
     s3 = sim3.initial_state()
     # embed the 2-D TGV IC uniformly in z
-    s1 = sim2.initial_state()
     ic2 = init_taylor_green(cfg2, sim2.mesh)
     u3 = jnp.broadcast_to(ic2.u[:, :, :1], s3.u.shape).astype(s3.u.dtype)
     v3 = jnp.broadcast_to(ic2.v[:, :, :1], s3.v.shape).astype(s3.v.dtype)

@@ -78,19 +78,22 @@ def main(Nx=256, Ny=192, Nz=32, smoke=False):
         assert np.isfinite(float(d.ke)), "blow-up in transient"
     print(f"transient done: t={float(state.t):.1f}", flush=True)
 
-    # dt is adaptive: size the sampling stride in simulated time
+    # dt is adaptive: size the sampling stride in simulated time, then
+    # sample until the span target is actually covered (a precomputed
+    # sample count would silently shorten the tail if dt shrinks as the
+    # 3-D wake sharpens)
     t0 = float(state.t)
     state, d = sim.run(state, 200)
     dt_now = (float(state.t) - t0) / 200
     stride = max(1, round(0.05 / dt_now))        # ~0.05 t.u. per sample
     span = 130.0                                  # ~28 shedding periods
-    n_samples = int(span / (stride * dt_now))
     print(f"dt={dt_now:.4e}, stride={stride} steps/sample, "
-          f"{n_samples} samples", flush=True)
+          f"span={span:g} t.u.", flush=True)
 
     t, cl, cd = [], [], []
     q_A = 0.5 * U_inf**2 * D * (cfg.z_max - cfg.z_min)   # per-span force
-    for _ in range(n_samples):
+    t_start = float(state.t)
+    while float(state.t) - t_start < span:
         state, d = sim.run(state, stride)
         t.append(float(state.t))
         cd.append(float(d.fx) / q_A)
