@@ -88,3 +88,48 @@ def test_2d_flow_embedded_in_3d_matches():
     u2n, v2n = np.asarray(s2.u)[:, :, 0], np.asarray(s2.v)[:, :, 0]
     np.testing.assert_allclose(u3n[:, :, 0], u2n, rtol=0, atol=1e-11)
     np.testing.assert_allclose(v3n[:, :, 0], v2n, rtol=0, atol=1e-11)
+
+
+def test_scheme_integrator_matrix():
+    """Every convective scheme x time integrator combination advances a
+    perturbed channel stably (reference test_scheme_combinations.cpp /
+    test_scheme_comprehensive.cpp)."""
+    from cfdnn_tpu.config import ConvectiveScheme, TimeIntegrator
+
+    for scheme in ConvectiveScheme:
+        for integ in TimeIntegrator:
+            cfg = Config(Nx=12, Ny=24, Nz=6, stretch_y=True,
+                         nu=2e-3, nu_specified=True, dp_dx=-1e-3,
+                         dp_dx_specified=True, dt=2e-3, adaptive_dt=True,
+                         convective_scheme=scheme, time_integrator=integ,
+                         dtype="float64").finalize()
+            sim = Simulation(cfg)
+            state = sim.initialize(
+                perturbed_channel(cfg, sim.mesh, amp=0.05))
+            state, d = sim.run(state, 40)
+            assert np.isfinite(float(d.ke)), (scheme, integ)
+            assert float(d.div_linf) < 1e-10, (scheme, integ)
+
+
+def test_steady_state_integrator_agreement():
+    """The converged steady Poiseuille profile is a property of the
+    spatial discretization, not the time integrator: Euler/RK2/RK3 must
+    land on the same profile (reference test_time_integrators.cpp)."""
+    from cfdnn_tpu import init_poiseuille
+    from cfdnn_tpu.config import TimeIntegrator
+
+    profiles = {}
+    for integ in TimeIntegrator:
+        cfg = Config(Nx=8, Ny=32, Nz=1, nu=0.05, nu_specified=True,
+                     dp_dx=-1.0, dp_dx_specified=True, dt=5e-3,
+                     adaptive_dt=False, max_steps=20000, tol=1e-10,
+                     time_integrator=integ, dtype="float64")
+        sim = Simulation(cfg)
+        state, d = sim.solve_steady(init_poiseuille(cfg, sim.mesh))
+        profiles[integ.value] = np.asarray(state.u)[:, :, 0].mean(axis=0)
+    base = profiles["euler"]
+    for name, prof in profiles.items():
+        # the steady-state criterion is max|u - u_old| < 1e-10 per step,
+        # so integrators may park ~1e-7 apart after accumulation
+        np.testing.assert_allclose(prof, base, rtol=0, atol=1e-6,
+                                   err_msg=name)
