@@ -324,6 +324,68 @@ def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
                            has_nut=nu_t is not None))
 
 
+def _xpad_geometry(geom):
+    """Periodic-uniform clone of a non-periodic uniform x axis with one
+    ghost cell per side (n+2 cells): the ghost ring carries the bc.py pad
+    values, so the fake-periodic slab kernels reproduce the non-periodic
+    operator path exactly on the kept interior."""
+    import dataclasses as _dc
+    from ..config import BCType as _BC
+    from ..mesh import Axis1D as _Ax
+    from .grid import AxisGeom as _AG
+    x = geom.axes[0]
+    n = x.n + 2
+    ax = _Ax.make(n, 0.0, n * x.h)
+    xg = _AG.make(ax, _BC.PERIODIC, 0, geom.dtype)
+    return _dc.replace(geom, axes=(xg, geom.axes[1], geom.axes[2]))
+
+
+def fused_predictor_xpad(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
+                         nu_t=None, interpret=False):
+    """Fused predictor for a UNIFORM NON-PERIODIC x axis (the external-flow
+    family: inflow/outflow pair, outflow, wall) — the configurations the
+    periodic slab kernels cannot take directly (cylinder/airfoil/step apps;
+    reference main_cylinder.cpp class).
+
+    Strategy: extend x by ONE ghost plane per side holding exactly the
+    bc.py ghost values the jnp operator path pads with (pad_normal /
+    pad_tangential / pad_center), run the fake-periodic slab kernel on the
+    (Nx+2)-cell domain, and keep the interior. The periodic wrap only
+    feeds the two ghost-plane outputs, which are dropped; boundary-face
+    values are re-imposed by apply_velocity_bc / the convective outlet
+    downstream, exactly as on the jnp path. O2 only: on a non-periodic x
+    the jnp path runs O2 x-stencils (AxisGeom.o4_ok), and the padded axis
+    must match (measured: the INFLOW cylinder step is ~18x slower per cell
+    than the periodic channel on the pure-XLA path — this closes most of
+    that gap; see docs/SOLVER_GUIDE.md)."""
+    from ..config import BCType as _BC
+    x = geom.axes[0]
+    assert not x.periodic and x.uniform and geom.space_order == 2
+    bcx = x.bc
+    # u: staggered, (Nx+1, ...) with boundary faces in-array.
+    # Left ghost face (pad_normal): odd reflection 2*u0 - u1 for
+    # wall/inflow, zero-gradient copy for outflow. The (Nx+2)-cell
+    # periodic representation holds faces [-1, 0 .. Nx]; no right ghost
+    # is stored (face Nx is the last left-face slot) — the wrap feeds
+    # only discarded outputs.
+    if bcx == _BC.OUTFLOW:
+        u_lo = u[0:1]
+    else:
+        u_lo = 2.0 * u[0:1] - u[1:2]
+    u_pad = jnp.concatenate([u_lo, u], axis=0)
+    # v/w cell-centered in x (pad_tangential): no-slip sign flip at a
+    # wall, zero-gradient mirror for inflow/outflow
+    s = -1.0 if bcx == _BC.WALL else 1.0
+    def cpad(f, sgn):
+        return jnp.concatenate([sgn * f[0:1], f, sgn * f[-1:]], axis=0)
+    v_pad, w_pad = cpad(v, s), cpad(w, s)
+    nu_pad = None if nu_t is None else cpad(nu_t, 1.0)  # pad_center neumann
+    star = fused_predictor_general(
+        u_pad, v_pad, w_pad, dt, geom=_xpad_geometry(geom), scheme=scheme,
+        nu=nu, fx=fx, bx=bx, nu_t=nu_pad, interpret=interpret)
+    return star[0][1:], star[1][1:-1], star[2][1:-1]
+
+
 def _nu_sgs_kernel(*refs, slab_geom, model_fn, ng):
     """Cell-centered nu_sgs from the velocity gradient tensor, computed on
     x-extended slabs via the shared turbulence algebra (the reference's

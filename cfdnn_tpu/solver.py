@@ -277,7 +277,9 @@ class Simulation:
         VMEM), "xz" (2-D tiles for grids whose planes overflow the slab
         budget; needs periodic-uniform z too), "shard" (multi-chip:
         slab kernels under shard_map with ppermute z-halos,
-        parallel/fused.py; needs periodic-uniform z), or False.
+        parallel/fused.py; needs periodic-uniform z), "xpad" (uniform
+        NON-periodic x — inflow/outflow/wall; ghost-padded slab kernel,
+        O2, single device), or False.
 
         Measured at 512^3 TGV on v5e (warm, benchmark mode): slab 55.1
         ms/step, xz 102.0, XLA operator fallback 171.1 — so "slab" covers
@@ -292,16 +294,36 @@ class Simulation:
             n_dev *= int(d)
         x = self.geom.axes[0]
         z = self.geom.axes[2]
-        structural = (
-            x.periodic and x.uniform
-            and z.n > 1 and x.n >= 8
+        shared = (
+            x.uniform and z.n > 1 and x.n >= 8
             and cfg.space_order in (2, 4)
             and cfg.convective_scheme in (ConvectiveScheme.SKEW,
                                           ConvectiveScheme.CENTRAL)
             and not cfg.implicit_y_diffusion)
-        if not structural:
+        if not shared:
             return False
         from .ops.pallas_kernels import _auto_bxz, slab_fits
+        if not x.periodic:
+            # uniform non-periodic x (external-flow family: inflow/outflow
+            # pair, outflow, wall): the ghost-padded slab predictor
+            # (fused_predictor_xpad). O2 only — on a non-periodic x the
+            # jnp path runs O2 x-stencils (AxisGeom.o4_ok) and the padded
+            # fake-periodic axis must match. Single device: the sharded
+            # fast path is a periodic-z slab design.
+            if (cfg.space_order != 2 or n_dev > 1
+                    or x.bc not in (BCType.INFLOW, BCType.OUTFLOW,
+                                    BCType.WALL)
+                    or not slab_fits(self.geom)):
+                return False
+            mode = "xpad"
+            if cfg.use_pallas == "on":
+                return mode
+            import jax as _jax
+            try:
+                on_acc = _jax.devices()[0].platform != "cpu"
+            except Exception:
+                on_acc = False
+            return mode if on_acc else False
         if n_dev > 1:
             # GSPMD cannot partition a Pallas custom call, so the sharded
             # fast path wraps the slab kernels in shard_map with explicit
@@ -544,6 +566,12 @@ class Simulation:
             elif self._pallas_predictor_ok == "xz":
                 from .ops.pallas_kernels import fused_predictor_general_xz
                 star = fused_predictor_general_xz(
+                    *comps, jnp.asarray(dt, self.dtype), geom=geom,
+                    scheme=cfg.convective_scheme, nu=float(cfg.nu), fx=fx,
+                    nu_t=nu_t, interpret=interp)
+            elif self._pallas_predictor_ok == "xpad":
+                from .ops.pallas_kernels import fused_predictor_xpad
+                star = fused_predictor_xpad(
                     *comps, jnp.asarray(dt, self.dtype), geom=geom,
                     scheme=cfg.convective_scheme, nu=float(cfg.nu), fx=fx,
                     nu_t=nu_t, interpret=interp)

@@ -518,3 +518,84 @@ def test_fused_divergence_correct_o4_match_operators():
         ru = u - 1e-3 * ops.pressure_grad_face(p, 0, geom)
         np.testing.assert_allclose(np.asarray(cu), np.asarray(ru),
                                    rtol=0, atol=1e-12, err_msg=f"bx={bx}")
+
+
+def _xpad_setup(bc_x, N=12):
+    cfg = Config(Nx=N, Ny=N, Nz=N, bc_x=bc_x,
+                 bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
+                 y_min=0.0, y_max=1.0, x_max=1.5, z_max=2.0,
+                 nu=3e-3, nu_specified=True, dp_dx=-0.4,
+                 dp_dx_specified=True, dtype="float64",
+                 convective_scheme=ConvectiveScheme.SKEW)
+    mesh = Mesh.from_config(cfg)
+    return cfg, Geometry.make(mesh, cfg)
+
+
+@pytest.mark.parametrize("bc_x", [BCType.INFLOW, BCType.OUTFLOW, BCType.WALL])
+@pytest.mark.parametrize("with_nut", [False, True])
+def test_fused_predictor_xpad_matches_operators(bc_x, with_nut):
+    """Ghost-padded slab predictor on a non-periodic x == the jnp operator
+    path with the bc.py pads, for every supported x BC, on the faces the
+    solver keeps (boundary faces are re-imposed downstream)."""
+    from cfdnn_tpu.ops.pallas_kernels import fused_predictor_xpad
+    cfg, geom = _xpad_setup(bc_x)
+    rng = np.random.default_rng(3)
+    N = cfg.Nx
+    u = jnp.asarray(rng.standard_normal((N + 1, N, N)))
+    v = jnp.asarray(rng.standard_normal((N, N, N)))
+    w = jnp.asarray(rng.standard_normal((N, N, N)))
+    nu_t = (jnp.asarray(0.1 * rng.random((N, N, N))) if with_nut else None)
+    dt, fx = 1e-3, -cfg.dp_dx
+    nu_eff = (jnp.float64(cfg.nu) if nu_t is None else cfg.nu + nu_t)
+    conv = ops.convective((u, v, w), geom, ConvectiveScheme.SKEW)
+    diff = ops.diffusive((u, v, w), nu_eff, geom)
+    ref = (u + dt * (-conv[0] + diff[0] + fx),
+           v + dt * (-conv[1] + diff[1]),
+           w + dt * (-conv[2] + diff[2]))
+    got = fused_predictor_xpad(u, v, w, dt, geom=geom,
+                               scheme=ConvectiveScheme.SKEW, nu=cfg.nu,
+                               fx=fx, nu_t=nu_t, interpret=True)
+    # interior faces/cells only: boundary-normal faces are overwritten by
+    # apply_velocity_bc / the convective outlet on both paths
+    np.testing.assert_allclose(np.asarray(got[0])[1:-1],
+                               np.asarray(ref[0])[1:-1],
+                               rtol=0, atol=1e-13, err_msg="u")
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=0, atol=1e-13, err_msg="v")
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
+                               rtol=0, atol=1e-13, err_msg="w")
+
+
+def test_xpad_step_trajectory_matches_jnp():
+    """Full inflow/outflow steps with use_pallas on vs off agree (the
+    external-flow analogue of the periodic trajectory parity test),
+    including IBM + convective outlet."""
+    from cfdnn_tpu.ibm import CylinderBody
+    base = dict(Nx=24, Ny=16, Nz=8, bc_x=BCType.INFLOW,
+                bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
+                x_max=6.0, y_min=-2.0, y_max=2.0, z_max=1.0,
+                nu=1e-2, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
+                dt=5e-3, adaptive_dt=False, dtype="float64",
+                convective_outflow=True,
+                convective_scheme=ConvectiveScheme.SKEW)
+    sims = []
+    for up in ("off", "on"):
+        sim = Simulation(Config(use_pallas=up, **base))
+        sim.set_ibm_forcing(CylinderBody(1.5, 0.0, 0.4))
+        sims.append(sim)
+    sim_off, sim_on = sims
+    assert sim_on._pallas_predictor_ok == "xpad"
+    assert sim_off._pallas_predictor_ok is False
+    s0 = sim_off.initial_state()
+    s0 = s0.replace(u=jnp.ones_like(s0.u))
+    s_off, s_on = sim_off.initialize(s0), sim_on.initialize(s0)
+    for _ in range(5):
+        s_off, _ = sim_off.step(s_off)
+        s_on, d = sim_on.step(s_on)
+    np.testing.assert_allclose(np.asarray(s_on.u), np.asarray(s_off.u),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_on.v), np.asarray(s_off.v),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_on.p), np.asarray(s_off.p),
+                               rtol=0, atol=1e-11)
+    assert float(d.div_linf) < 1e-10
