@@ -161,6 +161,11 @@ class Config:
     bc_x: BCType = BCType.PERIODIC
     bc_y: BCType = BCType.WALL
     bc_z: BCType = BCType.PERIODIC
+    # Tangential x-velocity of the y_max wall (lid-driven cavity / moving
+    # belt). First-class here; the reference only reaches this physics by
+    # rewriting the u ghost row every step in its cavity test
+    # (tests/test_physics_validation_advanced.cpp:500-505).
+    lid_velocity: float = 0.0
 
     # --- Turbulence model ------------------------------------------------
     turb_model: TurbulenceModel = TurbulenceModel.NONE
@@ -315,6 +320,13 @@ class Config:
             updates["nu"] = delta / self.Re if delta != 1.0 else 1.0 / self.Re
         elif nu_s and not re_s:
             updates["Re"] = delta / self.nu
+        if self.lid_velocity != 0.0 and self.bc_y != BCType.WALL:
+            raise ValueError("Config: lid_velocity requires bc_y=WALL "
+                             "(it is the y_max wall's tangential speed)")
+        if self.lid_velocity != 0.0 and self.implicit_y_diffusion:
+            raise ValueError("Config: lid_velocity with implicit_y_diffusion "
+                             "is not supported (the Thomas y-solve's "
+                             "boundary rows assume stationary no-slip walls)")
         if self.CFL_xz < 0:
             updates["CFL_xz"] = self.CFL_max
         if self.benchmark:

@@ -92,14 +92,22 @@ def pad_pressure(f, axis: int, ax):
     return _cat([g_lo, f, g_hi], axis)
 
 
-def pad_tangential(f, axis: int, bc: BCType, ng: int = 1):
-    """Pad a velocity component along an axis it is cell-centered on."""
+def pad_tangential(f, axis: int, bc: BCType, ng: int = 1,
+                   wall=(0.0, 0.0)):
+    """Pad a velocity component along an axis it is cell-centered on.
+
+    `wall`: (lo, hi) tangential wall velocity (AxisGeom.tang[comp]) —
+    ghosts are the odd extension about the wall value, 2*value - interior,
+    so a nonzero value gives a moving wall (lid) and 0.0 classic no-slip.
+    """
     if bc == BCType.PERIODIC:
         return _cat([sl(f, axis, -ng, None), f, sl(f, axis, 0, ng)], axis)
     lo = _flip(sl(f, axis, 0, ng), axis)
     hi = _flip(sl(f, axis, -ng, None), axis)
     if bc == BCType.WALL:
-        return _cat([-lo, f, -hi], axis)            # no-slip: value 0 at wall
+        if wall == (0.0, 0.0):                      # no-slip: value 0 at wall
+            return _cat([-lo, f, -hi], axis)
+        return _cat([2.0 * wall[0] - lo, f, 2.0 * wall[1] - hi], axis)
     # OUTFLOW / INFLOW default: zero-gradient (inlet profile applied by caller)
     return _cat([lo, f, hi], axis)
 

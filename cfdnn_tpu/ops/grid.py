@@ -53,6 +53,11 @@ class AxisGeom:
     pos_f_pad2: jnp.ndarray  # (..Nf+4..) stored-face coords with 2 ghosts/side
     p_lo: str = "neumann"    # pressure BC kind at the low end —
     p_hi: str = "neumann"    # must match the Poisson backend exactly
+    # Tangential wall velocity per velocity component, ((lo, hi) per comp):
+    # WALL ghosts become 2*value - interior instead of -interior, giving a
+    # moving wall (lid-driven cavity, Couette belt). Zero = classic no-slip.
+    tang: Tuple[Tuple[float, float], Tuple[float, float],
+                Tuple[float, float]] = ((0.0, 0.0), (0.0, 0.0), (0.0, 0.0))
 
     @property
     def o4_ok(self) -> bool:
@@ -73,7 +78,8 @@ class AxisGeom:
 
     @classmethod
     def make(cls, ax, bc: BCType, axis: int, dtype,
-             p_kinds=("neumann", "neumann")) -> "AxisGeom":
+             p_kinds=("neumann", "neumann"),
+             tang=((0.0, 0.0), (0.0, 0.0), (0.0, 0.0))) -> "AxisGeom":
         n = ax.n
         periodic = bc == BCType.PERIODIC
         d = ax.d
@@ -102,7 +108,7 @@ class AxisGeom:
         arr = lambda a: jnp.asarray(a.reshape(_bshape(a, axis)), dtype)
         return cls(
             n=n, bc=bc, periodic=periodic, uniform=ax.uniform,
-            p_lo=p_kinds[0], p_hi=p_kinds[1],
+            p_lo=p_kinds[0], p_hi=p_kinds[1], tang=tang,
             h=float(ax.d[0]), length=ax.length,
             d=arr(d), inv_d=arr(1.0 / d),
             dc=arr(dc), inv_dc=arr(1.0 / dc),
@@ -128,7 +134,9 @@ class Geometry:
                 AxisGeom.make(mesh.x, cfg.bc_x, 0, dtype,
                               pressure_bc_kinds(cfg, 0)),
                 AxisGeom.make(mesh.y, cfg.bc_y, 1, dtype,
-                              pressure_bc_kinds(cfg, 1)),
+                              pressure_bc_kinds(cfg, 1),
+                              tang=((0.0, float(cfg.lid_velocity)),
+                                    (0.0, 0.0), (0.0, 0.0))),
                 AxisGeom.make(mesh.z, cfg.bc_z, 2, dtype,
                               pressure_bc_kinds(cfg, 2)),
             ),

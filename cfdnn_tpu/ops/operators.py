@@ -74,36 +74,42 @@ def f2c_diff(f: Array, axis: int, ax: AxisGeom) -> Array:
 # but lowering to one-plane ICI permutes (scripts/analyze_collectives.py).
 
 
-def c2f_mean(fc: Array, axis: int, ax: AxisGeom, kind: str = "vel") -> Array:
-    """Cell-centered -> stored faces, arithmetic mean (reference 0.5 avgs)."""
+def c2f_mean(fc: Array, axis: int, ax: AxisGeom, kind: str = "vel",
+             wall=(0.0, 0.0)) -> Array:
+    """Cell-centered -> stored faces, arithmetic mean (reference 0.5 avgs).
+
+    `wall`: tangential wall velocity pair for kind="vel" (AxisGeom.tang of
+    the component being interpolated — nonzero only for a moving wall).
+    """
     if ax.bc == BCType.PERIODIC:
         return 0.5 * (_R(fc, -1, axis) + fc)
-    pad = (pad_tangential(fc, axis, ax.bc) if kind == "vel"
+    pad = (pad_tangential(fc, axis, ax.bc, wall=wall) if kind == "vel"
            else pad_center(fc, axis, ax.bc, kind="neumann"))
     avg = 0.5 * (sl(pad, axis, 0, -1) + sl(pad, axis, 1, None))
     return _stored_faces(avg, axis, ax)
 
 
-def c2f_diff(fc: Array, axis: int, ax: AxisGeom, kind: str = "vel") -> Array:
+def c2f_diff(fc: Array, axis: int, ax: AxisGeom, kind: str = "vel",
+             wall=(0.0, 0.0)) -> Array:
     """Cell-centered -> derivative at stored faces (ghost-aware spacing)."""
     inv_sp = _inv_dpos_c(ax)
     if ax.bc == BCType.PERIODIC:
         a = ax_of(inv_sp)
         return (fc - _R(fc, -1, axis)) * sl(inv_sp, a, 0, -1)
-    pad = (pad_tangential(fc, axis, ax.bc) if kind == "vel"
+    pad = (pad_tangential(fc, axis, ax.bc, wall=wall) if kind == "vel"
            else pad_center(fc, axis, ax.bc, kind="neumann"))
     g = (sl(pad, axis, 1, None) - sl(pad, axis, 0, -1)) * inv_sp
     return _stored_faces(g, axis, ax)
 
 
-def cc_central(phi: Array, axis: int, ax: AxisGeom) -> Array:
+def cc_central(phi: Array, axis: int, ax: AxisGeom, wall=(0.0, 0.0)) -> Array:
     """Central derivative at centers of a field cell-centered along `axis`."""
     p = ax.pos_c_pad
     a = ax_of(p)
     den = sl(p, a, 2, None) - sl(p, a, 0, -2)
     if ax.bc == BCType.PERIODIC:
         return (_R(phi, 1, axis) - _R(phi, -1, axis)) / den
-    pad = pad_tangential(phi, axis, ax.bc)
+    pad = pad_tangential(phi, axis, ax.bc, wall=wall)
     return (sl(pad, axis, 2, None) - sl(pad, axis, 0, -2)) / den
 
 
@@ -256,7 +262,8 @@ def _advecting_velocity(comps: Vel, s: int, d: int, geom: Geometry) -> Array:
         uc = f2c_mean(comps[d], d, geom.axes[d])
     if geom.use_o4(s):
         return c2f_mean4(uc, s, geom.axes[s])
-    return c2f_mean(uc, s, geom.axes[s], kind="vel")
+    return c2f_mean(uc, s, geom.axes[s], kind="vel",
+                    wall=geom.axes[s].tang[d])
 
 
 def _conv_advective(comps: Vel, s: int, geom: Geometry,
@@ -276,7 +283,8 @@ def _conv_advective(comps: Vel, s: int, geom: Geometry,
             if geom.use_o4(d):
                 dphi = same_diff4(phi, d, ax)
             else:
-                dphi = ff_central(phi, d, ax) if d == s else cc_central(phi, d, ax)
+                dphi = (ff_central(phi, d, ax) if d == s
+                        else cc_central(phi, d, ax, wall=ax.tang[s]))
         else:
             ng = 2 if scheme == ConvectiveScheme.UPWIND2 else 1
             if d == s:
@@ -291,7 +299,8 @@ def _conv_advective(comps: Vel, s: int, geom: Geometry,
                     back, fwd = _upwind_pair_periodic(phi, pos, d, a)
             else:
                 pad = (pad_normal(phi, d, ax.bc, ng=ng) if d == s
-                       else pad_tangential(phi, d, ax.bc, ng=ng))
+                       else pad_tangential(phi, d, ax.bc, ng=ng,
+                                           wall=ax.tang[s]))
                 if ng == 2:
                     back, fwd = _upwind2_pair(pad, pos, d, a)
                 else:
@@ -357,13 +366,14 @@ def _conv_skew(comps: Vel, s: int, geom: Geometry) -> Array:
             inv_w = _stored_faces(axs.inv_dc, ax_of(axs.inv_dc), axs)
             out = out + 0.5 * (u_hi * hi_n - u_lo * lo_n) * inv_w
         else:
-            U_e = c2f_mean(comps[d], s, axs, kind="vel")  # at CV faces (edges)
+            U_e = c2f_mean(comps[d], s, axs, kind="vel",  # at CV faces (edges)
+                           wall=axs.tang[d])
             u_lo, u_hi = face_pair(U_e, d, ax.bc)
             if ax.bc == BCType.PERIODIC:
                 lo_n = _R(phi, -1, d)
                 hi_n = _R(phi, 1, d)
             else:
-                tpad = pad_tangential(phi, d, ax.bc)
+                tpad = pad_tangential(phi, d, ax.bc, wall=ax.tang[s])
                 lo_n = sl(tpad, d, 0, -2)
                 hi_n = sl(tpad, d, 2, None)
             out = out + 0.5 * (u_hi * hi_n - u_lo * lo_n) * ax.inv_d
@@ -421,7 +431,7 @@ def diffusive(comps: Vel, nu_center, geom: Geometry,
                 F = nu_c * g_c
                 term = term + _bdiff_stored(F, s, axs)
             else:
-                g_f = c2f_diff(phi, d, ax, kind="vel")
+                g_f = c2f_diff(phi, d, ax, kind="vel", wall=ax.tang[s])
                 if scalar_nu:
                     nu_e = nu_center
                 else:
@@ -528,6 +538,6 @@ def velocity_gradient(comps: Vel, geom: Geometry):
             if i == j:
                 G[i][j] = f2c_diff(phi, i, axi)
             else:
-                d = cc_central(phi, j, ax)       # at phi points
+                d = cc_central(phi, j, ax, wall=ax.tang[i])  # at phi points
                 G[i][j] = f2c_mean(d, i, axi)    # -> cell centers
     return G

@@ -299,7 +299,10 @@ class Simulation:
             and cfg.space_order in (2, 4)
             and cfg.convective_scheme in (ConvectiveScheme.SKEW,
                                           ConvectiveScheme.CENTRAL)
-            and not cfg.implicit_y_diffusion)
+            and not cfg.implicit_y_diffusion
+            # the slab kernels hardcode no-slip ghost sign flips
+            # (pallas_kernels.py pad_tangential WALL branch)
+            and cfg.lid_velocity == 0.0)
         if not shared:
             return False
         from .ops.pallas_kernels import _auto_bxz, slab_fits
