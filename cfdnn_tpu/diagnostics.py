@@ -119,12 +119,15 @@ def channel_statistics(sim, state) -> ChannelStats:
     w_rms = jnp.sqrt(jnp.mean(wp**2, axis=(0, 2)))
     uv = jnp.mean(up * vp, axis=(0, 2))
 
-    # u_tau from both walls, averaged (reference u_tau consistency gate)
+    # u_tau from both walls, averaged (reference u_tau consistency gate).
+    # The y_max wall may move (Config.lid_velocity): shear is taken
+    # relative to the wall's own velocity, else a Couette/cavity run
+    # reports an O(U_lid/d_hi) phantom shear.
     y = mesh.y.centers
     d_lo = y[0] - mesh.y.lo
     d_hi = mesh.y.hi - y[-1]
     dudy_lo = float(U[0]) / d_lo
-    dudy_hi = -float(U[-1]) / d_hi
+    dudy_hi = (cfg.lid_velocity - float(U[-1])) / d_hi
     u_tau = float(np.sqrt(cfg.nu * 0.5 * (abs(dudy_lo) + abs(dudy_hi))))
     delta = 0.5 * cfg.Ly
     Re_tau = u_tau * delta / cfg.nu
@@ -215,8 +218,9 @@ class StatsAccumulator:
         y = mesh.y.centers
         d_lo = y[0] - mesh.y.lo
         d_hi = mesh.y.hi - y[-1]
-        u_tau = float(np.sqrt(cfg.nu * 0.5 * (abs(U[0]) / d_lo
-                                              + abs(U[-1]) / d_hi)))
+        u_tau = float(np.sqrt(cfg.nu * 0.5 * (
+            abs(U[0]) / d_lo
+            + abs(cfg.lid_velocity - U[-1]) / d_hi)))
         lv = cfg.nu / max(u_tau, 1e-30)
         return ChannelStats(
             y=np.asarray(y), U=U, u_rms=u_rms, v_rms=v_rms, w_rms=w_rms,

@@ -329,15 +329,9 @@ def _xpad_geometry(geom):
     ghost cell per side (n+2 cells): the ghost ring carries the bc.py pad
     values, so the fake-periodic slab kernels reproduce the non-periodic
     operator path exactly on the kept interior."""
-    import dataclasses as _dc
-    from ..config import BCType as _BC
-    from ..mesh import Axis1D as _Ax
-    from .grid import AxisGeom as _AG
-    x = geom.axes[0]
-    n = x.n + 2
-    ax = _Ax.make(n, 0.0, n * x.h)
-    xg = _AG.make(ax, _BC.PERIODIC, 0, geom.dtype)
-    return _dc.replace(geom, axes=(xg, geom.axes[1], geom.axes[2]))
+    # same fake-periodic-x construction as the slab tiling: bx = all
+    # n interior cells, one ghost plane per side
+    return _slab_geometry(geom, bx=geom.axes[0].n, ng=1)
 
 
 def fused_predictor_xpad(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
@@ -1138,7 +1132,11 @@ def channel_slab_eligible(geom, cfg) -> bool:
             and y.bc == BCType.WALL and z.n > 1
             and cfg.space_order == 2
             and cfg.convective_scheme in (CS.SKEW, CS.CENTRAL)
-            and not cfg.implicit_y_diffusion)
+            and not cfg.implicit_y_diffusion
+            # this kernel's wall ghosts hardcode stationary no-slip
+            # (predictor_slab_math_channel wall_pad_t); moving-wall runs
+            # take fused_predictor_general, which honors AxisGeom.tang
+            and cfg.lid_velocity == 0.0)
 
 
 def _channel_y_arrays(geom):

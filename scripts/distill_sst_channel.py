@@ -90,6 +90,8 @@ def main():
     r2 = 1.0 - ss_res / max(ss_tot, 1e-30)
     print(f"hold-out R^2 = {r2:.4f}")
 
+    # quality gate BEFORE save: a bad fit must not clobber a good preset
+    assert r2 > 0.95, f"hold-out R^2 too low: {r2}"
     mlp.save(args.out, metadata={
         "name": os.path.basename(args.out.rstrip("/")),
         "type": "nn_mlp",
@@ -105,7 +107,6 @@ def main():
         "features": {"type": "scalar_nut_v1"},
     })
     print(f"saved preset -> {args.out}")
-    assert r2 > 0.95, f"hold-out R^2 too low: {r2}"
 
 
 if __name__ == "__main__":

@@ -9,8 +9,8 @@ import os
 
 import numpy as np
 
-from cfdnn_tpu.apps import (airfoil, channel, cylinder, duct, hills, step,
-                            taylor_green_3d)
+from cfdnn_tpu.apps import (airfoil, cavity, channel, cylinder, duct, hills,
+                            step, taylor_green_3d)
 from cfdnn_tpu.io.vtk import read_vtk_scalars, write_vtk
 
 
@@ -43,6 +43,17 @@ def test_cylinder_app(tmp_path):
         "--Nx", "32", "--Ny", "32", "--write_fields", "false",
         "--output_dir", str(tmp_path) + "/"))
     assert np.isfinite(float(diags.fx))
+
+
+def test_cavity_app(tmp_path):
+    """30-step smoke: the moving-lid steady app runs, stays finite, and
+    keeps the projection at machine precision on the all-wall domain."""
+    sim, state, diags = cavity.main(_tiny(
+        "--Nx", "24", "--Ny", "24", "--tol", "0",
+        "--write_fields", "false", "--output_dir", str(tmp_path) + "/"))
+    assert np.isfinite(float(diags.ke))
+    assert float(diags.ke) > 0.0        # the lid stirs from a rest start
+    assert float(diags.div_linf) < 1e-10
 
 
 def test_duct_app(tmp_path):

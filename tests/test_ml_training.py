@@ -212,6 +212,57 @@ def test_sst_distilled_preset_runs_channel(record_qoi):
     assert 5.0 < peak_plus < 60.0, peak_plus
 
 
+def test_earsm_distilled_tbnn_preset_runs_channel(record_qoi):
+    """The tbnn_channel_earsm preset (physical EARSM-WJ anisotropy labels,
+    scripts/distill_earsm_channel.py) must load, run the Re_tau=180
+    channel stably under the full TBNN pipeline (invariants -> G_n ->
+    b_ij -> tau_ij, nu_t), and reproduce the log-layer anisotropy sign
+    (b_xy < 0 where dU/dy > 0)."""
+    import json
+    import os
+
+    import jax.numpy as jnp
+
+    from cfdnn_tpu import Config, Simulation, init_poiseuille
+    from cfdnn_tpu.config import TurbulenceModel
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    preset = os.path.join(root, "data", "models", "tbnn_channel_earsm")
+    meta = json.load(open(os.path.join(preset, "metadata.json")))
+    assert meta["training"]["holdout_r2"] > 0.9
+
+    cfg = Config(Nx=4, Ny=96, Nz=1,
+                 nu=1.0 / 180.0, nu_specified=True,
+                 dp_dx=-1.0, dp_dx_specified=True,
+                 dt=1e-3, adaptive_dt=True, CFL_max=0.5,
+                 dtype="float64", turb_model=TurbulenceModel.NN_TBNN,
+                 nn_weights_path=preset)
+    sim = Simulation(cfg)
+    state = sim.initialize(init_poiseuille(cfg, sim.mesh, fraction=0.05))
+    for _ in range(10):
+        state, d = sim.run(state, 200)
+        assert np.isfinite(float(d.ke))
+    t_xx, t_xy, t_yy = sim.turb.reynolds_stresses(state, sim)
+    # log/outer band of the lower half (y in [-0.75, -0.25]): dU/dy > 0
+    # => modeled shear stress < 0. The viscous sublayer is excluded —
+    # the trained map extrapolates there (near-wall states in-solver
+    # drift from the EARSM training trajectory), same caveat as the
+    # reference's a-priori-trained models.
+    y = np.asarray(sim.mesh.y.centers)
+    band = (y > -0.75) & (y < -0.25)
+    txy_prof = np.asarray(t_xy).mean(axis=(0, 2))[band]
+    record_qoi("tbnn_earsm_preset_txy_band_mean", float(txy_prof.mean()))
+    # the rolled-out state carries local wiggles (a-priori-trained model
+    # in closed loop), so gate the bulk: strongly negative band mean and
+    # a dominantly negative profile
+    assert txy_prof.mean() < -0.05, txy_prof.mean()
+    assert (txy_prof < 0).mean() > 0.85, txy_prof
+    nut = sim.turb.nu_t(state, sim)
+    peak_plus = float(jnp.max(nut)) * 180.0
+    record_qoi("tbnn_earsm_preset_nut_peak_plus", peak_plus)
+    assert 1.0 < peak_plus < 100.0, peak_plus
+
+
 def test_validate_trained_model_script(tmp_path):
     """scripts/validate_trained_model.py a-priori gates (reference
     scripts/validate_trained_model.py): a model trained on the dataset

@@ -520,25 +520,28 @@ def test_fused_divergence_correct_o4_match_operators():
                                    rtol=0, atol=1e-12, err_msg=f"bx={bx}")
 
 
-def _xpad_setup(bc_x, N=12):
+def _xpad_setup(bc_x, N=12, scheme=ConvectiveScheme.SKEW):
     cfg = Config(Nx=N, Ny=N, Nz=N, bc_x=bc_x,
                  bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
                  y_min=0.0, y_max=1.0, x_max=1.5, z_max=2.0,
                  nu=3e-3, nu_specified=True, dp_dx=-0.4,
                  dp_dx_specified=True, dtype="float64",
-                 convective_scheme=ConvectiveScheme.SKEW)
+                 convective_scheme=scheme)
     mesh = Mesh.from_config(cfg)
     return cfg, Geometry.make(mesh, cfg)
 
 
 @pytest.mark.parametrize("bc_x", [BCType.INFLOW, BCType.OUTFLOW, BCType.WALL])
 @pytest.mark.parametrize("with_nut", [False, True])
-def test_fused_predictor_xpad_matches_operators(bc_x, with_nut):
+@pytest.mark.parametrize("scheme", [ConvectiveScheme.SKEW,
+                                    ConvectiveScheme.CENTRAL])
+def test_fused_predictor_xpad_matches_operators(bc_x, with_nut, scheme):
     """Ghost-padded slab predictor on a non-periodic x == the jnp operator
-    path with the bc.py pads, for every supported x BC, on the faces the
-    solver keeps (boundary faces are re-imposed downstream)."""
+    path with the bc.py pads, for every supported x BC and both schemes
+    the solver gate enables, on the faces the solver keeps (boundary
+    faces are re-imposed downstream)."""
     from cfdnn_tpu.ops.pallas_kernels import fused_predictor_xpad
-    cfg, geom = _xpad_setup(bc_x)
+    cfg, geom = _xpad_setup(bc_x, scheme=scheme)
     rng = np.random.default_rng(3)
     N = cfg.Nx
     u = jnp.asarray(rng.standard_normal((N + 1, N, N)))
@@ -547,13 +550,13 @@ def test_fused_predictor_xpad_matches_operators(bc_x, with_nut):
     nu_t = (jnp.asarray(0.1 * rng.random((N, N, N))) if with_nut else None)
     dt, fx = 1e-3, -cfg.dp_dx
     nu_eff = (jnp.float64(cfg.nu) if nu_t is None else cfg.nu + nu_t)
-    conv = ops.convective((u, v, w), geom, ConvectiveScheme.SKEW)
+    conv = ops.convective((u, v, w), geom, scheme)
     diff = ops.diffusive((u, v, w), nu_eff, geom)
     ref = (u + dt * (-conv[0] + diff[0] + fx),
            v + dt * (-conv[1] + diff[1]),
            w + dt * (-conv[2] + diff[2]))
     got = fused_predictor_xpad(u, v, w, dt, geom=geom,
-                               scheme=ConvectiveScheme.SKEW, nu=cfg.nu,
+                               scheme=scheme, nu=cfg.nu,
                                fx=fx, nu_t=nu_t, interpret=True)
     # interior faces/cells only: boundary-normal faces are overwritten by
     # apply_velocity_bc / the convective outlet on both paths
@@ -599,3 +602,37 @@ def test_xpad_step_trajectory_matches_jnp():
     np.testing.assert_allclose(np.asarray(s_on.p), np.asarray(s_off.p),
                                rtol=0, atol=1e-11)
     assert float(d.div_linf) < 1e-10
+
+
+def test_fused_predictor_general_moving_wall():
+    """fused_predictor_general honors a moving y_max wall (AxisGeom.tang
+    threaded through the operator library inside the kernel) — the gate
+    that justifies keeping lid configs on the Pallas fast path while
+    channel_slab_eligible (hardcoded no-slip ghosts) rejects them."""
+    from cfdnn_tpu.ops.pallas_kernels import (channel_slab_eligible,
+                                              fused_predictor_general)
+    cfg = Config(Nx=16, Ny=12, Nz=8, bc_x=BCType.PERIODIC,
+                 bc_y=BCType.WALL, bc_z=BCType.PERIODIC,
+                 y_min=0.0, y_max=1.0, x_max=2.0, z_max=1.0,
+                 nu=5e-3, nu_specified=True, dp_dx=0.0,
+                 dp_dx_specified=True, lid_velocity=1.3, dtype="float64",
+                 convective_scheme=ConvectiveScheme.SKEW).finalize()
+    mesh = Mesh.from_config(cfg)
+    geom = Geometry.make(mesh, cfg)
+    assert geom.axes[1].tang[0] == (0.0, 1.3)
+    assert not channel_slab_eligible(geom, cfg)   # no-slip-only kernel
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal((16, 12, 8)))
+    v = jnp.asarray(rng.standard_normal((16, 13, 8)))
+    w = jnp.asarray(rng.standard_normal((16, 12, 8)))
+    dt = 1e-3
+    conv = ops.convective((u, v, w), geom, ConvectiveScheme.SKEW)
+    diff = ops.diffusive((u, v, w), jnp.float64(cfg.nu), geom)
+    ref = tuple(c + dt * (-cv + df)
+                for c, cv, df in zip((u, v, w), conv, diff))
+    got = fused_predictor_general(u, v, w, dt, geom=geom,
+                                  scheme=ConvectiveScheme.SKEW,
+                                  nu=cfg.nu, fx=0.0, interpret=True)
+    for g, r, name in zip(got, ref, "uvw"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=0, atol=1e-13, err_msg=name)
