@@ -24,13 +24,17 @@ Poisson solve in float64.
 
 PERF NOTE (measured, v5e, 512^3 f32 HIGHEST): the FHT solve runs 102 ms
 vs 33.6 ms for the dense eigenbasis matmuls — 3x SLOWER despite ~8x
-fewer flops. Every factorization of 512 leaves both factors far below
-the 128x128 systolic array (32x32 matmuls run at ~25% MXU utilization,
-16x16 at ~12%), and the axis moveaxis round trips add full-array
-transposes. The flop saving only wins once the factors themselves are
-MXU-sized, i.e. N >~ 16384 per axis — far beyond single-chip grids. Kept
-as a correct, tested OPT-IN (transform="fht") and as the measured
-justification for the dense-transform design choice.
+fewer flops. A full split sweep settles WHY: (N1,N2) = (32,16) 95.4 ms,
+(64,8) 95.3 ms, (128,4) 105.7 ms, (256,2) 115.3 ms (dense 13.7 ms,
+round-2 kernels) — even with the N1 factor exactly MXU-sized (128) the
+time barely moves, so the cost is NOT matmul utilization but the
+moveaxis/reshape transposes and elementwise twiddle passes, which are
+HBM-bandwidth-bound and don't shrink with the factorization. A
+flop-saving transform only wins when the baseline is flop-bound; the
+dense transform at 512 is already near the MXU roofline while the step
+is bandwidth-bound around it. Kept as a correct, tested OPT-IN
+(transform="fht") and as the measured justification for the
+dense-transform design choice.
 """
 
 from __future__ import annotations
