@@ -281,3 +281,39 @@ def test_momentum_closure_includes_modeled_stress():
         state, _ = sim.run(state, 500)
     defect = diag.momentum_balance_closure(sim, state)
     assert defect < 0.10, defect
+
+
+def test_spectral_analysis_script(tmp_path):
+    """scripts/spectral_analysis.py (reference scripts/spectral_analysis
+    .py parity: VTK -> E(k) post-processing): Parseval to roundoff and
+    shell-exact agreement with the in-solver diagnostics spectrum."""
+    import importlib.util
+    import os
+    import numpy as np
+
+    from cfdnn_tpu import BCType, Config, Simulation, init_taylor_green
+    from cfdnn_tpu.diagnostics import energy_spectrum_3d
+    from cfdnn_tpu.io.vtk import write_vtk
+
+    cfg = Config(Nx=16, Ny=16, Nz=16, bc_y=BCType.PERIODIC,
+                 x_max=2 * np.pi, y_max=2 * np.pi, z_max=2 * np.pi,
+                 nu=1e-3, nu_specified=True, dp_dx=0.0,
+                 dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
+                 dtype="float64").finalize()
+    sim = Simulation(cfg)
+    state = sim.initialize(init_taylor_green(cfg, sim.mesh))
+    state, _ = sim.run(state, 3)
+    path = str(tmp_path / "tgv.vtk")
+    write_vtk(path, state, sim.mesh, sim.geom, cfg)
+
+    spec = importlib.util.spec_from_file_location(
+        "spectral_analysis",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "spectral_analysis.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    res = mod.analyze(path)
+    assert res["parseval"] < 1e-12
+    k, E = energy_spectrum_3d(sim, state)
+    dat = np.loadtxt(str(tmp_path / "tgv_spectrum.dat"))
+    np.testing.assert_allclose(dat[: len(E), 1], E, rtol=1e-10, atol=1e-18)
