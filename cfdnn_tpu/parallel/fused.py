@@ -97,7 +97,8 @@ def _ext_setup(geom, mesh: Mesh, axis_name: str, ng: int | None = None):
 def sharded_fused_predictor(u, v, w, dt, *, geom, mesh: Mesh,
                             axis_name: str, scheme, nu, fx,
                             nu_t=None, interpret=False,
-                            implicit_y_diffusion: bool = False):
+                            implicit_y_diffusion: bool = False,
+                            lid_velocity: float = 0.0):
     """z-sharded fused momentum predictor: ppermute halos + slab kernel."""
     from ..ops.pallas_kernels import fused_predictor_general
     ng, geom_ext, spec = _ext_setup(geom, mesh, axis_name)
@@ -114,6 +115,7 @@ def sharded_fused_predictor(u, v, w, dt, *, geom, mesh: Mesh,
         space_order = geom.space_order
 
     _SchemeCfg.implicit_y_diffusion = implicit_y_diffusion
+    _SchemeCfg.lid_velocity = lid_velocity
     use_channel = channel_slab_eligible(geom_ext, _SchemeCfg)
 
     @functools.partial(jax.shard_map, mesh=mesh, in_specs=in_specs,

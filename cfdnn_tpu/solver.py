@@ -564,7 +564,8 @@ class Simulation:
                     mesh=self.device_mesh, axis_name=self._mesh_axis,
                     scheme=cfg.convective_scheme, nu=float(cfg.nu), fx=fx,
                     nu_t=nu_t, interpret=interp,
-                    implicit_y_diffusion=cfg.implicit_y_diffusion)
+                    implicit_y_diffusion=cfg.implicit_y_diffusion,
+                    lid_velocity=float(cfg.lid_velocity))
             elif self._pallas_predictor_ok == "xz":
                 from .ops.pallas_kernels import fused_predictor_general_xz
                 star = fused_predictor_general_xz(
