@@ -30,6 +30,12 @@ def run_case(name: str, cfg: Config, argv=None,
     outputs, return (sim, state, diags)."""
     argv = sys.argv[1:] if argv is None else argv
     cfg = cfg.parse_args(argv).finalize()
+    if cfg.platform:
+        import jax
+        try:
+            jax.config.update("jax_platforms", cfg.platform)
+        except Exception as e:   # backend already pinned elsewhere
+            print(f"[{name}] platform={cfg.platform} not applied: {e}")
     sim = Simulation(cfg)
     if body is not None:
         sim.set_ibm_forcing(body(cfg, sim.mesh) if callable(body) else body)

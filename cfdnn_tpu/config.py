@@ -275,6 +275,13 @@ class Config:
     use_pallas: str = "auto"         # "auto" | "on" | "off": fused TPU kernels
     dtype: str = "float32"           # "float32" | "float64" (x64 validation runs)
     poisson_dtype: str = ""          # "" => same as dtype; "float64" for mixed
+    # JAX backend pin ("" = environment default). The f64 physics-gate
+    # configs (examples/, verify recipes) set "cpu": the TPU has no f64
+    # datapath, so a float64 run on the default TPU backend crawls
+    # through emulation. Applied by apps/runner.run_case before the first
+    # jax op (no effect on an already-initialized backend — library users
+    # set JAX_PLATFORMS / jax.config themselves).
+    platform: str = ""               # "" | "cpu" | "tpu"
     mesh_axes: Tuple[str, ...] = ("z",)  # device-mesh axis names for sharding
     mesh_shape: Tuple[int, ...] = (1,)   # device-mesh shape (1 = single chip)
 
