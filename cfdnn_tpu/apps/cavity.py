@@ -71,12 +71,26 @@ def validate(sim, state, diags):
 
 def main(argv=None):
     argv = list(sys.argv[1:]) if argv is None else list(argv)
-    Re = 100.0
-    if "--Re" in argv:
-        i = argv.index("--Re")
-        Re = float(argv[i + 1])
-        argv = argv[:i] + argv[i + 2:]
-    return run_case("cavity", default_config(Re), argv, validate=validate)
+    # Consume --Re here (it selects nu in default_config; leaving it for
+    # Config.parse_args would over-specify the Re/nu/dp_dx triad).
+    # Accept both documented CLI forms, "--Re 400" and "--Re=400".
+    Re, rest = 100.0, []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--Re":
+            if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+                raise SystemExit("cavity: --Re needs a value")
+            Re = float(argv[i + 1])
+            i += 2
+            continue
+        if a.startswith("--Re="):
+            Re = float(a.split("=", 1)[1])
+            i += 1
+            continue
+        rest.append(a)
+        i += 1
+    return run_case("cavity", default_config(Re), rest, validate=validate)
 
 
 if __name__ == "__main__":

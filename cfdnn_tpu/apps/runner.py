@@ -32,10 +32,19 @@ def run_case(name: str, cfg: Config, argv=None,
     cfg = cfg.parse_args(argv).finalize()
     if cfg.platform:
         import jax
+        # jax.config.update neither raises nor takes effect once the
+        # backend is initialized, so verify by LOOKING at the device —
+        # a silent mismatch would run f64 physics on TPU emulation.
         try:
             jax.config.update("jax_platforms", cfg.platform)
-        except Exception as e:   # backend already pinned elsewhere
-            print(f"[{name}] platform={cfg.platform} not applied: {e}")
+        except Exception:
+            pass
+        actual = jax.devices()[0].platform.lower()
+        want = cfg.platform.lower()
+        if actual != want and not (want == "tpu" and actual == "axon"):
+            print(f"[{name}] WARNING: requested platform={cfg.platform} "
+                  f"but running on {actual} (JAX backend was already "
+                  f"initialized in this process)")
     sim = Simulation(cfg)
     if body is not None:
         sim.set_ibm_forcing(body(cfg, sim.mesh) if callable(body) else body)

@@ -11,7 +11,7 @@ the only host<->device transfer in a simulation campaign.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -119,6 +119,26 @@ def write_vtk(path: str, state, mesh, geom, cfg,
         np.savetxt(path + ".zcoords.txt", mesh.z.centers, fmt="%.16e")
 
 
+def _parse_dims(header: str) -> Tuple[int, int, int]:
+    d = [int(x) for x in header.split("DIMENSIONS")[1].split("\n")[0].split()]
+    return d[0], d[1], d[2]
+
+
+def read_vtk_dims(path: str) -> Tuple[int, int, int]:
+    """(Nx, Ny, Nz) from a STRUCTURED_POINTS header. Single source for
+    DIMENSIONS parsing — read_vtk_scalars and the spectral-analysis CLI
+    must agree on it. Reads only the header, not the data body."""
+    header = b""
+    with open(path, "rb") as fh:
+        while b"POINT_DATA" not in header:
+            chunk = fh.read(65536)
+            if not chunk:
+                break
+            header += chunk
+    end = header.find(b"POINT_DATA")
+    return _parse_dims(header[: end if end >= 0 else len(header)].decode())
+
+
 def read_vtk_scalars(path: str) -> Dict[str, np.ndarray]:
     """Minimal reader for round-trip tests: returns {name: flat array} for
     the scalar fields plus 'velocity' (N,3)."""
@@ -128,7 +148,7 @@ def read_vtk_scalars(path: str) -> Dict[str, np.ndarray]:
     header_end = data.find(b"POINT_DATA")
     header = data[:header_end].decode()
     binary = "BINARY" in header
-    dims = [int(x) for x in header.split("DIMENSIONS")[1].split("\n")[0].split()]
+    dims = _parse_dims(header)
     n = dims[0] * dims[1] * dims[2]
     pos = header_end
     body = data

@@ -155,8 +155,14 @@ def u_tau_wall(comps, geom, nu: float) -> Array:
     # distance from wall face to first center
     d_lo = y.centers.reshape(-1)[0] - y.faces.reshape(-1)[0]
     d_hi = y.faces.reshape(-1)[-1] - y.centers.reshape(-1)[-1]
-    dudy_lo = jnp.mean(jnp.abs(u[:, 0, :])) / d_lo
-    dudy_hi = jnp.mean(jnp.abs(u[:, -1, :])) / d_hi
+    # shear relative to the wall's OWN tangential velocity
+    # (AxisGeom.tang — moving lid / Couette belt): |u|/d at a lid wall
+    # would report an O(U_lid/d_hi) phantom shear and poison y+, van
+    # Driest damping, and the k/omega estimate (same fix as
+    # diagnostics.channel_statistics)
+    wall_lo, wall_hi = y.tang[0]
+    dudy_lo = jnp.mean(jnp.abs(u[:, 0, :] - wall_lo)) / d_lo
+    dudy_hi = jnp.mean(jnp.abs(wall_hi - u[:, -1, :])) / d_hi
     dudy = 0.5 * (dudy_lo + dudy_hi)
     return jnp.maximum(jnp.sqrt(nu * dudy), 1e-6)
 

@@ -58,7 +58,8 @@ def generate_pairs():
     Xs, Ts, Bs = [], [], []
     for i in range(60):
         state, d = sim.run(state, 500)
-        assert np.isfinite(float(d.ke)), "EARSM channel diverged"
+        if not np.isfinite(float(d.ke)):
+            raise SystemExit("EARSM channel diverged")
         if i >= 4 and i % 2 == 0:
             xi, ti, bi = pairs(state)
             Xs.append(xi)
@@ -104,7 +105,9 @@ def main():
     print(f"hold-out anisotropy R^2 = {r2:.4f}")
 
     # quality gate BEFORE save: a bad fit must not clobber a good preset
-    assert r2 > 0.9, f"hold-out R^2 too low: {r2}"
+    if not r2 > 0.9:   # hard error, not assert: python -O must not
+        raise SystemExit(      # silently clobber a good committed preset
+            f"hold-out R^2 too low: {r2} — refusing to save")
     mlp.save(args.out, metadata={
         "name": os.path.basename(args.out.rstrip("/")),
         "type": "nn_tbnn",

@@ -55,15 +55,12 @@ def shell_spectrum(u, v, w):
 
 
 def analyze(path, kfit=None, Re=None):
-    from cfdnn_tpu.io.vtk import read_vtk_scalars
+    from cfdnn_tpu.io.vtk import read_vtk_dims, read_vtk_scalars
 
     fields = read_vtk_scalars(path)
     if "velocity" not in fields:
         raise SystemExit(f"{path}: no VECTORS velocity field")
-    with open(path, "rb") as fh:
-        header = fh.read(4096).decode("latin-1")
-    dims = [int(x) for x in
-            header.split("DIMENSIONS")[1].split("\n")[0].split()]
+    dims = read_vtk_dims(path)
     vel = fields["velocity"].reshape(dims[2], dims[1], dims[0], 3)
     # VTK STRUCTURED_POINTS order is z-major; solver arrays are (x,y,z)
     u, v, w = (np.ascontiguousarray(vel[..., i].transpose(2, 1, 0))

@@ -258,9 +258,22 @@ def test_earsm_distilled_tbnn_preset_runs_channel(record_qoi):
     assert txy_prof.mean() < -0.05, txy_prof.mean()
     assert (txy_prof < 0).mean() > 0.85, txy_prof
     nut = sim.turb.nu_t(state, sim)
-    peak_plus = float(jnp.max(nut)) * 180.0
-    record_qoi("tbnn_earsm_preset_nut_peak_plus", peak_plus)
-    assert 1.0 < peak_plus < 100.0, peak_plus
+    # Gate the BAND MEAN nu_t+, not the peak: the TBNN nu_t is clipped
+    # to 10*nu (reference parity, turbulence_nn_tbnn.cpp:860), so
+    # max(nut)*180 saturates at exactly 10.0 for any preset whose raw
+    # peak exceeds the ceiling — a peak QOI validates the clip constant,
+    # not the trained map. The band mean still moves with the preset
+    # through its sub-ceiling fraction. (The closure's actual stress is
+    # the UNCLIPPED tau_ij path gated above; nu_t is the stabilizing
+    # isotropic proxy.) The ceiling fraction is tracked, not gated: at
+    # Re_tau=180 the physical log-layer nu_t+ is O(20), so the
+    # reference's own 10*nu ceiling binds over much of the band.
+    nut_prof = np.asarray(nut).mean(axis=(0, 2))[band]
+    nut_band_plus = float(nut_prof.mean()) * 180.0
+    record_qoi("tbnn_earsm_preset_nut_band_plus", nut_band_plus)
+    assert 0.5 < nut_band_plus < 9.9, nut_band_plus
+    record_qoi("tbnn_earsm_preset_nut_clip_frac",
+               float((nut_prof * 180.0 > 9.99).mean()))
 
 
 def test_validate_trained_model_script(tmp_path):

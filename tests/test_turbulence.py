@@ -234,3 +234,27 @@ def test_sigma_zero_gradient_no_nan_f32():
     nut = np.asarray(sim.turb.nu_t(state, sim))
     assert np.all(np.isfinite(nut))
     assert np.allclose(nut, 0.0)
+
+
+def test_u_tau_wall_moving_lid():
+    """u_tau_wall measures shear relative to the wall's OWN tangential
+    velocity (AxisGeom.tang). A linear Couette profile between a
+    stationary floor and a U_lid lid has constant shear U_lid/Ly at both
+    walls; the pre-fix |u|/d at the lid reported an O(U_lid/d_hi)
+    phantom shear that poisoned y+/van-Driest/k-omega estimates for
+    every closure on moving-wall cases."""
+    from cfdnn_tpu.turbulence.base import u_tau_wall
+
+    U_lid, nu = 1.0, 1e-2
+    cfg = Config(Nx=8, Ny=32, Nz=1, x_max=1.0, y_min=0.0, y_max=1.0,
+                 bc_x=BCType.WALL, bc_y=BCType.WALL, lid_velocity=U_lid,
+                 nu=nu, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
+                 dt=1e-3, dtype="float64")
+    sim = Simulation(cfg)
+    st = sim.initial_state()
+    yc = jnp.asarray(sim.mesh.y.centers)[None, :, None]
+    comps = (jnp.broadcast_to(U_lid * yc, st.u.shape).astype(st.u.dtype),
+             st.v, st.w)
+    ut = float(u_tau_wall(comps, sim.geom, nu))
+    exact = float(np.sqrt(nu * U_lid / cfg.Ly))
+    assert abs(ut - exact) / exact < 1e-6, (ut, exact)
