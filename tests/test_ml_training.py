@@ -326,3 +326,45 @@ def test_fix_normalization_stats_script(tmp_path):
     assert any("non-finite" in s for s in issues)
     assert any("zero stds" in s for s in issues)
     assert fns.check(np.zeros(3), np.ones(3)) == []
+
+
+def test_safe_extract_blocks_traversal(tmp_path):
+    """scripts/safe_extract.py (reference scripts/safe_extract.py Zip
+    Slip protection): benign archives extract; entries escaping the
+    output dir are refused for both zip and tar."""
+    import os
+    import sys
+    import tarfile
+    import zipfile
+
+    import pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from safe_extract import safe_extract
+
+    # benign zip round-trips
+    z = tmp_path / "ok.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("a/b.txt", "hello")
+    out = tmp_path / "out"
+    assert safe_extract(z, out, verbose=False) == 1
+    assert (out / "a" / "b.txt").read_text() == "hello"
+
+    # zip-slip entry refused
+    evil = tmp_path / "evil.zip"
+    with zipfile.ZipFile(evil, "w") as zf:
+        zf.writestr("../escape.txt", "boom")
+    with pytest.raises(RuntimeError, match="unsafe"):
+        safe_extract(evil, tmp_path / "out2", verbose=False)
+    assert not (tmp_path / "escape.txt").exists()
+
+    # tar with an absolute symlink refused
+    t = tmp_path / "evil.tar"
+    with tarfile.open(t, "w") as tf:
+        info = tarfile.TarInfo("link")
+        info.type = tarfile.SYMTYPE
+        info.linkname = "/etc/passwd"
+        tf.addfile(info)
+    with pytest.raises(RuntimeError, match="unsafe"):
+        safe_extract(t, tmp_path / "out3", verbose=False)
