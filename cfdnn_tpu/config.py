@@ -270,6 +270,16 @@ class Config:
     recycle_target_bulk_u: float = -1.0
     recycle_remove_transverse_mean: bool = True
     recycle_diag_interval: int = 0
+    # Lund-type statistical rescaling of the recycled inlet (Lund, Wu &
+    # Squires 1998): pin the inlet z-mean profile and rescale the
+    # fluctuations to the reference RMS captured at initialize() from
+    # the IC's recycle plane. Pins the recycle-loop gain at 1 — the
+    # undamped loop otherwise amplifies (measured: Re_tau 182 -> 270 in
+    # the full-mode periodic-vs-recycling study) and the AR1 filter can
+    # only trade amplification for laminarization. Beyond the
+    # reference's shift/filter/mass-flux machinery.
+    recycle_rescale: bool = False
+    recycle_rescale_clip: float = 2.0   # max per-y amplification factor
 
     # --- TPU-specific -----------------------------------------------------
     use_pallas: str = "auto"         # "auto" | "on" | "off": fused TPU kernels

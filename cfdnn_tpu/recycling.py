@@ -84,6 +84,8 @@ class RecyclingInflow:
         self.dx0 = float(mesh.x.d[0])
         self.inv_dy = jnp.asarray((1.0 / mesh.y.d).reshape(-1, 1), dtype)
         self.inv_dz = float(1.0 / mesh.z.d[0])
+        # Lund-rescaling targets (set_rescale_target); None = off
+        self.rescale_stats = None
 
     # -- state initialization ------------------------------------------------
 
@@ -91,6 +93,52 @@ class RecyclingInflow:
         """Initial inlet planes = recycle-station planes (no shift)."""
         u, v, w = comps
         return (u[self.i_rec, :, :], v[self.i_rec, :, :], w[self.i_rec, :, :])
+
+    def set_rescale_target(self, comps) -> None:
+        """Capture the Lund-rescaling reference statistics (z-mean
+        profile + fluctuation RMS profile per component) from the
+        CURRENT recycle plane — call at initialize() with a developed
+        state. Trace-time constants: the caller must rebuild its jits
+        (same convention as the pinned inflow profile).
+
+        NOTE: an instantaneous capture carries the snapshot's frozen
+        streak structure in the pinned mean; for production inflow
+        prefer set_rescale_profiles with TIME-AVERAGED precursor
+        statistics (the Lund method's actual prescription)."""
+        stats = []
+        for f in comps:
+            plane = f[self.i_rec, :, :]
+            mean = jnp.mean(plane, axis=-1, keepdims=True)
+            rms = jnp.sqrt(jnp.mean((plane - mean) ** 2, axis=-1,
+                                    keepdims=True))
+            stats.append((jnp.asarray(mean), jnp.asarray(rms)))
+        self.rescale_stats = tuple(stats)
+
+    def set_rescale_profiles(self, stats) -> None:
+        """Set the Lund-rescaling targets from explicit per-y profiles:
+        `stats` is ((mean_u, rms_u), (mean_v, rms_v), (mean_w, rms_w)),
+        each of shape (ny_dof, 1) for that component's y-DOF count —
+        e.g. time-averaged precursor statistics. Trace-time constants:
+        rebuild jits after calling."""
+        self.rescale_stats = tuple(
+            (jnp.asarray(m), jnp.asarray(r)) for m, r in stats)
+
+    def _rescale(self, plane, comp: int):
+        """Pin the z-mean to the target profile and rescale fluctuations
+        to the target RMS (Lund et al. 1998 statistical rescaling) —
+        loop gain exactly 1 regardless of what the recycle station
+        drifts to. Per-y amplification clipped (recycle_rescale_clip)
+        so a quiet transient cannot be blown up from noise."""
+        if self.rescale_stats is None:
+            return plane
+        t_mean, t_rms = self.rescale_stats[comp]
+        mean = jnp.mean(plane, axis=-1, keepdims=True)
+        fluc = plane - mean
+        rms = jnp.sqrt(jnp.mean(fluc ** 2, axis=-1, keepdims=True))
+        clip = self.cfg.recycle_rescale_clip
+        scale = jnp.clip(t_rms / jnp.maximum(rms, 1e-12),
+                         1.0 / clip, clip)
+        return t_mean + scale * fluc
 
     # -- per-step pipeline ---------------------------------------------------
 
@@ -142,9 +190,9 @@ class RecyclingInflow:
         """Extract + spanwise shift + AR1 filter + mass-flux correction +
         transverse-mean removal. Returns the new inlet planes."""
         u, v, w = comps
-        rec_u = self._shift(u[self.i_rec, :, :], step)
-        rec_v = self._shift(v[self.i_rec, :, :], step)
-        rec_w = self._shift(w[self.i_rec, :, :], step)
+        rec_u = self._rescale(self._shift(u[self.i_rec, :, :], step), 0)
+        rec_v = self._rescale(self._shift(v[self.i_rec, :, :], step), 1)
+        rec_w = self._rescale(self._shift(w[self.i_rec, :, :], step), 2)
         a = self._alpha_of(dt)
         if a is not None:
             rec_u = a * inlet[0] + (1 - a) * rec_u
@@ -184,7 +232,7 @@ class RecyclingInflow:
         mean/rms of the inlet u plane. Built from the SAME helpers as
         process() so the telemetry cannot drift from the real pipeline."""
         u = comps[0]
-        rec_u = self._shift(u[self.i_rec, :, :], step)
+        rec_u = self._rescale(self._shift(u[self.i_rec, :, :], step), 0)
         L2 = lambda f: jnp.sqrt(jnp.mean(f * f))
         out = {"L2_copy": L2(rec_u)}
         a = self._alpha_of(dt)

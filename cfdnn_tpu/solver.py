@@ -403,6 +403,13 @@ class Simulation:
             iu, iv, iw = self.recycling.init_buffers(
                 (state.u, state.v, state.w))
             state = state.replace(inlet_u=iu, inlet_v=iv, inlet_w=iw)
+            if self.cfg.recycle_rescale:
+                # Lund-rescaling reference stats from the IC's recycle
+                # plane — trace-time constants, so invalidate compiled
+                # steps (same convention as the pinned inflow profile)
+                self.recycling.set_rescale_target(
+                    (state.u, state.v, state.w))
+                self._build_jits()
         if self.cfg.bc_x == BCType.INFLOW and self.recycling is None:
             # bare inflow/outflow: the IC's inlet face IS the inflow
             # profile; capture it so _apply_bc can pin it every step.

@@ -189,3 +189,66 @@ def test_shift_interval_rotates_amount():
     np.testing.assert_array_equal(
         np.asarray(sim0.recycling._shift(plane, jnp.asarray(99))),
         np.asarray(jnp.roll(plane, sim0.recycling.shift_k, axis=-1)))
+
+
+def test_lund_rescaling_pins_inlet_statistics():
+    """recycle_rescale (Lund et al. 1998 statistical rescaling, beyond
+    the reference's shift/filter/mass-flux machinery): after the
+    recycle-station turbulence drifts — amplified fluctuations AND a
+    drifted mean — process() still produces an inlet with the captured
+    reference z-mean profile and fluctuation RMS, pinning the recycle
+    loop gain at 1."""
+    cfg = _cfg(recycle_rescale=True, recycle_filter_tau=-1.0,
+               recycle_remove_transverse_mean=False, recycle_shift_z=0)
+    sim = Simulation(cfg)
+    state = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
+    rec = sim.recycling
+    assert rec.rescale_stats is not None
+
+    comps0 = (state.u, state.v, state.w)
+    t_mean, _ = rec.rescale_stats[0]
+
+    # drift the field: 3x fluctuations + 0.5 mean offset everywhere
+    def drift(f):
+        m = jnp.mean(f, axis=-1, keepdims=True)
+        return m + 0.5 + 3.0 * (f - m)
+
+    comps = tuple(drift(c) for c in comps0)
+    inlet = rec.init_buffers(comps)
+    out = rec.process(comps, inlet)
+
+    # mean profile pinned exactly regardless of the clip
+    mean = np.asarray(jnp.mean(out[0], axis=-1, keepdims=True))
+    np.testing.assert_allclose(mean, np.asarray(t_mean), atol=1e-12)
+
+    # RMS pinned exactly once the clip admits the needed 1/3 factor
+    # (the default clip=2 would clamp a 3x drift at scale 1/2)
+    sim2 = Simulation(_cfg(recycle_rescale=True, recycle_rescale_clip=10.0,
+                           recycle_filter_tau=-1.0,
+                           recycle_remove_transverse_mean=False,
+                           recycle_shift_z=0))
+    st2 = sim2.initialize(perturbed_channel(sim2.cfg, sim2.mesh, amp=0.05))
+    rec2 = sim2.recycling
+    comps2 = tuple(drift(c) for c in (st2.u, st2.v, st2.w))
+    out2 = rec2.process(comps2, rec2.init_buffers(comps2))
+    t_mean2, t_rms2 = rec2.rescale_stats[0]
+    mean2 = np.asarray(jnp.mean(out2[0], axis=-1, keepdims=True))
+    fluc2 = np.asarray(out2[0]) - mean2
+    rms2 = np.sqrt((fluc2 ** 2).mean(axis=-1, keepdims=True))
+    np.testing.assert_allclose(rms2, np.asarray(t_rms2), atol=1e-12)
+
+    # off by default: drifted stats pass straight through
+    sim3 = Simulation(_cfg(recycle_filter_tau=-1.0, recycle_shift_z=0,
+                           recycle_remove_transverse_mean=False))
+    st3 = sim3.initialize(perturbed_channel(sim3.cfg, sim3.mesh, amp=0.05))
+    assert sim3.recycling.rescale_stats is None
+
+
+def test_lund_rescaling_step_stable():
+    """A full jitted step with recycle_rescale on stays finite (the
+    rescale stats are trace-time constants captured in initialize)."""
+    sim = Simulation(_cfg(recycle_rescale=True))
+    state = sim.initialize(perturbed_channel(sim.cfg, sim.mesh, amp=0.05))
+    for _ in range(5):
+        state, d = sim.step(state)
+    assert np.isfinite(float(d.ke))
