@@ -267,17 +267,25 @@ class Config:
     recycle_shift_interval: int = 0   # steps between shift-AMOUNT updates; 0 = constant shift (reference behavior)
     recycle_filter_tau: float = -1.0
     recycle_fringe_length: float = -1.0
+    # Mass-flux controller target for the recycled inlet u plane.
+    # -1 (default) = auto-capture the IC inlet plane's bulk at
+    # initialize() — reference parity: solver_recycling.cpp:784-785
+    # ("If target Q not set, use current bulk velocity as target").
+    # Without this anchor the inlet u is slaved to interior continuity
+    # and a body-forced developing channel accelerates without bound
+    # (measured: bulk 15.7 -> 18+ and climbing under dp_dx=-1).
+    # 0 = disabled; >0 = explicit target.
     recycle_target_bulk_u: float = -1.0
     recycle_remove_transverse_mean: bool = True
     recycle_diag_interval: int = 0
     # Lund-type statistical rescaling of the recycled inlet (Lund, Wu &
     # Squires 1998): pin the inlet z-mean profile and rescale the
     # fluctuations to the reference RMS captured at initialize() from
-    # the IC's recycle plane. Pins the recycle-loop gain at 1 — the
-    # undamped loop otherwise amplifies (measured: Re_tau 182 -> 270 in
-    # the full-mode periodic-vs-recycling study) and the AR1 filter can
-    # only trade amplification for laminarization. Beyond the
-    # reference's shift/filter/mass-flux machinery.
+    # the IC's recycle plane. Pins the recycle-loop gain at 1: in the
+    # full-mode periodic-vs-recycling study the undamped loop sits
+    # slightly hot (Re_tau 192 vs the periodic 182) while the AR1
+    # filter laminarizes (163); rescaling centers it (178.6, U within
+    # 1.1%). Beyond the reference's shift/filter/mass-flux machinery.
     recycle_rescale: bool = False
     recycle_rescale_clip: float = 2.0   # max per-y amplification factor
 

@@ -90,9 +90,20 @@ class RecyclingInflow:
     # -- state initialization ------------------------------------------------
 
     def init_buffers(self, comps) -> Tuple:
-        """Initial inlet planes = recycle-station planes (no shift)."""
+        """Initial inlet planes = recycle-station planes (no shift).
+
+        When recycle_target_bulk_u < 0 (auto), also captures the
+        mass-flux controller target from this plane's area-weighted
+        bulk — reference parity (solver_recycling.cpp:784-785: "If
+        target Q not set, use current bulk velocity as target"). A
+        trace-time constant: the caller must rebuild its jits."""
         u, v, w = comps
-        return (u[self.i_rec, :, :], v[self.i_rec, :, :], w[self.i_rec, :, :])
+        inlet = (u[self.i_rec, :, :], v[self.i_rec, :, :],
+                 w[self.i_rec, :, :])
+        if self.cfg.recycle_target_bulk_u < 0:
+            self.target_bulk = float(
+                jnp.sum(inlet[0] * self.area) / self.total_area)
+        return inlet
 
     def set_rescale_target(self, comps) -> None:
         """Capture the Lund-rescaling reference statistics (z-mean

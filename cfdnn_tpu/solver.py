@@ -405,11 +405,14 @@ class Simulation:
             state = state.replace(inlet_u=iu, inlet_v=iv, inlet_w=iw)
             if self.cfg.recycle_rescale:
                 # Lund-rescaling reference stats from the IC's recycle
-                # plane — trace-time constants, so invalidate compiled
-                # steps (same convention as the pinned inflow profile)
+                # plane — trace-time constants (same convention as the
+                # pinned inflow profile)
                 self.recycling.set_rescale_target(
                     (state.u, state.v, state.w))
-                self._build_jits()
+            # init_buffers may have auto-captured the mass-flux target
+            # and set_rescale_target the Lund stats — both trace-time
+            # constants, so invalidate compiled steps
+            self._build_jits()
         if self.cfg.bc_x == BCType.INFLOW and self.recycling is None:
             # bare inflow/outflow: the IC's inlet face IS the inflow
             # profile; capture it so _apply_bc can pin it every step.
@@ -482,19 +485,39 @@ class Simulation:
         applied IBM impulse propagates into the final RK state (see
         _advance_velocity)."""
         geom = self.geom
-        if (self.cfg.bc_x == BCType.INFLOW and self.recycling is None):
-            # Bare (non-recycling) inflow/outflow pair: pin the outlet mass
-            # flux to the inlet's by a uniform offset on the outlet face so
-            # the Poisson RHS stays globally solvable. Without this, the
-            # zero-gradient outlet drifts and a long run blows up (measured:
-            # NaN by t~60 on the Re=100 cylinder at 19 cells/D). The
-            # reference only corrects flux in its recycling path
-            # (solver_recycling.cpp:771-800) — this hardens the plain mode.
+        if self.cfg.bc_x == BCType.INFLOW:
+            # Pin the outlet mass flux by a uniform offset on the outlet
+            # face so the Poisson RHS stays globally solvable and the
+            # through-flow is anchored.
+            #
+            # Bare mode: pin to the inlet face flux (the pinned inflow
+            # profile). Without this, the zero-gradient outlet drifts and
+            # a long run blows up (measured: NaN by t~60 on the Re=100
+            # cylinder at 19 cells/D).
+            #
+            # Recycling mode: pin to the mass-flux controller's target
+            # bulk. The recycled inlet u enters only as ghost/fringe data
+            # and the inlet FACE is projection-determined (reference
+            # solver_recycling.cpp:1058-1061 "let projection determine it
+            # for div-free"), so without an outlet anchor NOTHING fixes
+            # the through-flow: the domain behaves as a closed tube — a
+            # uniform acceleration is divergence-free, the projection
+            # cannot see it, and the body force drives a runaway
+            # (measured: bulk 15.7 -> 27+ under dp_dx=-1) while an
+            # unforced run friction-decays (15.7 -> 4.8). With the outlet
+            # pinned, the projection develops the opposing mean pressure
+            # gradient, exactly the periodic channel's momentum balance.
+            # The reference never anchors this (its Full-mode validation
+            # is defined but not exercised); this hardening is deliberate.
             u = comps[0]
             w = self._yz_area_weights(u.dtype)
-            q_in = jnp.sum(u[0] * w)
             q_out = jnp.sum(u[-1] * w)
-            comps = (u.at[-1].add(q_in - q_out), comps[1], comps[2])
+            if (self.recycling is not None
+                    and self.recycling.target_bulk > 0):
+                q_target = self.recycling.target_bulk
+            else:
+                q_target = jnp.sum(u[0] * w)
+            comps = (u.at[-1].add(q_target - q_out), comps[1], comps[2])
         mode = self._pallas_predictor_ok
         use_fused = (mode in ("slab", "xz", "shard")
                      and geom.axes[0].periodic and geom.axes[0].uniform)

@@ -199,7 +199,8 @@ def test_lund_rescaling_pins_inlet_statistics():
     reference z-mean profile and fluctuation RMS, pinning the recycle
     loop gain at 1."""
     cfg = _cfg(recycle_rescale=True, recycle_filter_tau=-1.0,
-               recycle_remove_transverse_mean=False, recycle_shift_z=0)
+               recycle_remove_transverse_mean=False, recycle_shift_z=0,
+               recycle_target_bulk_u=0.0)
     sim = Simulation(cfg)
     state = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
     rec = sim.recycling
@@ -226,7 +227,7 @@ def test_lund_rescaling_pins_inlet_statistics():
     sim2 = Simulation(_cfg(recycle_rescale=True, recycle_rescale_clip=10.0,
                            recycle_filter_tau=-1.0,
                            recycle_remove_transverse_mean=False,
-                           recycle_shift_z=0))
+                           recycle_shift_z=0, recycle_target_bulk_u=0.0))
     st2 = sim2.initialize(perturbed_channel(sim2.cfg, sim2.mesh, amp=0.05))
     rec2 = sim2.recycling
     comps2 = tuple(drift(c) for c in (st2.u, st2.v, st2.w))
@@ -244,6 +245,39 @@ def test_lund_rescaling_pins_inlet_statistics():
     assert sim3.recycling.rescale_stats is None
 
 
+def test_mass_flux_target_auto_capture():
+    """recycle_target_bulk_u=-1 (default) captures the IC inlet bulk at
+    initialize() — reference parity (solver_recycling.cpp:784-785) —
+    and the controller then holds the inlet bulk there; 0 disables."""
+    sim = Simulation(_cfg(recycle_filter_tau=-1.0))
+    state = sim.initialize(perturbed_channel(sim.cfg, sim.mesh, amp=0.02))
+    rec = sim.recycling
+    assert rec.target_bulk > 0
+    area = np.asarray(rec.area)
+    ic_bulk = float((np.asarray(state.inlet_u) * area).sum()
+                    / rec.total_area)
+    np.testing.assert_allclose(rec.target_bulk, ic_bulk, rtol=1e-6)
+
+    # a uniformly accelerated field gets pulled back toward the target
+    comps = (state.u + 0.05 * rec.target_bulk, state.v, state.w)
+    out = rec.process(comps, (state.inlet_u, state.inlet_v,
+                              state.inlet_w))
+    out_bulk = float((np.asarray(out[0]) * area).sum() / rec.total_area)
+    np.testing.assert_allclose(out_bulk, rec.target_bulk, rtol=1e-6)
+
+    # 0 = disabled: the drift passes through
+    sim0 = Simulation(_cfg(recycle_filter_tau=-1.0,
+                           recycle_target_bulk_u=0.0))
+    st0 = sim0.initialize(perturbed_channel(sim0.cfg, sim0.mesh, amp=0.02))
+    assert sim0.recycling.target_bulk == 0.0
+    comps0 = (st0.u + 0.05, st0.v, st0.w)
+    out0 = sim0.recycling.process(
+        comps0, (st0.inlet_u, st0.inlet_v, st0.inlet_w))
+    b_in = float((np.asarray(st0.inlet_u) * area).sum() / rec.total_area)
+    b_out = float((np.asarray(out0[0]) * area).sum() / rec.total_area)
+    assert abs(b_out - (b_in + 0.05)) < 1e-6
+
+
 def test_lund_rescaling_step_stable():
     """A full jitted step with recycle_rescale on stays finite (the
     rescale stats are trace-time constants captured in initialize)."""
@@ -252,3 +286,29 @@ def test_lund_rescaling_step_stable():
     for _ in range(5):
         state, d = sim.step(state)
     assert np.isfinite(float(d.ke))
+
+
+def test_recycling_through_flow_anchored_under_body_force():
+    """The outlet mass-flux pin anchors a body-forced recycling channel
+    at the captured target bulk. The recycled inlet u enters only as
+    ghost/fringe data and the inlet FACE is projection-determined, so
+    without the outlet anchor the domain is a closed tube: a uniform
+    acceleration is divergence-free and the body force drives a runaway
+    (measured in the full pvr study: bulk 15.7 -> 27+ under dp_dx=-1).
+
+    Start from a half-strength Poiseuille state so forcing and friction
+    are far out of balance (unanchored drift ~ +0.5/time here); the
+    anchored bulk must stay at the IC's captured target."""
+    cfg = _cfg(nu=0.05, dp_dx=-1.0, dt=2e-3, recycle_filter_tau=-1.0)
+    sim = Simulation(cfg)
+    ic = perturbed_channel(cfg, sim.mesh, amp=0.02)
+    ic = ic.replace(u=0.5 * ic.u, v=0.5 * ic.v, w=0.5 * ic.w)
+    st = sim.initialize(ic)
+    target = sim.recycling.target_bulk
+    assert target > 0
+    st, _ = sim.run(st, 300)   # 0.6 time units
+    w = np.asarray(sim.mesh.y.d[:, None] * sim.mesh.z.d[None, :])
+    mid = np.asarray(st.u)[st.u.shape[0] // 2]
+    bulk = float((mid * w).sum() / w.sum())
+    # unanchored this drifts ~+9%; anchored it must hold to ~1%
+    assert abs(bulk - target) / target < 0.02, (bulk, target)

@@ -175,10 +175,8 @@ def run_quick(Nx=64, Ny=64, Nz=32, t_spin=0.5, t_stats=0.5,
 def make_cfg_full(recycling: bool, Nx, Ny, Nz, dtype="float32",
                   filter_tau=0.5, rescale=False):
     """DNS-realism configuration: skew scheme + trip, sustained
-    turbulence at Re_tau = 180. The recycling leg runs the AR1 inlet
-    filter — the stabilizer whose absence makes the reference's own
-    Full mode unsafe (its config notes the quick perturbation is
-    deliberately sub-turbulent; undamped recycle loops amplify)."""
+    turbulence at Re_tau = 180. `filter_tau`/`rescale` select the
+    recycle-loop stabilizer under study (see run_full docstring)."""
     from cfdnn_tpu import BCType, Config
     from cfdnn_tpu.config import ConvectiveScheme, TimeIntegrator
     kw = {}
@@ -338,13 +336,18 @@ def run_full(Nx=96, Ny=64, Nz=64, dtype="float32", verbose=True,
     initialized from the periodic leg's developed state and must
     reproduce its statistics in the developed region.
 
-    The recycle loop needs amplitude regulation: unfiltered it
-    amplifies (measured: Re_tau 182 -> 270), and the AR1 filter can
-    only trade amplification for laminarization (tau=0.5 decays to
-    Re_tau=139; tau=0.02 still sits at 239). The Lund statistical
-    rescaling (recycle_rescale) pins the loop gain at 1 by
-    construction. run_full runs each `legs` stabilizer setting against
-    ONE cached periodic leg and reports the best-agreeing one.
+    Two regulation mechanisms matter (both found by this study):
+    1. The THROUGH-FLOW ANCHOR (solver-side outlet mass-flux pin, see
+       solver.py::_project): without it the body-forced domain is a
+       closed tube and the bulk runs away (15.7 -> 27+, all stabilizer
+       settings land at Re_tau 240-350).
+    2. The recycle-loop gain: anchored but unfiltered the loop sits
+       slightly hot (Re_tau 192 vs periodic 182); the AR1 filter
+       laminarizes (tau=0.02 -> 163); the Lund statistical rescaling
+       (recycle_rescale) pins the gain at 1 by construction and
+       centers the flow (178.6, U within 1.1%, u_rms 4.1%, uv 12%).
+    run_full runs each `legs` stabilizer setting against ONE cached
+    periodic leg and reports the best-agreeing one.
 
     Returns the best dict of relative differences (scaled by the
     periodic leg's max magnitude, same convention as run_quick), with
