@@ -41,5 +41,13 @@ def validate(path: str) -> bool:
 
 
 if __name__ == "__main__":
-    paths = sys.argv[1:] or ["data/models/mlp_synthetic"]
-    sys.exit(0 if all(validate(p) for p in paths) else 1)
+    if len(sys.argv) > 1:
+        paths = sys.argv[1:]
+    else:
+        # default: every preset in the shipped zoo
+        import glob
+        import os
+        paths = sorted(
+            d for d in glob.glob("data/models/*") if os.path.isdir(d)
+        )
+    sys.exit(0 if paths and all(validate(p) for p in paths) else 1)
