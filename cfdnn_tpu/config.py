@@ -409,6 +409,33 @@ class Config:
         return raw
 
     @classmethod
+    def usage(cls) -> str:
+        """CLI usage text: every option with its type, default, and (for
+        enums) the accepted values (reference Config::print_help)."""
+        lines = [
+            "Usage: <app> [--key value | --key=value | --flag] ...",
+            "",
+            "  --config FILE   load `key = value` config file first "
+            "(later CLI flags win)",
+            "  --model NAME    alias for --turb_model",
+            "",
+            "Options (CLI > file > defaults):",
+        ]
+        for f in dataclasses.fields(cls):
+            if f.name.endswith("_specified"):
+                continue  # internal triad-resolution markers
+            default = getattr(cls(), f.name)
+            if f.name in cls._ENUM_FIELDS:
+                choices = "|".join(e.value for e in cls._ENUM_FIELDS[f.name])
+                lines.append(f"  --{f.name} {{{choices}}}"
+                             f"  (default: {getattr(default, 'value', default)})")
+            else:
+                tname = f.type if isinstance(f.type, str) else \
+                    getattr(f.type, "__name__", str(f.type))
+                lines.append(f"  --{f.name} <{tname}>  (default: {default!r})")
+        return "\n".join(lines)
+
+    @classmethod
     def from_file(cls, path: str, base: Optional["Config"] = None) -> "Config":
         """Load `key = value` config file (reference src/config.cpp:108)."""
         cfg = base or cls()
@@ -458,6 +485,9 @@ class Config:
                     val = "true"  # bare flag
                     i += 1
             key = key.replace("-", "_")
+            if key in ("help", "h"):
+                print(self.usage())
+                raise SystemExit(0)
             if key == "config":
                 cfg = Config.from_file(val, base=cfg)
                 continue

@@ -76,3 +76,14 @@ def test_cfl_xz_defaults_to_cfl_max():
     assert cfg.CFL_xz == pytest.approx(0.7)
     cfg = Config(CFL_max=0.7, CFL_xz=0.3).finalize()
     assert cfg.CFL_xz == pytest.approx(0.3)
+
+
+def test_help_prints_usage_and_exits():
+    cfg = Config()
+    with pytest.raises(SystemExit) as exc:
+        cfg.parse_args(["--help"])
+    assert exc.value.code == 0
+    text = Config.usage()
+    assert "--Nx <int>" in text
+    assert "--turb_model {" in text          # enum choices rendered
+    assert "_specified" not in text          # internal markers hidden
