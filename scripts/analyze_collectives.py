@@ -51,9 +51,14 @@ def collective_stats(hlo_text: str):
 
 
 def analyze(Nx=32, Ny=32, Nz=32, n_dev=None):
-    # The axon sitecustomize force-registers the TPU backend regardless of
-    # the JAX_PLATFORMS env var; override via config BEFORE backend init so
-    # the virtual-device count from XLA_FLAGS takes effect.
+    # This analysis is contractually a virtual-CPU-mesh compile: force the
+    # CPU platform AND the virtual host device count before backend init,
+    # so it works even where a sitecustomize pins a 1-chip TPU backend.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_dev or 8}"
+        ).strip()
     import jax
     jax.config.update("jax_platforms", "cpu")
 
