@@ -470,6 +470,9 @@ class Config:
         argv = list(argv)
         while i < len(argv):
             arg = argv[i]
+            if arg in ("-h", "help"):  # short/bare help, before '--' check
+                print(self.usage())
+                raise SystemExit(0)
             if not arg.startswith("--"):
                 raise ValueError(f"Config: unexpected argument '{arg}'")
             body = arg[2:]

@@ -892,17 +892,16 @@ class Simulation:
                 ns, _d = self._step_impl(st, with_diags=False)
                 return ns, None
 
-            state, _ = jax.lax.scan(body, state, None, length=n)
-            comps = (state.u, state.v, state.w)
-            ke = 0.5 * sum(jnp.mean(c**2) for c in comps)
-            div = ops.divergence(comps, self.geom)
-            if self.ibm is not None:
-                div = div * self.ibm.fluid_interior
-            diags = StepDiagnostics(
-                residual=jnp.zeros((), self.dtype),
-                div_linf=jnp.max(jnp.abs(div)), dt=state.dt_prev, ke=ke,
-                nan_flag=~jnp.isfinite(ke))
-            return state, diags
+            if n > 1:
+                state, _ = jax.lax.scan(body, state, None, length=n - 1)
+            # The FINAL step runs with full diagnostics so run() returns a
+            # real residual even in benchmark/perf mode: solve_steady's
+            # convergence test `res < tol*dt` must never see the fast
+            # path's residual=0 placeholder (it silently terminated
+            # benchmarked steady runs after one diag_interval chunk).
+            # Cost: one extra set of reductions per run() call, amortized
+            # over the n-1 diagnostic-free steps in the scan.
+            return self._step_impl(state, with_diags=True)
 
         first = self._step_impl(state)
         if n == 1:

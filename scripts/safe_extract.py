@@ -48,16 +48,27 @@ def safe_extract(archive, out_dir, verbose: bool = True) -> int:
         with tarfile.open(archive) as tf:
             for m in tf:
                 _check_inside(out_dir, m.name)
+                if not (m.isfile() or m.isdir() or m.issym() or m.islnk()):
+                    # device nodes / FIFOs have no place in a dataset
+                    raise RuntimeError(
+                        f"unsupported special member in archive: {m.name!r}")
                 if m.issym() or m.islnk():
-                    # a link pointing outside out_dir escapes on follow
                     link = pathlib.Path(m.linkname)
                     if link.is_absolute():
                         raise RuntimeError(
                             f"unsafe absolute link in archive: {m.name!r}"
                             f" -> {m.linkname!r}")
-                    _check_inside(out_dir,
-                                  str(pathlib.Path(m.name).parent / link))
-                tf.extract(m, out_dir)
+                    if m.islnk():
+                        # tarfile resolves HARDLINK targets relative to the
+                        # extraction root, not the member's parent dir
+                        _check_inside(out_dir, m.linkname)
+                    else:
+                        # symlinks resolve relative to the member's parent
+                        _check_inside(out_dir,
+                                      str(pathlib.Path(m.name).parent / link))
+                # filter='data' (Py>=3.12) independently rejects escaping
+                # paths/links and special members — defense in depth
+                tf.extract(m, out_dir, filter="data")
                 n += 1
                 if verbose and n % 50 == 0:
                     print(f"  {n} entries...")

@@ -80,9 +80,10 @@ def test_cfl_xz_defaults_to_cfl_max():
 
 def test_help_prints_usage_and_exits():
     cfg = Config()
-    with pytest.raises(SystemExit) as exc:
-        cfg.parse_args(["--help"])
-    assert exc.value.code == 0
+    for flag in ("--help", "--h", "-h"):
+        with pytest.raises(SystemExit) as exc:
+            cfg.parse_args([flag])
+        assert exc.value.code == 0
     text = Config.usage()
     assert "--Nx <int>" in text
     assert "--turb_model {" in text          # enum choices rendered

@@ -178,6 +178,27 @@ class TestStepSmoke:
         assert np.isfinite(float(d.ke))
         assert float(d.div_linf) < 1e-10
 
+    def test_benchmark_mode_run_reports_real_residual(self):
+        """In benchmark/perf mode run() must still return a genuine
+        residual on its final step (advisor round-2: the fast path's
+        residual=0 placeholder made solve_steady's convergence test
+        `res < tol*dt` pass immediately, silently truncating steady
+        runs to one diag_interval chunk)."""
+        cfg = _cfg(Nx=16, Ny=24, Nz=8, dt=1e-3, adaptive_dt=False,
+                   nu=0.05, nu_specified=True, benchmark=True)
+        sim = Simulation(cfg)
+        from cfdnn_tpu import perturbed_channel
+        state = perturbed_channel(cfg, sim.mesh)
+        state, d = sim.run(state, 5)
+        # a transient startup step has O(dt*forcing) velocity change
+        assert float(d.residual) > 0.0
+        assert int(state.step) == 5
+        # and solve_steady must not break out of its loop early: with an
+        # unreachable tol it must execute every requested step
+        state2 = perturbed_channel(cfg, sim.mesh)
+        state2, _ = sim.solve_steady(state2, tol=0.0, max_steps=12)
+        assert int(state2.step) == 12
+
 
 # ---------------------------------------------------------------------------
 # Time-accumulation precision + IC layout regressions

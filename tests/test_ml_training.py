@@ -368,3 +368,32 @@ def test_safe_extract_blocks_traversal(tmp_path):
         tf.addfile(info)
     with pytest.raises(RuntimeError, match="unsafe"):
         safe_extract(t, tmp_path / "out3", verbose=False)
+
+    # tar HARDLINK whose target resolves relative to the extraction ROOT
+    # (tarfile semantics) — 'a/b/c' -> '../secret' escapes even though it
+    # would be inside out_dir if resolved against the member's parent
+    secret = tmp_path / "secret.txt"
+    secret.write_text("SECRET")
+    t2 = tmp_path / "evil_hardlink.tar"
+    with tarfile.open(t2, "w") as tf:
+        for d in ("a", "a/b"):
+            info = tarfile.TarInfo(d)
+            info.type = tarfile.DIRTYPE
+            tf.addfile(info)
+        info = tarfile.TarInfo("a/b/c")
+        info.type = tarfile.LNKTYPE
+        info.linkname = "../secret.txt"
+        tf.addfile(info)
+    out4 = tmp_path / "out4"
+    with pytest.raises(RuntimeError, match="unsafe"):
+        safe_extract(t2, out4, verbose=False)
+    assert not (out4 / "a" / "b" / "c").exists()
+
+    # tar with a FIFO / device member refused
+    t3 = tmp_path / "evil_fifo.tar"
+    with tarfile.open(t3, "w") as tf:
+        info = tarfile.TarInfo("pipe")
+        info.type = tarfile.FIFOTYPE
+        tf.addfile(info)
+    with pytest.raises(RuntimeError, match="unsupported special"):
+        safe_extract(t3, tmp_path / "out5", verbose=False)
