@@ -388,6 +388,20 @@ class Simulation:
                 "space_order=4 requires the FDM Poisson backend (the MG "
                 "operator is O2; an O4 projection against it would not be "
                 "discretely consistent)")
+        if self.device_mesh is not None:
+            # MG is single-device: under GSPMD its dense coarse solve
+            # (multigrid.py MGLevel.coarse_pinv matmul) would all-gather
+            # the full field every V-cycle and the level hierarchy has no
+            # ppermute halo plumbing. The reference runs Schwarz-MG here
+            # (solver.cpp:2329-2346); our multi-chip answer is the pencil
+            # FDM (globally coupled), so the only unreachable combination
+            # is {mesh_shape>1, non-tensor-product mesh} — fail loudly
+            # instead of silently gathering.
+            raise NotImplementedError(
+                f"mesh_shape={tuple(cfg.mesh_shape or ())}: the multigrid "
+                "Poisson backend is single-device; multi-chip runs need a "
+                "tensor-product mesh eligible for the pencil FDM solve "
+                "(uniform periodic axes; stretching only on wall axes)")
         from .poisson.multigrid import MGPoissonSolver
         return MGPoissonSolver(self.mesh, cfg)
 

@@ -24,7 +24,17 @@ import re
 import sys
 
 
-def collect(log_path: str, out_path: str):
+def collect(log_path: str, out_path: str,
+            gated_path: str = "tests/baselines/gated_qois.json"):
+    # Namespace split (round-2 VERDICT "weak" #6): ungated fast-tier
+    # stress values (pvr_uv_rel_diff=0.82, unconverged poiseuille
+    # profiles) are written as "smoke.<name>" so nobody reading the raw
+    # metrics file cold mistakes them for gated physics results. Only
+    # names in the curated gate file keep their bare name.
+    try:
+        gated_names = set(json.load(open(gated_path)))
+    except OSError:
+        gated_names = set()
     qois = {}
     # non-greedy + per-line tolerance: a QOI print interleaved with
     # other output on one line (extra trailing '}' text) must not abort
@@ -36,7 +46,10 @@ def collect(log_path: str, out_path: str):
             if m:
                 try:
                     d = json.loads(m.group(1))
-                    qois[d["name"]] = d["value"]
+                    name = d["name"]
+                    if gated_names and name not in gated_names:
+                        name = "smoke." + name
+                    qois[name] = d["value"]
                 except (json.JSONDecodeError, KeyError) as e:
                     print(f"collect_qois: skipping malformed QOI line "
                           f"({e}): {line.rstrip()}", file=sys.stderr)

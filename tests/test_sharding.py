@@ -92,6 +92,19 @@ def test_mesh_shape_respected():
         device_mesh(100)
 
 
+def test_mg_backend_rejects_device_mesh():
+    """MG is single-device (its dense coarse solve would all-gather under
+    GSPMD): a mesh_shape>1 run that lands on the MG backend must fail at
+    construction with a clear error, not silently gather every V-cycle
+    (reference analogue: Schwarz-MG under MPI, solver.cpp:2329-2346)."""
+    cfg = _cfg(mesh_shape=(8,), poisson_solver="mg")
+    with pytest.raises(NotImplementedError, match="multigrid"):
+        Simulation(cfg)
+    # the same shape through AUTO selects the pencil FDM and works
+    sim = Simulation(_cfg(mesh_shape=(8,)))
+    assert "FDM" in sim.poisson.name
+
+
 def test_sharded_step_with_poisson_refinement():
     """cfg.poisson_refine inserts a stencil-Laplacian pass inside the FDM
     solve; it must stay rank-invariant under the z-sharded mesh (GSPMD
