@@ -49,7 +49,7 @@ def _time_steps(sim, state, steps=1000, reps=3):
     return s, d
 
 
-def bench_tgv(n=128):
+def bench_tgv(n=128, benchmark=True, steps=1000):
     from cfdnn_tpu import (Config, Simulation, BCType, TimeIntegrator,
                            ConvectiveScheme, init_taylor_green)
 
@@ -58,28 +58,59 @@ def bench_tgv(n=128):
         bc_x=BCType.PERIODIC, bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
         y_min=0.0, y_max=2 * np.pi, z_min=0.0, z_max=2 * np.pi,
         nu=1.0 / 1600.0, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
-        dt=1e-3, adaptive_dt=False,
+        dt=1e-3 if n <= 128 else 1e-4, adaptive_dt=False,
         time_integrator=TimeIntegrator.EULER,
         convective_scheme=ConvectiveScheme.SKEW,
-        benchmark=True, dtype="float32",
+        benchmark=benchmark, dtype="float32",
     )
     sim = Simulation(cfg)
-    s, _ = _time_steps(sim, init_taylor_green(cfg, sim.mesh))
+    s, _ = _time_steps(sim, init_taylor_green(cfg, sim.mesh), steps=steps)
     return s, n**3, None
 
 
-def bench_channel(n=128):
+def bench_channel(n=128, steps=1000):
     from cfdnn_tpu import Config, Simulation, perturbed_channel
 
     cfg = Config(
         Nx=n, Ny=n, Nz=n, stretch_y=True,
         nu=1e-4, nu_specified=True, dp_dx=-1e-3, dp_dx_specified=True,
-        dt=2e-4, adaptive_dt=False,
+        dt=2e-4 if n <= 128 else 5e-5, adaptive_dt=False,
         benchmark=True, dtype="float32",
     )
     sim = Simulation(cfg)
-    s, d = _time_steps(sim, perturbed_channel(cfg, sim.mesh, amp=0.05))
+    s, d = _time_steps(sim, perturbed_channel(cfg, sim.mesh, amp=0.05),
+                       steps=steps)
     return s, n**3, float(d.div_linf)
+
+
+def bench_production_scale():
+    """256^3/512^3 rows (round-2 verdict: production scale was invisible
+    to the regression net — per-cell rate drops with N because the modal
+    transforms are O(N) work per cell, so a 512^3 regression would not
+    show at 128^3). Includes one HONEST-PRECISION row: 512^3 TGV in
+    physics mode (HIGHEST-class bf16x6 Poisson, full diagnostics
+    cadence) alongside the benchmark-mode rows. Reference per-scale
+    counterparts: docs/SOLVER_GUIDE.md:495-503 publishes 128^3 only;
+    per-cell rates here are compared against the same H200 128^3
+    baselines as fair proxies (the reference FFT solve is near-linear
+    per cell)."""
+    rows = {}
+    s, cells, _ = bench_tgv(256, steps=150)
+    rows["tgv256_ms_per_step"] = s * 1e3
+    rows["tgv256_mcells_per_s"] = cells / s / 1e6
+    s, cells, _ = bench_tgv(512, steps=100)
+    rows["tgv512_ms_per_step"] = s * 1e3
+    rows["tgv512_mcells_per_s"] = cells / s / 1e6
+    rows["tgv512_vs_baseline_percell"] = (
+        rows["tgv512_mcells_per_s"] / BASELINE_TGV_MCELLS)
+    s, cells, div = bench_channel(512, steps=100)
+    rows["channel512_ms_per_step"] = s * 1e3
+    rows["channel512_mcells_per_s"] = cells / s / 1e6
+    rows["channel512_div_linf_f32"] = div
+    s, cells, _ = bench_tgv(512, benchmark=False, steps=60)
+    rows["tgv512_physics_ms_per_step"] = s * 1e3
+    rows["tgv512_physics_mcells_per_s"] = cells / s / 1e6
+    return rows
 
 
 def refresh_perf_baseline():
@@ -112,22 +143,40 @@ def warm_compile_cache():
     the production bench shapes so first-step latency is a documented
     one-time cost (round-1 lesson: minutes of Mosaic compile at 512^3).
     Runs each manifest config for 1 step and discards the result."""
-    from cfdnn_tpu import BCType, Config, Simulation, init_taylor_green
+    from cfdnn_tpu import (BCType, Config, Simulation, init_taylor_green,
+                           perturbed_channel)
     manifest = [dict(Nx=128, Ny=128, Nz=128), dict(Nx=256, Ny=256, Nz=256),
-                dict(Nx=512, Ny=512, Nz=512)]
+                dict(Nx=512, Ny=512, Nz=512),
+                dict(Nx=512, Ny=512, Nz=512, benchmark=False),
+                dict(Nx=128, Ny=128, Nz=128, channel=True),
+                dict(Nx=512, Ny=512, Nz=512, channel=True)]
     for sizes in manifest:
-        cfg = Config(
-            bc_x=BCType.PERIODIC, bc_y=BCType.PERIODIC,
-            bc_z=BCType.PERIODIC,
-            y_min=0.0, y_max=2 * np.pi, z_min=0.0, z_max=2 * np.pi,
-            nu=1e-3, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
-            dt=1e-4, adaptive_dt=False, benchmark=True, dtype="float32",
-            **sizes)
+        sizes = dict(sizes)
+        channel = sizes.pop("channel", False)
         t0 = time.time()
-        sim = Simulation(cfg)
-        state, _ = sim.run(init_taylor_green(cfg, sim.mesh), 1)
+        if channel:
+            cfg = Config(
+                stretch_y=True, nu=1e-4, nu_specified=True, dp_dx=-1e-3,
+                dp_dx_specified=True, dt=5e-5, adaptive_dt=False,
+                benchmark=True, dtype="float32", **sizes)
+            sim = Simulation(cfg)
+            state, _ = sim.run(perturbed_channel(cfg, sim.mesh, amp=0.05),
+                               1)
+        else:
+            cfg = Config(
+                bc_x=BCType.PERIODIC, bc_y=BCType.PERIODIC,
+                bc_z=BCType.PERIODIC,
+                y_min=0.0, y_max=2 * np.pi, z_min=0.0, z_max=2 * np.pi,
+                nu=1e-3, nu_specified=True, dp_dx=0.0,
+                dp_dx_specified=True,
+                dt=1e-4, adaptive_dt=False, dtype="float32",
+                **{"benchmark": True, **sizes})
+            sim = Simulation(cfg)
+            state, _ = sim.run(init_taylor_green(cfg, sim.mesh), 1)
         jax.block_until_ready(state)
-        print(f"warmed {sizes['Nx']}^3: {time.time() - t0:.1f}s "
+        tag = "channel" if channel else (
+            "physics" if not sizes.get("benchmark", True) else "tgv")
+        print(f"warmed {sizes['Nx']}^3 {tag}: {time.time() - t0:.1f}s "
               "(cached for subsequent runs)")
 
 
@@ -139,6 +188,11 @@ def main():
     m_ch = cells_ch / s_ch / 1e6
     r_tgv = m_tgv / BASELINE_TGV_MCELLS
     r_ch = m_ch / BASELINE_CHANNEL_MCELLS
+
+    try:
+        prod = bench_production_scale()
+    except Exception as e:         # never lose the headline JSON line
+        prod = {"production_scale_error": str(e)[:200]}
 
     value = float(np.sqrt(m_tgv * m_ch))          # geomean cells/s
     vs = float(np.sqrt(r_tgv * r_ch))             # geomean of ratios
@@ -154,6 +208,7 @@ def main():
         "channel_ms_per_step": s_ch * 1e3,
         "channel_vs_baseline": r_ch,
         "channel_div_linf_f32": div_ch,
+        **prod,
         "device": str(jax.devices()[0]),
     }))
     refresh_perf_baseline()

@@ -137,9 +137,10 @@ class FDMPoissonSolver:
         elsewhere. `geom` (ops.grid.Geometry) enables iterative
         refinement (cfg.poisson_refine) via the consistent stencil
         Laplacian."""
-        if transform not in ("fft", "matmul", "fht", "auto"):
+        if transform not in ("fft", "matmul", "fht", "pallas_fft", "auto"):
             raise ValueError(f"transform={transform!r} — expected one of "
-                             "'fft' | 'matmul' | 'fht' | 'auto'")
+                             "'fft' | 'matmul' | 'fht' | 'pallas_fft' | "
+                             "'auto'")
         self.dtype = jnp.dtype(dtype or cfg.poisson_dtype or cfg.dtype)
         self.geom = geom
         import jax as _jax
@@ -197,22 +198,59 @@ class FDMPoissonSolver:
                 self.refine = 1 if big else 0
         if geom is None:
             self.refine = 0
+        import jax
+        try:
+            plat = jax.devices()[0].platform.lower()
+        except Exception:
+            plat = "cpu"
+        on_tpu = plat.startswith("tpu") or plat == "axon"
         if transform == "auto":
-            import jax
-            try:
-                plat = jax.devices()[0].platform.lower()
-            except Exception:
-                plat = "cpu"
             # matmul (MXU eigenbasis) only on TPUs ("tpu", or "axon" for
             # the tunneled TPU plugin); GPU gets cuFFT via XLA's fft
-            # lowering, CPU gets pocketfft — NOT the dense matmuls
-            on_tpu = plat.startswith("tpu") or plat == "axon"
-            transform = "matmul" if on_tpu else "fft"
+            # lowering, CPU gets pocketfft — NOT the dense matmuls.
+            # At >=384 the dense transforms turn MXU-flop-bound (O(N)
+            # work per cell) and the Pallas four-step FHT wins (measured
+            # v5e 512^3 f32 solve, random mean-free RHS: all-periodic
+            # 11.1 ms @ 4.2e-5 rel residual vs dense-HIGHEST 27.4 ms @
+            # 1.2e-6 and dense-HIGH 17.3 ms @ 7.9e-3 — 2.5x over the
+            # physics transform at 100x the benchmark transform's
+            # accuracy; walls-y 18.7 vs 27.6 ms. At 256^3 the dense
+            # transforms are already bandwidth-bound and the split
+            # kernels just add dispatches: 1.20 vs 1.25 ms periodic,
+            # 1.62 vs 0.97 ms walls — so the cutover sits at `big`.)
+            # Needs factorable axis lengths; _build_axis falls back to
+            # the dense eigenbasis per axis.
+            if on_tpu and big and self.dtype != jnp.float64:
+                transform = "pallas_fft"
+            elif on_tpu:
+                transform = "matmul"
+            else:
+                transform = "fft"
+        self._fht_interpret = not on_tpu
         self.transform = transform
         bcs = (cfg.bc_x, cfg.bc_y, cfg.bc_z)
 
         def _build_axis(a, axd, bc):
             kinds = pressure_bc_kinds(cfg, a)
+            if (transform == "pallas_fft" and bc == BCType.PERIODIC
+                    and axd.n > 1):
+                # Pallas in-VMEM four-step (poisson/pallas_fht.py): MXU
+                # split constants + digit-permuted symbol; dense-
+                # eigenbasis fallback when the length doesn't factor or
+                # is too small to beat the matmul
+                from .pallas_fht import PFHTAxis, axis_supported
+                fx = (PFHTAxis.make(axd.n, self.dtype)
+                      if axis_supported(axd.n) else None)
+                if fx is not None:
+                    base = _axis_transform(axd, bc, kinds,
+                                           order=cfg.space_order,
+                                           periodic_matmul=False)
+                    return _AxisTransform(kind="fht",
+                                          lam=fx.lam_permuted(base.lam),
+                                          fht=fx)
+                return _axis_transform(axd, bc, kinds,
+                                       order=cfg.space_order,
+                                       periodic_matmul=True)
             if transform == "fht" and bc == BCType.PERIODIC and axd.n > 1:
                 # four-step Hartley: factorized cas matmuls, digit-permuted
                 # modal order (poisson/fht.py); falls back to the dense
@@ -337,6 +375,8 @@ class FDMPoissonSolver:
         reduction pass saved on each end (global reductions measure ~25x
         an elementwise pass on TPU).
         """
+        if self.transform == "pallas_fft" and self.fht_axes:
+            return self._solve_once_pallas(rhs)
         from .fht import fht_forward, fht_inverse
         f = rhs.astype(self.dtype)
         for i in self.eig_axes:
@@ -355,6 +395,49 @@ class FDMPoissonSolver:
             f = self._apply_mat(self.mats[i][1], f, i)
         return f.astype(rhs.dtype)
 
+    def _solve_once_pallas(self, rhs: jnp.ndarray) -> jnp.ndarray:
+        """transform='pallas_fft': bandwidth-roofline per-axis Hartley
+        passes, with [forward + modal inversion + inverse] of the LAST
+        fht axis fused into one "modal" kernel (poisson/pallas_fht.py).
+        Structure for all-periodic N^3:
+
+            fht_x | fht_y | [fht_z + scale + ifht_z] | ifht_y | ifht_x
+
+        = exactly five HBM read+write passes; eig axes (walls/
+        stretching) keep their dense MXU matmuls around the fht core.
+        The per-axis 1/N Hartley normalizations are folded into the
+        fused scale, so the inverse kernels are pure adjoints (no extra
+        elementwise pass).
+        """
+        from .pallas_fht import fht_pallas, fht_pallas_modal
+        # compensation depth tracks the dense path's precision tiers:
+        # HIGH (benchmark-relaxed) -> bf16x3, HIGHEST (physics) -> bf16x6
+        passes = 3 if self.precision_name == "high" else 6
+        f = rhs.astype(self.dtype)
+        for i in self.eig_axes:
+            f = self._apply_mat(self.mats[i][0], f, i)
+        last = self.fht_axes[-1]
+        for i in self.fht_axes[:-1]:
+            f = fht_pallas(f, i, self.tr[i].fht, passes=passes,
+                           interpret=self._fht_interpret)
+        norm = 1.0
+        for i in self.fht_axes:
+            norm /= self.tr[i].fht.N
+        rest_axes = tuple(a for a in range(3) if a != last)
+        lam_rest = (self._lam_vecs[rest_axes[0]]
+                    + self._lam_vecs[rest_axes[1]]).squeeze(last)
+        f = fht_pallas_modal(
+            f, last, self.tr[last].fht,
+            self.tr[last].lam, lam_rest,
+            thr=self._null_thr, norm=norm, passes=passes,
+            interpret=self._fht_interpret)
+        for i in reversed(self.fht_axes[:-1]):
+            f = fht_pallas(f, i, self.tr[i].fht, inverse=True,
+                           passes=passes, interpret=self._fht_interpret)
+        for i in self.eig_axes:
+            f = self._apply_mat(self.mats[i][1], f, i)
+        return f.astype(rhs.dtype)
+
     def solve_with_stats(self, rhs):
         """solve() + residual observability (one extra operator apply)."""
         p = self.solve(rhs)
@@ -364,13 +447,20 @@ class FDMPoissonSolver:
 
     def _residual_norm(self, rhs, p):
         from .fht import fht_forward
+        from .pallas_fht import PFHTAxis, reference_forward
 
         def fwd(f):
             for i in self.eig_axes:
                 f = self._apply_mat(self.mats[i][0], f, i)
             for i in self.fht_axes:
-                f = fht_forward(f, i, self.tr[i].fht,
-                                precision=self.precision)
+                t = self.tr[i].fht
+                if isinstance(t, PFHTAxis):
+                    # pallas axes: dense jnp reference in the SAME
+                    # digit-permuted order (observability path only)
+                    f = reference_forward(f, i, t,
+                                          precision=self.precision)
+                else:
+                    f = fht_forward(f, i, t, precision=self.precision)
             if self.fft_axes:
                 f = jnp.fft.rfftn(f, axes=self.fft_axes)
             return f

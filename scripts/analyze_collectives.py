@@ -28,24 +28,40 @@ _DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
                 "u32": 4, "pred": 1, "c64": 8, "c128": 16}
 
 _OP_RE = re.compile(
-    r"=\s+(?:\()?((?:f|bf|s|u|c)\d+|pred)\[([\d,]*)\][^)]*?\)?\s+"
+    r"=\s+(.*?)\s+"
     r"(all-gather|all-to-all|collective-permute|all-reduce|reduce-scatter)"
     r"(?:-start)?\(")
+_SHAPE_RE = re.compile(r"((?:f|bf|s|u|c)\d+|pred)\[([\d,]*)\]")
 
 
 def collective_stats(hlo_text: str):
-    """op -> (count, total_bytes, example shapes) from optimized HLO."""
+    """op -> (count, total_bytes, example shapes) from optimized HLO.
+
+    The result type between '=' and the op name is parsed IN FULL: a
+    tuple-form op (e.g. the tiled all-to-all's P operands, or a batched
+    multi-field collective-permute) contributes the sum of all its
+    tensors. (An earlier version took only the first tuple element,
+    which undercounted the all-to-all volume by a factor of P — caught
+    by the device-count sweep's 1/P scaling gate.)
+    """
     stats = {}
     for m in _OP_RE.finditer(hlo_text):
-        dt, dims, op = m.group(1), m.group(2), m.group(3)
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        nbytes = n * _DTYPE_BYTES.get(dt, 4)
+        lhs, op = m.group(1), m.group(2)
+        nbytes = 0
+        shapes = []
+        for dt, dims in _SHAPE_RE.findall(lhs):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes += n * _DTYPE_BYTES.get(dt, 4)
+            shapes.append(f"{dt}[{dims}]")
+        if not shapes:
+            continue
         c, b, ex = stats.get(op, (0, 0, []))
         if len(ex) < 6:
-            ex.append(f"{dt}[{dims}]")
+            ex.append("+".join(shapes[:4]) + ("+..." if len(shapes) > 4
+                                              else ""))
         stats[op] = (c + 1, b + nbytes, ex)
     return stats
 
@@ -107,6 +123,98 @@ def analyze(Nx=32, Ny=32, Nz=32, n_dev=None):
     return all_stats
 
 
+def sweep(Nx=32, Ny=32, Nz=32, ns=(2, 4, 8)):
+    """Device-count sweep: measured per-collective bytes vs the ICI
+    scaling model, for both the fused shard_map path and the GSPMD
+    fallback (round-2 verdict: multi-chip evidence was single-point).
+
+    The model (docs/DISTRIBUTION_GUIDE.md) predicts, per device per step:
+      collective-permute (z halos):  ~ const in P  (planes of Nx*Ny*ng)
+      all-to-all (pencil transpose): ~ 1/P         (field split over ICI)
+      all-reduce:                    O(1) scalars
+      all-gather:                    exactly zero
+    Returns rows suitable for the guide's predicted-vs-measured table.
+    """
+    # pin the virtual device pool to the LARGEST count up front (the
+    # first backend init freezes it; smaller meshes use a device subset)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={max(ns)}"
+        ).strip()
+    rows = []
+    for n in ns:
+        stats = analyze(Nx, Ny, Nz, n_dev=n)
+        for label, st in stats.items():
+            get = lambda op: st.get(op, (0, 0, []))[1]
+            rows.append(dict(n=n, path=label,
+                             cp=get("collective-permute"),
+                             ata=get("all-to-all"),
+                             ar=get("all-reduce"),
+                             ag=get("all-gather")))
+    return rows
+
+
+def check_sweep(rows, tol=0.35):
+    """Loose gates on the sweep's scaling exponents (CI-facing).
+
+    Within each path: collective-permute volume must be ~constant in P
+    (weak-scaling halos) and all-to-all volume must fall ~1/P (split
+    transpose); all-gather must be exactly zero everywhere. `tol` is the
+    allowed relative deviation from the model exponent — loose, because
+    small grids carry O(1) scalar traffic on top.
+    """
+    problems = []
+    by_path = {}
+    for r in rows:
+        by_path.setdefault(r["path"], []).append(r)
+    for path, rs in by_path.items():
+        rs = sorted(rs, key=lambda r: r["n"])
+        for r in rs:
+            if r["ag"] != 0:
+                problems.append(
+                    f"{path} n={r['n']}: all-gather {r['ag']} bytes != 0")
+        for a, b in zip(rs, rs[1:]):
+            if a["cp"] and b["cp"]:
+                ratio = b["cp"] / a["cp"]
+                if not (1 - tol) <= ratio <= (1 + tol):
+                    problems.append(
+                        f"{path}: collective-permute not ~const: "
+                        f"n={a['n']}->{b['n']} ratio {ratio:.2f}")
+            if a["ata"] and b["ata"]:
+                # per-device all-to-all should fall like 1/P (ratio
+                # n_a/n_b with a factor (P-1)/P of actually-remote data)
+                expect = a["n"] / b["n"]
+                lo = expect * (1 - tol)
+                hi = expect / (1 - tol) * (b["n"] / (b["n"] - 1))
+                ratio = b["ata"] / a["ata"]
+                if not lo <= ratio <= hi:
+                    problems.append(
+                        f"{path}: all-to-all not ~1/P: n={a['n']}->"
+                        f"{b['n']} ratio {ratio:.3f} expected ~{expect:.3f}")
+    return problems
+
+
+def sweep_table(rows):
+    out = ["| path | P | collective-permute MB | all-to-all MB | "
+           "all-reduce MB | all-gather MB |",
+           "|---|---|---|---|---|---|"]
+    for r in rows:
+        out.append(
+            f"| {r['path']} | {r['n']} | {r['cp']/1e6:.3f} | "
+            f"{r['ata']/1e6:.3f} | {r['ar']/1e6:.4f} | {r['ag']/1e6:.1f} |")
+    return "\n".join(out)
+
+
 if __name__ == "__main__":
+    if "--sweep" in sys.argv:
+        args = [int(a) for a in sys.argv[1:] if a.isdigit()]
+        rows = sweep(*args) if args else sweep()
+        print()
+        print(sweep_table(rows).replace("\\n", "\n"))
+        probs = check_sweep(rows)
+        for pr in probs:
+            print("SWEEP VIOLATION:", pr)
+        sys.exit(1 if probs else 0)
     args = [int(a) for a in sys.argv[1:4]]
     analyze(*args)

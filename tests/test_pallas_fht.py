@@ -1,0 +1,170 @@
+"""Parity gates for the Pallas four-step Hartley Poisson fast path.
+
+The transform="pallas_fft" kernels (poisson/pallas_fht.py) run here in
+interpret mode on CPU: float64 exercises the exact table path against the
+dense digit-permuted Hartley matrix, float32 exercises the SAME hi/lo
+bf16-compensated matmul algebra the TPU executes (Mosaic's DEFAULT f32
+dot is a single bf16 pass — measured 3e-2 relative residual at 512^3
+before compensation, which these gates would catch).
+
+Reference role: the FFT-solver accuracy gates of the reference
+(tests/test_mg_manufactured_solution.cpp fixture family,
+include/poisson_solver_fft.hpp:18-181).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cfdnn_tpu import BCType, Config
+from cfdnn_tpu.mesh import Mesh
+from cfdnn_tpu.poisson.fdm import FDMPoissonSolver
+from cfdnn_tpu.poisson.pallas_fht import (
+    PFHTAxis, axis_supported, fht_pallas, fht_pallas_modal,
+    reference_forward,
+)
+
+
+def _axis_shapes(axis, N, B=16):
+    # keep interpret-mode cost small: the batch dims stay tiny but
+    # lane/sublane-legal
+    if axis == 0:
+        return (N, 8, 128)
+    if axis == 1:
+        return (8, N, 128)
+    return (8, 16, N)
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+@pytest.mark.parametrize("N", [128, 256, 512])
+def test_forward_matches_dense_hartley(axis, N):
+    """Kernel forward == dense digit-permuted cas matrix (f64 exact)."""
+    t = PFHTAxis.make(N, jnp.float64)
+    assert t is not None and t.N1 * t.N2 == N
+    shape = _axis_shapes(axis, N)
+    rng = np.random.default_rng(axis * 10 + N)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float64)
+    got = fht_pallas(x, axis, t, interpret=True)
+    want = reference_forward(x, axis, t)
+    err = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert err < 1e-12, err
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_roundtrip_unnormalized(axis):
+    """inverse(forward(x)) == N * x (the 1/N lives in the modal scale)."""
+    N = 256
+    t = PFHTAxis.make(N, jnp.float64)
+    shape = _axis_shapes(axis, N)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float64)
+    y = fht_pallas(x, axis, t, interpret=True)
+    back = fht_pallas(y, axis, t, inverse=True, interpret=True) / N
+    err = float(jnp.linalg.norm(back - x) / jnp.linalg.norm(x))
+    assert err < 1e-12, err
+
+
+def test_f32_compensated_accuracy():
+    """The hi/lo bf16 3-pass matmul holds the f32 error class (this is
+    the exact algebra the MXU runs; uncompensated bf16 would sit at
+    ~1e-2 relative and fail)."""
+    N = 256
+    t32 = PFHTAxis.make(N, jnp.float32)
+    t64 = PFHTAxis.make(N, jnp.float64)
+    shape = _axis_shapes(2, N)
+    rng = np.random.default_rng(3)
+    x64 = rng.standard_normal(shape)
+    got = fht_pallas(jnp.asarray(x64, jnp.float32), 2, t32,
+                     interpret=True)
+    want = fht_pallas(jnp.asarray(x64, jnp.float64), 2, t64,
+                      interpret=True)
+    err = float(jnp.linalg.norm(got.astype(jnp.float64) - want)
+                / jnp.linalg.norm(want))
+    assert err < 5e-6, err
+
+
+def _mk(n, bc, order=2, dtype="float64", stretch=False):
+    cfg = Config(
+        Nx=n, Ny=n, Nz=n,
+        bc_x=BCType.PERIODIC,
+        bc_y=BCType.PERIODIC if bc == "periodic" else BCType.WALL,
+        bc_z=BCType.PERIODIC,
+        y_min=0.0, y_max=2 * np.pi, z_min=0.0, z_max=1.0,
+        nu=1e-3, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
+        dtype=dtype, space_order=order,
+        stretch_y=stretch and bc != "periodic")
+    return Mesh.from_config(cfg), cfg
+
+
+@pytest.mark.parametrize("bc,order,stretch", [
+    ("periodic", 2, False),
+    ("periodic", 4, False),
+    ("wall", 2, True),
+    ("wall", 4, True),
+])
+def test_solver_parity_vs_matmul(bc, order, stretch):
+    """Full FDM solve via the modal kernel == dense eigenbasis solve
+    (f64, machine precision), covering all-periodic and mixed fht+eig
+    pipelines at both spatial orders."""
+    n = 64
+    mesh, cfg = _mk(n, bc, order=order, stretch=stretch)
+    rng = np.random.default_rng(0)
+    rhs = rng.standard_normal((n, n, n))
+    rhs -= rhs.mean()
+    rhs = jnp.asarray(rhs, jnp.float64)
+    s_ref = FDMPoissonSolver(mesh, cfg, transform="matmul")
+    s_pal = FDMPoissonSolver(mesh, cfg, transform="pallas_fft")
+    assert "fht" in s_pal.name
+    p_ref = np.asarray(s_ref.solve(rhs))
+    p_pal = np.asarray(s_pal.solve(rhs))
+    err = (np.linalg.norm(p_pal - p_ref)
+           / max(np.linalg.norm(p_ref), 1e-300))
+    assert err < 1e-11, err
+    _, st = s_pal.solve_with_stats(rhs)
+    assert float(st.rel_residual) < 1e-12
+
+
+def test_solver_residual_f32():
+    """f32 end-to-end solves hold their precision-tier residual through
+    the compensated kernels: bf16x3 (HIGH tier) at the 1e-4 class,
+    bf16x6 (HIGHEST tier) at the 1e-6 class — the same ladder as the
+    dense transforms (fdm.py precision policy)."""
+    n = 64
+    rng = np.random.default_rng(1)
+    rhs = rng.standard_normal((n, n, n)).astype(np.float32)
+    rhs -= rhs.mean()
+    mesh, cfg = _mk(n, "periodic", dtype="float32")
+    got = {}
+    for prec, bound in (("high", 1e-3), ("highest", 5e-5)):
+        c = dataclasses.replace(cfg, poisson_matmul_precision=prec)
+        s_pal = FDMPoissonSolver(mesh, c, transform="pallas_fft")
+        _, st = s_pal.solve_with_stats(jnp.asarray(rhs))
+        got[prec] = float(st.rel_residual)
+        assert got[prec] < bound, (prec, got[prec])
+    # the x6 tier must actually buy accuracy over x3
+    assert got["highest"] < got["high"] / 3, got
+
+
+def test_axis_supported_policy():
+    assert axis_supported(128) and axis_supported(512)
+    assert axis_supported(384)
+    assert not axis_supported(32)       # below the floor
+    assert not axis_supported(127)      # prime: no MXU factorization
+
+
+def test_null_mode_pinned():
+    """A constant RHS component is annihilated: the solve stays
+    mean-free without any explicit mean subtraction."""
+    n = 64
+    mesh, cfg = _mk(n, "periodic")
+    rng = np.random.default_rng(2)
+    rhs = rng.standard_normal((n, n, n))
+    rhs -= rhs.mean()
+    s = FDMPoissonSolver(mesh, cfg, transform="pallas_fft")
+    p1 = np.asarray(s.solve(jnp.asarray(rhs, jnp.float64)))
+    p2 = np.asarray(s.solve(jnp.asarray(rhs + 3.7, jnp.float64)))
+    assert abs(np.mean(p1)) < 1e-12
+    assert np.allclose(p1, p2, atol=1e-9)
