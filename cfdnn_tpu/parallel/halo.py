@@ -41,6 +41,22 @@ def with_z_halos(f: jnp.ndarray, axis_name: str = "z", ng: int = 1):
     return jnp.concatenate([lo, f, hi], axis=-1)
 
 
+def with_axis_halos(f: jnp.ndarray, axis_name: str, ng: int = 1,
+                    dim: int = -1):
+    """with_z_halos generalized to any spatial dim (the 2-D (x, z) pencil
+    mesh exchanges x halos along spatial dim 0 and z halos along dim 2 —
+    both ride neighbor links of the 2-D ICI torus)."""
+    n = jax.lax.psum(1, axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    hi_slab = jax.lax.slice_in_dim(f, f.shape[dim] - ng, f.shape[dim],
+                                   axis=dim)
+    lo_slab = jax.lax.slice_in_dim(f, 0, ng, axis=dim)
+    lo_ghost = jax.lax.ppermute(hi_slab, axis_name, fwd)
+    hi_ghost = jax.lax.ppermute(lo_slab, axis_name, bwd)
+    return jnp.concatenate([lo_ghost, f, hi_ghost], axis=dim)
+
+
 def sharded_z_derivative(mesh: Mesh, dz: float, axis_name: str = "z"):
     """Example/benchmark kernel: central d/dz of a z-sharded periodic field
     using explicit ppermute halos (the reference's halo-exchange+stencil

@@ -336,9 +336,16 @@ class Simulation:
         if n_dev > 1:
             # GSPMD cannot partition a Pallas custom call, so the sharded
             # fast path wraps the slab kernels in shard_map with explicit
-            # ppermute z-halo exchange (parallel/fused.py). Implemented for
-            # the 1-D z-slab mesh only; 2-D pencils use the operator path.
-            if getattr(self, "_mesh_axes", ("z",)) != (self._mesh_axis,):
+            # ppermute halo exchange (parallel/fused.py): 1-D z-slab mesh
+            # -> "shard" (z halos), 2-D (x, z) pencil mesh -> "shard2d"
+            # (both halo families on the ICI torus).
+            axes = getattr(self, "_mesh_axes", ("z",))
+            if axes != (self._mesh_axis,):
+                if len(axes) == 2:
+                    from .parallel.fused import sharded_slab_2d_eligible
+                    px, pz = (int(d) for d in cfg.mesh_shape)
+                    if sharded_slab_2d_eligible(self.geom, cfg, px, pz):
+                        return _resolve("shard2d")
                 return False
             from .parallel.fused import sharded_slab_eligible
             if not sharded_slab_eligible(self.geom, cfg, n_dev):
@@ -533,11 +540,17 @@ class Simulation:
                 q_target = jnp.sum(u[0] * w)
             comps = (u.at[-1].add(q_target - q_out), comps[1], comps[2])
         mode = self._pallas_predictor_ok
-        use_fused = (mode in ("slab", "xz", "shard")
+        use_fused = (mode in ("slab", "xz", "shard", "shard2d")
                      and geom.axes[0].periodic and geom.axes[0].uniform)
         interp = use_fused and jax.devices()[0].platform == "cpu"
         if div is not None:
             pass   # div(u*) already produced by the predictor kernel
+        elif mode == "shard2d":
+            from .parallel.fused import sharded_fused_divergence_2d
+            div = sharded_fused_divergence_2d(
+                *comps, geom=geom, mesh=self.device_mesh,
+                x_axis=self._mesh_axes[0], z_axis=self._mesh_axes[1],
+                interpret=interp)
         elif mode == "shard":
             from .parallel.fused import sharded_fused_divergence
             div = sharded_fused_divergence(
@@ -563,7 +576,13 @@ class Simulation:
                             stats.status, stats.rel_residual)
         else:
             p_corr = self.poisson.solve(rhs)
-        if mode == "shard":
+        if mode == "shard2d":
+            from .parallel.fused import sharded_fused_correct_2d
+            comps = sharded_fused_correct_2d(
+                *comps, p_corr, dt, geom=geom, mesh=self.device_mesh,
+                x_axis=self._mesh_axes[0], z_axis=self._mesh_axes[1],
+                interpret=interp)
+        elif mode == "shard":
             from .parallel.fused import sharded_fused_correct
             comps = sharded_fused_correct(
                 *comps, p_corr, dt, geom=geom, mesh=self.device_mesh,
@@ -601,7 +620,17 @@ class Simulation:
             fx = float(-cfg.dp_dx / cfg.rho)
             all_periodic = all(ax.periodic and ax.uniform
                                for ax in geom.axes)
-            if self._pallas_predictor_ok == "shard":
+            if self._pallas_predictor_ok == "shard2d":
+                from .parallel.fused import sharded_fused_predictor_2d
+                star = sharded_fused_predictor_2d(
+                    *comps, jnp.asarray(dt, self.dtype), geom=geom,
+                    mesh=self.device_mesh,
+                    x_axis=self._mesh_axes[0], z_axis=self._mesh_axes[1],
+                    scheme=cfg.convective_scheme, nu=float(cfg.nu), fx=fx,
+                    nu_t=nu_t, interpret=interp,
+                    implicit_y_diffusion=cfg.implicit_y_diffusion,
+                    lid_velocity=float(cfg.lid_velocity))
+            elif self._pallas_predictor_ok == "shard":
                 from .parallel.fused import sharded_fused_predictor
                 star = sharded_fused_predictor(
                     *comps, jnp.asarray(dt, self.dtype), geom=geom,

@@ -39,15 +39,21 @@ class LESModelBase(TurbulenceModelBase):
                       and geom.axes[0].n >= 8 and geom.axes[2].n > 1)
         if structural and n_dev > 1:
             # multi-chip: slab kernel under shard_map with ppermute
-            # z-halos (parallel/fused.py; GSPMD can't partition the call).
-            # 1-D z-slab meshes only — on a 2-D (x,z) pencil mesh the
-            # z-only shard_map would all-gather x every step and size the
-            # VMEM gate with the wrong device count.
-            from ..parallel.fused import sharded_slab_eligible
-            one_d = len(tuple(cfg.mesh_shape or (1,))) == 1
-            self._fuse = ("shard" if one_d
-                          and sharded_slab_eligible(geom, cfg, n_dev)
-                          else False)
+            # halos (parallel/fused.py; GSPMD can't partition the call):
+            # 1-D z-slab mesh -> "shard", 2-D (x,z) pencil -> "shard2d"
+            # (x AND z halo families on the ICI torus).
+            from ..parallel.fused import (sharded_slab_2d_eligible,
+                                          sharded_slab_eligible)
+            shape = tuple(cfg.mesh_shape or (1,))
+            if len(shape) == 1:
+                self._fuse = ("shard"
+                              if sharded_slab_eligible(geom, cfg, n_dev)
+                              else False)
+            elif (len(shape) == 2 and sharded_slab_2d_eligible(
+                    geom, cfg, int(shape[0]), int(shape[1]))):
+                self._fuse = "shard2d"
+            else:
+                self._fuse = False
         elif structural and slab_fits(geom):
             self._fuse = "slab"
         elif (structural and geom.axes[2].periodic and geom.axes[2].uniform
@@ -75,6 +81,12 @@ class LESModelBase(TurbulenceModelBase):
                     *comps, geom=sim.geom, mesh=sim.device_mesh,
                     axis_name=sim._mesh_axis, model_fn=self._model_fn,
                     interpret=on_cpu)
+            if self._fuse == "shard2d":
+                from ..parallel.fused import sharded_fused_nu_sgs_2d
+                return sharded_fused_nu_sgs_2d(
+                    *comps, geom=sim.geom, mesh=sim.device_mesh,
+                    x_axis=sim._mesh_axes[0], z_axis=sim._mesh_axes[1],
+                    model_fn=self._model_fn, interpret=on_cpu)
             if self._fuse == "xz":
                 from ..ops.pallas_kernels import fused_nu_sgs_xz
                 return fused_nu_sgs_xz(*comps, geom=sim.geom,

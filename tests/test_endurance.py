@@ -86,3 +86,107 @@ def test_nan_guard_aborts_steady_solve():
     state = perturbed_channel(cfg, sim.mesh, amp=0.3)
     with pytest.raises(FloatingPointError):
         sim.solve_steady(state, max_steps=300, tol=0.0)
+
+
+@pytest.mark.slow
+def test_endurance_dns_long_horizon():
+    """200k-step Re_tau=180 DNS endurance sentinel (round-2 verdict #9:
+    the reference's endurance suite had no TPU counterpart at true DNS
+    length). Trip-forced transition, adaptive-dt spin-up, then a
+    FIXED-dt averaging window so Kahan time integrity is checkable
+    against the exact f64 expectation. End gates: Kahan-accumulated
+    time exact to ~1e-5 relative, statistically-steady KE over the last
+    checkpoints, and the AVERAGED Stage-F realism gates
+    (diagnostics.realism_report_averaged).
+
+    TPU-targeted (200k steps of a 96^2x64 DNS is ~1 minute on a v5e;
+    CPU would take hours): skipped on CPU unless CFDNN_ENDURANCE_STEPS
+    overrides the horizon — setting it small exercises the full gate
+    logic as a smoke.
+    """
+    import os
+
+    import jax
+
+    from cfdnn_tpu import diagnostics as diag
+    from cfdnn_tpu import init_turbulent_channel
+    from cfdnn_tpu.config import BCType, ConvectiveScheme
+
+    env_steps = os.environ.get("CFDNN_ENDURANCE_STEPS")
+    on_cpu = jax.devices()[0].platform == "cpu"
+    if on_cpu and not env_steps:
+        pytest.skip("long-horizon DNS endurance needs an accelerator "
+                    "(set CFDNN_ENDURANCE_STEPS for a scaled CPU smoke)")
+    n_total = int(env_steps) if env_steps else 200_000
+    spinup = max(n_total // 4, 1)
+    window = n_total - spinup
+    chunk = max(min(5_000, window // 4), 1)
+
+    delta = 1.0
+    cfg = Config(
+        Nx=96, Ny=96, Nz=64,
+        x_min=0.0, x_max=4 * np.pi * delta,
+        y_min=-delta, y_max=delta,
+        z_min=0.0, z_max=4.0 / 3.0 * np.pi * delta,
+        stretch_y=True, stretch_beta=1.8,
+        bc_x=BCType.PERIODIC, bc_y=BCType.WALL, bc_z=BCType.PERIODIC,
+        nu=1.0 / 180.0, nu_specified=True, dp_dx=-1.0,
+        dp_dx_specified=True,
+        dt=2e-4, adaptive_dt=True, CFL_max=0.8, dt_safety=0.9,
+        time_integrator=TimeIntegrator.RK2,
+        convective_scheme=ConvectiveScheme.SKEW,
+        trip_enabled=True, trip_amplitude=4.0, trip_duration=10.0,
+        trip_ramp_off_start=8.0,
+        filter_strength=0.01, filter_interval=20,
+        dtype="float32", perf_mode=True,
+    )
+    sim = Simulation(cfg)
+    state = sim.initialize(init_turbulent_channel(cfg, sim.mesh, amp=0.3))
+    state = sim.project_initial_velocity(state)
+
+    # ---- adaptive spin-up (trip active) -------------------------------
+    state, d = sim.run(state, spinup)
+    assert np.isfinite(float(d.ke)), "NaN during spin-up"
+
+    # ---- fixed-dt averaging window ------------------------------------
+    import dataclasses as _dc
+    dt_fix = float(d.dt)
+    cfg_fix = _dc.replace(cfg, dt=dt_fix, adaptive_dt=False)
+    sim_fix = Simulation(cfg_fix)
+    t0 = float(state.t) + float(state.t_comp)
+    acc = diag.StatsAccumulator(sim_fix)
+    kes = []
+    done = 0
+    while done < window:
+        n = min(chunk, window - done)
+        state, d = sim_fix.run(state, n)
+        done += n
+        kes.append(float(d.ke))
+        acc.update(state)
+    assert all(np.isfinite(k) for k in kes), f"NaN in window: {kes}"
+
+    # Kahan-time integrity: f32 naive accumulation over 150k steps of
+    # dt~1e-4 drifts at the ~1e-3 relative level; the compensated pair
+    # (state.t, state.t_comp) must match the exact n*dt to ~1e-5
+    t1 = float(state.t) + float(state.t_comp)
+    rel = abs((t1 - t0) - done * dt_fix) / max(done * dt_fix, 1e-30)
+    assert rel < 1e-5, (
+        f"Kahan time drift: {(t1 - t0):.8f} vs exact {done * dt_fix:.8f} "
+        f"(rel {rel:.2e})")
+
+    # statistically steady KE: last checkpoints within a band (no decay
+    # to laminar, no blow-up)
+    tail = kes[-4:]
+    assert max(tail) < 3.0 * min(tail), f"KE not steady: {tail}"
+    assert min(tail) > 0.1 * np.mean(kes), f"flow died: {kes}"
+
+    if not env_steps:
+        # full-length run: the averaged Stage-F physics gates must hold
+        # (the y+/dx+/dz+ RESOLUTION gates are deliberately not
+        # asserted: this sentinel's 96x96x64 grid sits at dx+~23 by
+        # design to keep the 200k-step horizon ~1 min on a v5e)
+        rep = diag.realism_report_averaged(sim_fix, state, acc)
+        assert rep["stress_ordering_ok"], rep
+        assert rep["momentum_closure"] < 0.25, rep
+        assert rep.get("spectrum_ok", True), rep
+        assert 110.0 < rep["Re_tau"] < 280.0, rep

@@ -555,3 +555,88 @@ def test_2d_pencil_4x2_aspect():
     p2 = jax.jit(sim2.poisson.solve)(rhs_sh)
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
                                rtol=0, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (x, z) FUSED fast path (round-3: parallel/fused.py *_2d wrappers —
+# the pencil mesh used to fall back to the GSPMD operator path)
+# ---------------------------------------------------------------------------
+
+
+def test_2d_fused_step_matches_single_fused():
+    """shard2d (ppermute x- AND z-halos + slab kernels under shard_map)
+    reproduces the single-device fused step at machine precision."""
+    cfg1 = _cfg(use_pallas="on")
+    sim1 = Simulation(cfg1)
+    assert sim1._pallas_predictor_ok == "slab"
+    cfg2 = _cfg(use_pallas="on", mesh_shape=(2, 4), mesh_axes=("x", "z"))
+    sim2 = Simulation(cfg2)
+    assert sim2._pallas_predictor_ok == "shard2d"
+    assert sim2.poisson.name.startswith("Pencil2DFDM")
+    state0 = perturbed_channel(cfg1, sim1.mesh, amp=0.05)
+    ref = sim1.initialize(state0)
+    st = sim2.initialize(state0)
+    for _ in range(3):
+        ref, ref_d = sim1.step(ref)
+        st, d = sim2.step(st)
+    np.testing.assert_allclose(np.asarray(st.u), np.asarray(ref.u),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(st.w), np.asarray(ref.w),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(st.p), np.asarray(ref.p),
+                               rtol=0, atol=1e-12)
+    assert abs(float(d.ke) - float(ref_d.ke)) < 1e-13
+
+
+def test_2d_fused_les_step_matches_single_fused():
+    """shard2d fused LES pipeline (sharded_fused_nu_sgs_2d) parity."""
+    from cfdnn_tpu.config import TurbulenceModel
+    cfg1 = _cfg(use_pallas="on", turb_model=TurbulenceModel.VREMAN)
+    sim1 = Simulation(cfg1)
+    cfg2 = _cfg(use_pallas="on", turb_model=TurbulenceModel.VREMAN,
+                mesh_shape=(2, 4), mesh_axes=("x", "z"))
+    sim2 = Simulation(cfg2)
+    assert sim2.turb._fuse == "shard2d"
+    state0 = perturbed_channel(cfg1, sim1.mesh, amp=0.05)
+    ref, ref_d = sim1.step(sim1.initialize(state0))
+    st, d = sim2.step(sim2.initialize(state0))
+    np.testing.assert_allclose(np.asarray(st.u), np.asarray(ref.u),
+                               rtol=0, atol=1e-13)
+    assert abs(float(d.ke) - float(ref_d.ke)) < 1e-13
+
+
+def test_2d_fused_path_communication_volume():
+    """Comm-volume gate for the 2-D fused path: zero all-gather, pencil
+    all-to-alls present, and the batched-halo discipline holds on BOTH
+    axes — x halos are thin (ny+ish, ng, tz)-planes and z halos one-plane,
+    so total permute volume stays within a small multiple of the two
+    plane ledgers."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from analyze_collectives import collective_stats
+
+    cfg = _cfg(dtype="float32", mesh_shape=(2, 4), mesh_axes=("x", "z"),
+               use_pallas="on", bc_y=BCType.WALL)
+    sim = Simulation(cfg)
+    assert sim._pallas_predictor_ok == "shard2d"
+    st = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
+    txt = jax.jit(sim._step_impl).lower(st).compile().as_text()
+    stats = collective_stats(txt)
+    assert "all-gather" not in stats or stats["all-gather"][1] == 0
+    assert "all-to-all" in stats, "pencil transposes missing"
+    n_perm, vol, _ = stats.get("collective-permute", (0, 0, []))
+    # ledger (measured 14 permutes / 17.4 kB at this config): each halo
+    # site pays one batched z-pair (local planes (Nx/px, ~3(Ny+2), ng))
+    # and one batched x-pair ((ng, ~3(Ny+2), Nz/pz + 2 ng)); bound at 8
+    # exchanges of each family — full-shard resharding would blow
+    # through this by an order of magnitude.
+    ng = 1
+    rows = 3 * (cfg.Ny + 2)                 # batched staggered y extents
+    z_plane = (cfg.Nx // 2) * rows * ng * 4
+    x_plane = ng * rows * (cfg.Nz // 4 + 2 * ng) * 4
+    budget = 8 * (z_plane + x_plane)
+    assert n_perm <= 20, f"{n_perm} permutes — resharding crept in?"
+    assert vol <= budget, (
+        f"2-D permute volume {vol} B exceeds the halo ledger ({budget} B)")
