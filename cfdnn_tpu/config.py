@@ -223,6 +223,13 @@ class Config:
     # fastest, ~1.8e-3 div at 128^3), "high" (3-pass, ~8e-6 div, ~2% step
     # cost), "highest" (6-pass ~f32)
     poisson_matmul_precision: str = "auto"  # "auto" | "default" | "high" | "highest"
+    # Periodic-axis modal transform of the FDM solver (poisson/fdm.py):
+    # "auto" picks per device/size/precision-tier (dense MXU eigenbasis
+    # matmuls on TPU, pocketfft/cuFFT elsewhere, the in-VMEM Pallas
+    # four-step Hartley at >=384^3 f32 where it wins); force/disable from
+    # the CLI like every other solver knob (reference analogue: the
+    # Poisson tuning fields of config.hpp:65-234).
+    poisson_transform: str = "auto"  # "auto" | "matmul" | "fft" | "fht" | "pallas_fft"
 
     # --- Guards / watchdogs ----------------------------------------------
     turb_guard_enabled: bool = True
@@ -345,6 +352,11 @@ class Config:
             updates["nu"] = delta / self.Re if delta != 1.0 else 1.0 / self.Re
         elif nu_s and not re_s:
             updates["Re"] = delta / self.nu
+        if self.poisson_transform not in (
+                "auto", "matmul", "fft", "fht", "pallas_fft"):
+            raise ValueError(
+                f"Config: poisson_transform={self.poisson_transform!r} — "
+                "expected 'auto' | 'matmul' | 'fft' | 'fht' | 'pallas_fft'")
         if self.lid_velocity != 0.0 and self.bc_y != BCType.WALL:
             raise ValueError("Config: lid_velocity requires bc_y=WALL "
                              "(it is the y_max wall's tangential speed)")

@@ -128,15 +128,19 @@ class FDMPoissonSolver:
     """Direct tensor-product Poisson solver; jit-traceable `solve(rhs)`."""
 
     def __init__(self, mesh: Mesh, cfg: Config, dtype=None,
-                 transform: str = "auto", geom=None):
-        """transform: 'fft' | 'matmul' | 'fht' | 'auto' for the periodic
-        axes. 'matmul' diagonalizes via real eigenbases on the MXU; 'fht'
-        is the factorized fast-Hartley opt-in (poisson/fht.py — see its
-        PERF NOTE for why it is not the default); 'auto' picks matmul on
-        TPU (XLA's FFT lowering is far off the roofline there) and fft
-        elsewhere. `geom` (ops.grid.Geometry) enables iterative
-        refinement (cfg.poisson_refine) via the consistent stencil
-        Laplacian."""
+                 transform: str = None, geom=None):
+        """transform: 'fft' | 'matmul' | 'fht' | 'pallas_fft' | 'auto'
+        for the periodic axes; None reads `cfg.poisson_transform` (the
+        CLI-facing knob, reference analogue: the Poisson tuning fields
+        of config.hpp:65-234). 'matmul' diagonalizes via real eigenbases
+        on the MXU; 'fht' is the factorized fast-Hartley opt-in
+        (poisson/fht.py — see its PERF NOTE for why it is not the
+        default); 'pallas_fft' the in-VMEM four-step Hartley
+        (poisson/pallas_fht.py); 'auto' picks per device/size/tier.
+        `geom` (ops.grid.Geometry) enables iterative refinement
+        (cfg.poisson_refine) via the consistent stencil Laplacian."""
+        if transform is None:
+            transform = getattr(cfg, "poisson_transform", "auto")
         if transform not in ("fft", "matmul", "fht", "pallas_fft", "auto"):
             raise ValueError(f"transform={transform!r} — expected one of "
                              "'fft' | 'matmul' | 'fht' | 'pallas_fft' | "
@@ -220,13 +224,33 @@ class FDMPoissonSolver:
             # 1.62 vs 0.97 ms walls — so the cutover sits at `big`.)
             # Needs factorable axis lengths; _build_axis falls back to
             # the dense eigenbasis per axis.
-            if on_tpu and big and self.dtype != jnp.float64:
+            #
+            # Tier/BC awareness (round-3 verdict): at the benchmark-
+            # relaxed HIGH tier a walls-y config LOSES with the split
+            # kernels (measured 13.9 vs dense 13.7 ms — the dense
+            # stretched-y eigenbasis stages stay either way and the
+            # Hartley split only adds dispatches), so auto keeps the
+            # dense matmuls there; physics-tier walls-y still wins
+            # (23.2 vs 27.6 ms).
+            walls = any(bc != BCType.PERIODIC
+                        for bc in (cfg.bc_x, cfg.bc_y, cfg.bc_z))
+            if (on_tpu and big and self.dtype == jnp.float32
+                    and not (self._bench_relaxed and walls)):
                 transform = "pallas_fft"
             elif on_tpu:
                 transform = "matmul"
             else:
                 transform = "fft"
         self._fht_interpret = not on_tpu
+        if (transform == "pallas_fft" and on_tpu
+                and self.dtype != jnp.float32):
+            # Mosaic cannot lower f64 dots, and bf16 inputs would
+            # silently skip the compensated-precision path — fail loudly
+            # instead of at kernel-compile time (advisor round 3).
+            raise ValueError(
+                f"transform='pallas_fft' requires float32 on TPU (got "
+                f"{self.dtype}); use transform='matmul' (dense eigenbasis"
+                ") for f64 physics runs")
         self.transform = transform
         bcs = (cfg.bc_x, cfg.bc_y, cfg.bc_z)
 

@@ -30,7 +30,7 @@ _DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
 _OP_RE = re.compile(
     r"=\s+(.*?)\s+"
     r"(all-gather|all-to-all|collective-permute|all-reduce|reduce-scatter)"
-    r"(?:-start)?\(")
+    r"(-start)?\(")
 _SHAPE_RE = re.compile(r"((?:f|bf|s|u|c)\d+|pred)\[([\d,]*)\]")
 
 
@@ -43,10 +43,16 @@ def collective_stats(hlo_text: str):
     tensors. (An earlier version took only the first tuple element,
     which undercounted the all-to-all volume by a factor of P — caught
     by the device-count sweep's 1/P scaling gate.)
+
+    Async `-start` forms (TPU-compiled HLO) return a tuple that ALIASES
+    the operand alongside the output — e.g. collective-permute-start ->
+    ((in...), (out...), contexts) — so summing the full result type
+    would double-count; their tensor bytes are halved. CPU CI emits the
+    sync forms and is unaffected.
     """
     stats = {}
     for m in _OP_RE.finditer(hlo_text):
-        lhs, op = m.group(1), m.group(2)
+        lhs, op, is_start = m.group(1), m.group(2), bool(m.group(3))
         nbytes = 0
         shapes = []
         for dt, dims in _SHAPE_RE.findall(lhs):
@@ -56,6 +62,8 @@ def collective_stats(hlo_text: str):
                     n *= int(d)
             nbytes += n * _DTYPE_BYTES.get(dt, 4)
             shapes.append(f"{dt}[{dims}]")
+        if is_start:
+            nbytes //= 2   # result tuple = (operand alias, output)
         if not shapes:
             continue
         c, b, ex = stats.get(op, (0, 0, []))

@@ -357,14 +357,16 @@ def test_2d_mesh_step_matches_single_device():
     for _ in range(3):
         ref, ref_d = sim1.step(ref)
 
-    # use_pallas="on" so the 1-D-only guard is actually exercised (under
+    # use_pallas="on" so the shard2d routing is actually exercised (under
     # "auto" on CPU the platform check alone would return False and the
-    # assertion would be vacuous)
+    # assertion would be vacuous). Since round 3 the fused fast path
+    # covers the 2-D (x,z) pencil mesh too ("shard2d"); physics parity
+    # below is the real gate.
     cfg2 = _cfg(Nx=32, mesh_shape=(2, 4), mesh_axes=("x", "z"),
                 use_pallas="on")
     sim2 = Simulation(cfg2)
     assert sim2.poisson.name.startswith("Pencil2DFDM"), sim2.poisson.name
-    assert sim2._pallas_predictor_ok is False   # fused path is 1-D-only
+    assert sim2._pallas_predictor_ok == "shard2d"
     st = sim2.initialize(state0)
     for _ in range(3):
         st, d = sim2.step(st)
@@ -412,16 +414,16 @@ def test_2d_mesh_requires_xz_axes():
 
 
 def test_2d_mesh_les_no_allgather():
-    """The LES fused 'shard' path is 1-D-only too: on a 2-D pencil mesh
-    a z-only shard_map would all-gather x every step (caught in review);
-    the model must fall back and the compiled step must stay
-    all-gather-free."""
+    """LES on a 2-D (x,z) pencil mesh routes to the fused 'shard2d' path
+    (round 3); the compiled step must stay all-gather-free WITH the fused
+    path active — a z-only shard_map here would all-gather x every step
+    (the round-2 failure mode this test originally guarded)."""
     from cfdnn_tpu.config import TurbulenceModel
     cfg = _cfg(Nx=32, dtype="float32", mesh_shape=(2, 4),
                mesh_axes=("x", "z"), use_pallas="on",
                turb_model=TurbulenceModel.SMAGORINSKY)
     sim = Simulation(cfg)
-    assert sim.turb._fuse is False
+    assert sim.turb._fuse == "shard2d"
     st = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
     txt = jax.jit(sim._step_impl).lower(st).compile().as_text()
     assert "all-gather" not in txt
