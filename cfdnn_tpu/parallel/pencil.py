@@ -22,9 +22,17 @@ GSPMD left to its own devices gathers the whole field onto every chip for
 the z-transform (measured on the 8-virtual-device mesh: one
 all-gather(f32[N^3]) per solve), which is why this path is explicit.
 
-The wrapped FDMPoissonSolver must use dense matmul transforms on every
-axis ('matmul'; the TPU default) so axis lengths are preserved across the
-transpose — rfft's N/2+1 halving would break the even x split.
+The wrapped FDMPoissonSolver must use length-preserving per-axis
+transforms — dense eigenbasis matmuls ('matmul') or the Hartley fast
+paths ('fht'/'pallas_fft'; real->real, same length) — so the even x
+split survives the transpose; rfft's N/2+1 halving would break it, hence
+'fft' is rejected. After each all-to-all the transform axis is whole on
+every chip, so the in-VMEM Pallas Hartley kernels (poisson/
+pallas_fht.py) drop straight into the local stages (round-3 verdict:
+this path previously hardcoded the dense matmuls, so an 8-chip 512^3 run
+paid the O(N)-per-cell transforms the single-chip path had escaped).
+Reference analogue: FFT_MPI's local cuFFT stages between MPI_Alltoallv
+transposes (src/poisson_solver_fft_mpi.cpp).
 """
 
 from __future__ import annotations
@@ -45,12 +53,15 @@ class _PencilBase:
 
     def _init_common(self, inner: FDMPoissonSolver, divisor: int,
                      divisor_desc: str, name_tag: str):
-        bad = [t.kind for t in inner.tr if t.kind not in ("eig", "none")]
+        bad = [t.kind for t in inner.tr
+               if t.kind not in ("eig", "none", "fht")]
         if bad:
             raise ValueError(
-                f"pencil solve requires matmul ('eig') transforms on all "
-                f"axes, got {[t.kind for t in inner.tr]} — construct the "
-                f"FDM solver with transform='matmul'")
+                f"pencil solve requires length-preserving per-axis "
+                f"transforms ('eig'/'fht'), got "
+                f"{[t.kind for t in inner.tr]} — construct the FDM solver "
+                f"with transform='matmul' or 'pallas_fft' (rfft halves "
+                f"the last axis and breaks the transpose split)")
         nx = int(inner._lam_vecs[0].shape[0])
         nz = int(inner._lam_vecs[2].shape[2])
         if nx % divisor or nz % divisor:
@@ -61,6 +72,60 @@ class _PencilBase:
         self.refine = inner.refine
         self.geom = inner.geom
         self.name = inner.name.replace("FDM(", name_tag + "(")
+        # Pallas-FHT axes: compensation depth mirrors
+        # FDMPoissonSolver._solve_once_pallas, and their per-axis 1/N
+        # Hartley normalizations fold into the modal scale (the kernels'
+        # inverse is the pure unnormalized adjoint); the jnp FHTAxis
+        # variant normalizes inside fht_inverse instead.
+        from ..poisson.pallas_fht import PFHTAxis
+        self._passes = 3 if inner.precision_name == "high" else 6
+        self._modal_norm = 1.0
+        for t in inner.tr:
+            if t.kind == "fht" and isinstance(t.fht, PFHTAxis):
+                self._modal_norm /= t.fht.N
+
+    def _fwd(self, f, i):
+        """Forward transform along (locally whole) axis `i`."""
+        inner = self.inner
+        t = inner.tr[i]
+        if t.kind == "eig":
+            return inner._apply_mat(inner.mats[i][0], f, i)
+        if t.kind == "fht":
+            from ..poisson.pallas_fht import PFHTAxis, fht_pallas
+            if isinstance(t.fht, PFHTAxis):
+                return fht_pallas(f, i, t.fht, passes=self._passes,
+                                  interpret=inner._fht_interpret)
+            from ..poisson.fht import fht_forward
+            return fht_forward(f, i, t.fht, precision=inner.precision)
+        return f
+
+    def _inv(self, f, i):
+        """Inverse transform along (locally whole) axis `i`."""
+        inner = self.inner
+        t = inner.tr[i]
+        if t.kind == "eig":
+            return inner._apply_mat(inner.mats[i][1], f, i)
+        if t.kind == "fht":
+            from ..poisson.pallas_fht import PFHTAxis, fht_pallas
+            if isinstance(t.fht, PFHTAxis):
+                return fht_pallas(f, i, t.fht, inverse=True,
+                                  passes=self._passes,
+                                  interpret=inner._fht_interpret)
+            from ..poisson.fht import fht_inverse
+            return fht_inverse(f, i, t.fht, precision=inner.precision)
+        return f
+
+    def _modal_scale(self, f, lam_x_loc):
+        """Multiply by norm/L with (near-)null modes pinned to zero.
+
+        `lam_x_loc` is this chip's slice of the x symbol (digit-permuted
+        order for fht axes — _lam_vecs already stores the permuted
+        eigenvalues, so the same dynamic_slice indexing applies)."""
+        inner = self.inner
+        L = lam_x_loc + inner._lam_vecs[1] + inner._lam_vecs[2]
+        null = jnp.abs(L) < inner._null_thr
+        return f * jnp.where(null, 0.0,
+                             self._modal_norm / jnp.where(null, 1.0, L))
 
     def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
         p = self._solve_once(rhs)
@@ -95,34 +160,29 @@ class PencilFDMPoissonSolver(_PencilBase):
         spec = P(None, None, axis)
         nx = int(inner._lam_vecs[0].shape[0])
         nx_loc = nx // n_dev
-        lam_x, lam_y, lam_z = inner._lam_vecs
+        lam_x = inner._lam_vecs[0]
 
         @functools.partial(jax.shard_map, mesh=self.mesh,
-                           in_specs=(spec,), out_specs=spec)
+                           in_specs=(spec,), out_specs=spec,
+                           check_vma=False)   # Pallas calls inside
         def run(f_loc):
             f = f_loc.astype(inner.dtype)
             for i in (0, 1):                      # x, y: local axes
-                if inner.tr[i].kind == "eig":
-                    f = inner._apply_mat(inner.mats[i][0], f, i)
+                f = self._fwd(f, i)
             # pencil transpose: z-sharded -> x-sharded (one ICI all-to-all)
             f = jax.lax.all_to_all(f, axis, split_axis=0, concat_axis=2,
                                    tiled=True)
-            if inner.tr[2].kind == "eig":         # z: whole per chip now
-                f = inner._apply_mat(inner.mats[2][0], f, 2)
+            f = self._fwd(f, 2)                   # z: whole per chip now
             # modal scale on the local x-pencil; null modes pinned to zero
             # (mean-free solve, fdm.py _inv_lam)
             i0 = jax.lax.axis_index(axis) * nx_loc
             lx = jax.lax.dynamic_slice_in_dim(lam_x, i0, nx_loc, axis=0)
-            L = lx + lam_y + lam_z
-            null = jnp.abs(L) < inner._null_thr
-            f = f * jnp.where(null, 0.0, 1.0 / jnp.where(null, 1.0, L))
-            if inner.tr[2].kind == "eig":
-                f = inner._apply_mat(inner.mats[2][1], f, 2)
+            f = self._modal_scale(f, lx)
+            f = self._inv(f, 2)
             f = jax.lax.all_to_all(f, axis, split_axis=2, concat_axis=0,
                                    tiled=True)
             for i in (1, 0):
-                if inner.tr[i].kind == "eig":
-                    f = inner._apply_mat(inner.mats[i][1], f, i)
+                f = self._inv(f, i)
             return f.astype(f_loc.dtype)
 
         return run(rhs)
@@ -164,36 +224,31 @@ class Pencil2DFDMPoissonSolver(_PencilBase):
         spec = P(ax, None, az)
         nx = int(inner._lam_vecs[0].shape[0])
         nx_loc = nx // (px * pz)
-        lam_x, lam_y, lam_z = inner._lam_vecs
+        lam_x = inner._lam_vecs[0]
 
         @functools.partial(jax.shard_map, mesh=self.mesh,
-                           in_specs=(spec,), out_specs=spec)
+                           in_specs=(spec,), out_specs=spec,
+                           check_vma=False)   # Pallas calls inside
         def run(f_loc):
             f = f_loc.astype(inner.dtype)
             # gather x whole (ICI all-to-all within x-axis groups)
             f = jax.lax.all_to_all(f, ax, split_axis=2, concat_axis=0,
                                    tiled=True)
             for i in (0, 1):                      # x, y: local now
-                if inner.tr[i].kind == "eig":
-                    f = inner._apply_mat(inner.mats[i][0], f, i)
+                f = self._fwd(f, i)
             # combined transpose -> z whole, x split z-major over all chips
             f = jax.lax.all_to_all(f, (az, ax), split_axis=0, concat_axis=2,
                                    tiled=True)
-            if inner.tr[2].kind == "eig":
-                f = inner._apply_mat(inner.mats[2][0], f, 2)
+            f = self._fwd(f, 2)
             r = jax.lax.axis_index(az) * px + jax.lax.axis_index(ax)
             lx = jax.lax.dynamic_slice_in_dim(lam_x, r * nx_loc, nx_loc,
                                               axis=0)
-            L = lx + lam_y + lam_z
-            null = jnp.abs(L) < inner._null_thr
-            f = f * jnp.where(null, 0.0, 1.0 / jnp.where(null, 1.0, L))
-            if inner.tr[2].kind == "eig":
-                f = inner._apply_mat(inner.mats[2][1], f, 2)
+            f = self._modal_scale(f, lx)
+            f = self._inv(f, 2)
             f = jax.lax.all_to_all(f, (az, ax), split_axis=2, concat_axis=0,
                                    tiled=True)
             for i in (1, 0):
-                if inner.tr[i].kind == "eig":
-                    f = inner._apply_mat(inner.mats[i][1], f, i)
+                f = self._inv(f, i)
             f = jax.lax.all_to_all(f, ax, split_axis=0, concat_axis=2,
                                    tiled=True)
             return f.astype(f_loc.dtype)

@@ -128,7 +128,7 @@ class FDMPoissonSolver:
     """Direct tensor-product Poisson solver; jit-traceable `solve(rhs)`."""
 
     def __init__(self, mesh: Mesh, cfg: Config, dtype=None,
-                 transform: str = None, geom=None):
+                 transform: str = None, geom=None, pencil: bool = False):
         """transform: 'fft' | 'matmul' | 'fht' | 'pallas_fft' | 'auto'
         for the periodic axes; None reads `cfg.poisson_transform` (the
         CLI-facing knob, reference analogue: the Poisson tuning fields
@@ -138,7 +138,11 @@ class FDMPoissonSolver:
         default); 'pallas_fft' the in-VMEM four-step Hartley
         (poisson/pallas_fht.py); 'auto' picks per device/size/tier.
         `geom` (ops.grid.Geometry) enables iterative refinement
-        (cfg.poisson_refine) via the consistent stencil Laplacian."""
+        (cfg.poisson_refine) via the consistent stencil Laplacian.
+        `pencil`: the solver will be wrapped by a parallel/pencil.py
+        transpose solve, which needs length-preserving per-axis
+        transforms — 'auto' then never resolves to 'fft' (rfft halves
+        the last axis)."""
         if transform is None:
             transform = getattr(cfg, "poisson_transform", "auto")
         if transform not in ("fft", "matmul", "fht", "pallas_fft", "auto"):
@@ -237,7 +241,7 @@ class FDMPoissonSolver:
             if (on_tpu and big and self.dtype == jnp.float32
                     and not (self._bench_relaxed and walls)):
                 transform = "pallas_fft"
-            elif on_tpu:
+            elif on_tpu or pencil:
                 transform = "matmul"
             else:
                 transform = "fft"

@@ -373,9 +373,15 @@ class Simulation:
                     # all-to-alls; GSPMD alone all-gathers the full field
                     # for the z transform — parallel/pencil.py docstring)
                     try:
+                        # transform=None -> cfg.poisson_transform;
+                        # pencil=True keeps 'auto' on length-preserving
+                        # transforms (dense matmul, or the Pallas FHT at
+                        # >=384^3 f32 on TPU — after each all-to-all the
+                        # transform axis is device-local, so the in-VMEM
+                        # kernels drop into the local stages)
                         inner = FDMPoissonSolver(self.mesh, cfg,
-                                                 transform="matmul",
-                                                 geom=self.geom)
+                                                 geom=self.geom,
+                                                 pencil=True)
                         if len(self._mesh_axes) == 2:
                             from .parallel.pencil import (
                                 Pencil2DFDMPoissonSolver)

