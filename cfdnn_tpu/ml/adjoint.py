@@ -85,6 +85,7 @@ def fit_closure(sim, state0, loss_fn: Callable, n_steps: int = 10,
                 iters: int = 50, learning_rate: float = 1e-3,
                 segments: int = 1, params=None,
                 train_normalization: bool = False,
+                clip_norm: Optional[float] = None,
                 callback: Optional[Callable] = None):
     """A-posteriori training loop: optimize the NN closure's weights so the
     simulated trajectory minimizes loss_fn (optax adam), returning
@@ -95,6 +96,11 @@ def fit_closure(sim, state0, loss_fn: Callable, n_steps: int = 10,
     them silently turns saved "feature statistics" into free parameters
     (changing the meaning of exported metadata and destabilizing
     training). Pass train_normalization=True to opt in.
+
+    `clip_norm` chains optax.clip_by_global_norm before adam — gradients
+    through hundreds of unrolled PDE steps grow chaotically with the
+    horizon (observed: a 1500-step channel unroll diverged at lr 3e-4
+    without clipping), and clipping is the standard BPTT defense.
     """
     import optax
 
@@ -102,6 +108,8 @@ def fit_closure(sim, state0, loss_fn: Callable, n_steps: int = 10,
     f = trajectory_loss(sim, loss_fn, n_steps, segments=segments)
     vg = jax.jit(jax.value_and_grad(f))
     opt = optax.adam(learning_rate)
+    if clip_norm is not None:
+        opt = optax.chain(optax.clip_by_global_norm(clip_norm), opt)
     if not train_normalization:
         def zero_stats(g):
             if g.means is None:

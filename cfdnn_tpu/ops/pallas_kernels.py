@@ -307,18 +307,31 @@ def _general_kernel(dt_ref, *refs, slab_geom, scheme, nu, fx, ng=1,
     sw[:] = (comps[2] + dt * (-conv[2] + diff[2]))[ng:-ng]
 
 
+def _scheme_ng(scheme) -> int:
+    """x-halo reach of the convective scheme inside the slab kernels:
+    upwind2's biased stencil reads 2 cells upstream (ops/operators.py
+    _conv_advective ng=2); central/skew/upwind reach 1."""
+    from ..config import ConvectiveScheme as _CS
+    return 2 if scheme == _CS.UPWIND2 else 1
+
+
 def fused_predictor_general(u, v, w, dt, *, geom, scheme, nu, fx, bx=4,
                             nu_t=None, interpret=False):
     """Fused predictor for ANY y/z BCs (walls, stretched, outflow) with a
     periodic-uniform x axis; x tiled into slabs with `ng` halo planes from
-    the neighbor blocks (ng = 2 for O4 stencils). Covers the channel/duct
-    hot path and the O4 DNS path."""
+    the neighbor blocks (ng = 2 for O4 stencils and for upwind2's biased
+    stencil — round-4: upwind/upwind2 momentum joined the fused path
+    after the TPU measurement put the operator fallback at 4.0x fused
+    skew, artifacts/upwind_measurement.log; reference GPU upwind
+    kernels: solver_kernels.hpp:1863-2198). Covers the channel/duct hot
+    path and the O4 DNS path."""
     assert geom.axes[0].periodic, \
         "the fake-periodic slab tiling requires a periodic x axis"
     fields = [u, v, w] if nu_t is None else [u, v, w, nu_t]
     shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in (u, v, w)]
+    ng = max(_stencil_ng(geom), _scheme_ng(scheme))
     return _slab_call(
-        _general_kernel, geom, fields, [], shapes, bx, _stencil_ng(geom),
+        _general_kernel, geom, fields, [], shapes, bx, ng,
         interpret, dt=dt, fat=True, heavy=True,
         kernel_kwargs=dict(scheme=scheme, nu=nu, fx=fx,
                            has_nut=nu_t is not None))
@@ -662,7 +675,7 @@ def fused_predictor_general_xz(u, v, w, dt, *, geom, scheme, nu, fx,
     Nx = u.shape[0]
     ny = geom.axes[1].n
     Nz = geom.axes[2].n
-    ng = 2 if geom.space_order >= 4 else 1
+    ng = max(2 if geom.space_order >= 4 else 1, _scheme_ng(scheme))
     picked = _auto_bxz(Nx, ny, Nz, ng)
     if picked is None:
         return None

@@ -217,29 +217,18 @@ class FDMPoissonSolver:
             # the tunneled TPU plugin); GPU gets cuFFT via XLA's fft
             # lowering, CPU gets pocketfft — NOT the dense matmuls.
             # At >=384 the dense transforms turn MXU-flop-bound (O(N)
-            # work per cell) and the Pallas four-step FHT wins (measured
-            # v5e 512^3 f32 solve, random mean-free RHS: all-periodic
-            # 11.1 ms @ 4.2e-5 rel residual vs dense-HIGHEST 27.4 ms @
-            # 1.2e-6 and dense-HIGH 17.3 ms @ 7.9e-3 — 2.5x over the
-            # physics transform at 100x the benchmark transform's
-            # accuracy; walls-y 18.7 vs 27.6 ms. At 256^3 the dense
-            # transforms are already bandwidth-bound and the split
-            # kernels just add dispatches: 1.20 vs 1.25 ms periodic,
-            # 1.62 vs 0.97 ms walls — so the cutover sits at `big`.)
-            # Needs factorable axis lengths; _build_axis falls back to
-            # the dense eigenbasis per axis.
+            # work per cell) and the Pallas four-step FHT wins. Needs
+            # factorable axis lengths; _build_axis falls back to the
+            # dense eigenbasis per axis.
             #
-            # Tier/BC awareness (round-3 verdict): at the benchmark-
-            # relaxed HIGH tier a walls-y config LOSES with the split
-            # kernels (measured 13.9 vs dense 13.7 ms — the dense
-            # stretched-y eigenbasis stages stay either way and the
-            # Hartley split only adds dispatches), so auto keeps the
-            # dense matmuls there; physics-tier walls-y still wins
-            # (23.2 vs 27.6 ms).
-            walls = any(bc != BCType.PERIODIC
-                        for bc in (cfg.bc_x, cfg.bc_y, cfg.bc_z))
-            if (on_tpu and big and self.dtype == jnp.float32
-                    and not (self._bench_relaxed and walls)):
+            # Round-4 measurement after the axis-0 minor-dim batching
+            # fix (scripts/profile_fht.py, artifacts/fht_profile_512.md):
+            # at 512^3 the split kernels now win EVERY tier/BC combo —
+            # periodic 2.00x (physics) / 1.50x (benchmark), walls-y
+            # 1.57x / 1.36x (the round-3 walls-y benchmark 0.98x loss is
+            # gone). At 256^3 the differences are +-0.2 ms either way
+            # (0.83x..1.30x), so the cutover stays at `big`.
+            if on_tpu and big and self.dtype == jnp.float32:
                 transform = "pallas_fft"
             elif on_tpu or pencil:
                 transform = "matmul"

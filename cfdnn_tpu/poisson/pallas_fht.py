@@ -23,8 +23,15 @@ maps it to the TPU units inside one Pallas kernel per axis pass:
     by hand.
   * the twiddle stage is elementwise VPU work with (N2,) row/col tables.
 
-Each axis pass is exactly one HBM read + one HBM write of the field (the
-bandwidth roofline for any transform). The modal Poisson inversion
+Each axis pass is exactly one HBM read + one HBM write of the field —
+a statement about TRAFFIC, not time: at the bf16x6 (HIGHEST) tier the
+pass TIME is MXU-bound by the compensation matmuls (2*N2*6 bf16 MACs
+per element vs 8 bytes of HBM; the 512^3 device trace in
+artifacts/fht_profile_512.md puts the solve at 86% of its 12.6 ms MXU
+bound, every pass at 79-95% of per-pass bound). The x3 benchmark tier
+sits within 1.4x of max(HBM, MXU). Six products per element is the
+floor for the 1e-6 class — the same set XLA's own HIGHEST f32
+emulation runs. The modal Poisson inversion
 (1/(lam_x+lam_y+lam_z), null modes pinned, per-axis 1/N normalizations
 folded in) is FUSED with the last forward axis AND that axis's inverse in
 a single "modal" kernel, so a fully periodic solve is 5 passes:
@@ -93,8 +100,17 @@ class PFHTAxis:
     stw: jnp.ndarray           # (N1, N2)
 
     @classmethod
-    def make(cls, N: int, dtype) -> Optional["PFHTAxis"]:
-        sp = _split_mxu(N)
+    def make(cls, N: int, dtype,
+             n2: Optional[int] = None) -> Optional["PFHTAxis"]:
+        """`n2` forces the fast-digit size (N % n2 == 0, N/n2 <= 8) —
+        the MXU matmul work per element is proportional to N2 (2*N1*N2^2
+        MACs per N-line = 2*N*N2), so a smaller legal N2 trades MXU
+        flops for more VPU group combines; see scripts/profile_fht.py
+        for the measured trade."""
+        if n2 is not None:
+            sp = (N // n2, n2) if (N % n2 == 0 and N // n2 <= 8) else None
+        else:
+            sp = _split_mxu(N)
         if sp is None:
             return None
         N1, N2 = sp
@@ -324,10 +340,16 @@ def _kernel(ref_in, v1, v2, v3, vf, r1, r2, r3, rf, ctw, stw, ref_out, *,
 
     N2 = t.N2
     if axis == 0:
-        for j in range(ref_in.shape[1]):
-            def write(k1, g, j=j):
-                ref_out[k1 * N2:(k1 + 1) * N2, j, :] = g
-            run(ref_in[:, j, :], write)
+        # Fold the (TY, TZ) minor dims into one batch width instead of a
+        # per-row python loop: row-major (X, TY, TZ) -> (X, TY*TZ) is a
+        # free reinterpret, and the matmuls run at B = TY*TZ lanes (the
+        # device trace showed the per-row variant at ~44-66% MXU
+        # efficiency vs ~85% for the single-run axis-1 pass).
+        X, TY, TZ = ref_in.shape
+
+        def write(k1, g):
+            ref_out[k1 * N2:(k1 + 1) * N2, :, :] = g.reshape(N2, TY, TZ)
+        run(ref_in[:].reshape(X, TY * TZ), write)
     elif axis == 1:
         def write(k1, g):
             ref_out[0, k1 * N2:(k1 + 1) * N2, :] = g
@@ -368,10 +390,13 @@ def _kernel_modal(ref_in, v1, v2, v3, vf, r1, r2, r3, rf, ctw, stw,
             out_write(k1, g)
 
     if axis == 0:
-        for j in range(ref_in.shape[1]):
-            def write(k1, g, j=j):
-                ref_out[k1 * N2:(k1 + 1) * N2, j, :] = g
-            run(ref_in[:, j, :], lam_rest_ref[j], write)
+        # batched minor dims, same as _kernel's axis-0 fold
+        X, TY, TZ = ref_in.shape
+
+        def write(k1, g):
+            ref_out[k1 * N2:(k1 + 1) * N2, :, :] = g.reshape(N2, TY, TZ)
+        run(ref_in[:].reshape(X, TY * TZ),
+            lam_rest_ref[:].reshape(TY * TZ), write)
     elif axis == 1:
         def write(k1, g):
             ref_out[0, k1 * N2:(k1 + 1) * N2, :] = g

@@ -294,12 +294,22 @@ class Simulation:
             n_dev *= int(d)
         x = self.geom.axes[0]
         z = self.geom.axes[2]
+        # round 4: upwind/upwind2 momentum joined the single-device fused
+        # paths (the TPU measurement put the operator fallback at 4.0x
+        # fused skew — artifacts/upwind_measurement.log; reference GPU
+        # upwind kernels: solver_kernels.hpp:1863-2198). The sharded and
+        # xpad variants keep the skew/central gate: their halo plumbing
+        # (ppermute width, bc.py ghost ring) is one-cell skew/central.
         shared = (
             x.uniform and z.n > 1 and x.n >= 8
             and cfg.space_order in (2, 4)
             and cfg.convective_scheme in (ConvectiveScheme.SKEW,
-                                          ConvectiveScheme.CENTRAL)
+                                          ConvectiveScheme.CENTRAL,
+                                          ConvectiveScheme.UPWIND,
+                                          ConvectiveScheme.UPWIND2)
             and not cfg.implicit_y_diffusion)
+        central_like = cfg.convective_scheme in (ConvectiveScheme.SKEW,
+                                                 ConvectiveScheme.CENTRAL)
         # moving walls (lid_velocity) stay eligible: the operator-library
         # kernels (general/xz/shard/xpad) honor AxisGeom.tang; only the
         # specialized channel kernel hardcodes no-slip, and its own gate
@@ -319,7 +329,7 @@ class Simulation:
                 on_acc = False
             return mode if on_acc else False
 
-        from .ops.pallas_kernels import _auto_bxz, slab_fits
+        from .ops.pallas_kernels import _auto_bxz, _scheme_ng, slab_fits
         if not x.periodic:
             # uniform non-periodic x (external-flow family: inflow/outflow
             # pair, outflow, wall): the ghost-padded slab predictor
@@ -327,13 +337,15 @@ class Simulation:
             # jnp path runs O2 x-stencils (AxisGeom.o4_ok) and the padded
             # fake-periodic axis must match. Single device: the sharded
             # fast path is a periodic-z slab design.
-            if (cfg.space_order != 2 or n_dev > 1
+            if (cfg.space_order != 2 or n_dev > 1 or not central_like
                     or x.bc not in (BCType.INFLOW, BCType.OUTFLOW,
                                     BCType.WALL)
                     or not slab_fits(self.geom)):
                 return False
             return _resolve("xpad")
         if n_dev > 1:
+            if not central_like:
+                return False
             # GSPMD cannot partition a Pallas custom call, so the sharded
             # fast path wraps the slab kernels in shard_map with explicit
             # ppermute halo exchange (parallel/fused.py): 1-D z-slab mesh
@@ -355,7 +367,9 @@ class Simulation:
             mode = "slab"
         elif (z.periodic and z.uniform
               and _auto_bxz(x.n, self.geom.axes[1].n, z.n,
-                            2 if cfg.space_order >= 4 else 1) is not None):
+                            max(2 if cfg.space_order >= 4 else 1,
+                                _scheme_ng(cfg.convective_scheme)))
+              is not None):
             mode = "xz"
         else:
             return False

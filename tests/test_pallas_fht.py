@@ -228,3 +228,30 @@ def test_pencil_rejects_fft_transform():
     dmesh = DevMesh(np.array(jax.devices()[:8]), ("z",))
     with pytest.raises(ValueError, match="length-preserving"):
         PencilFDMPoissonSolver(inner, dmesh, "z")
+
+
+def test_solver_parity_duct_modal_axis0():
+    """Duct-style BCs (periodic x only, walls y AND z): the single fht
+    axis is x, so the fused modal kernel runs on AXIS 0 — covering the
+    batched minor-dim fold of _kernel_modal's axis-0 branch (the other
+    solver-parity tests always land the modal pass on axis 2)."""
+    n = 64
+    cfg = Config(
+        Nx=n, Ny=n, Nz=n,
+        bc_x=BCType.PERIODIC, bc_y=BCType.WALL, bc_z=BCType.WALL,
+        y_min=0.0, y_max=2 * np.pi, z_min=0.0, z_max=1.0,
+        nu=1e-3, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
+        dtype="float64")
+    mesh = Mesh.from_config(cfg)
+    rng = np.random.default_rng(9)
+    rhs = rng.standard_normal((n, n, n))
+    rhs -= rhs.mean()
+    rhs = jnp.asarray(rhs, jnp.float64)
+    s_ref = FDMPoissonSolver(mesh, cfg, transform="matmul")
+    s_pal = FDMPoissonSolver(mesh, cfg, transform="pallas_fft")
+    assert s_pal.fht_axes == (0,), s_pal.name
+    p_ref = np.asarray(s_ref.solve(rhs))
+    p_pal = np.asarray(s_pal.solve(rhs))
+    err = (np.linalg.norm(p_pal - p_ref)
+           / max(np.linalg.norm(p_ref), 1e-300))
+    assert err < 1e-11, err

@@ -87,9 +87,13 @@ def test_pallas_not_eligible_off_fast_path():
     base = dict(Nx=16, Ny=16, Nz=16, use_pallas="on",
                 nu=1e-3, nu_specified=True, dp_dx=-1e-3,
                 dp_dx_specified=True, dtype="float64")
-    # upwind (reach-2 stencil) is out
-    assert not Simulation(Config(
+    # upwind2 is fused single-device (round 4) but NOT on the sharded
+    # path (ppermute halo plumbing is one-cell skew/central)
+    assert Simulation(Config(
         convective_scheme=CS.UPWIND2, **base))._pallas_predictor_ok
+    assert not Simulation(Config(
+        convective_scheme=CS.UPWIND2, mesh_shape=(8,),
+        **base))._pallas_predictor_ok
     # implicit y diffusion changes the RHS (skip_y) — out
     assert not Simulation(Config(
         implicit_y_diffusion=True, **base))._pallas_predictor_ok
@@ -636,3 +640,61 @@ def test_fused_predictor_general_moving_wall():
     for g, r, name in zip(got, ref, "uvw"):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=0, atol=1e-13, err_msg=name)
+
+
+@pytest.mark.parametrize("scheme", [ConvectiveScheme.UPWIND,
+                                    ConvectiveScheme.UPWIND2])
+def test_fused_predictor_upwind_matches_operators(scheme):
+    """Upwind momentum in the fused slab kernel == jnp operator path
+    (round 4: measured 4.0x operator-fallback penalty motivated adding
+    upwind to the fused predictors — artifacts/upwind_measurement.log;
+    reference GPU upwind kernels solver_kernels.hpp:1863-2198).
+    Walls-y stretched channel geometry, variable nu_t, f64 exact."""
+    import jax
+    from cfdnn_tpu.ops.pallas_kernels import fused_predictor_general
+
+    cfg = Config(Nx=16, Ny=24, Nz=8, stretch_y=True, z_max=1.0,
+                 nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                 dp_dx_specified=True, dtype="float64",
+                 convective_scheme=scheme)
+    mesh = Mesh.from_config(cfg)
+    geom = Geometry.make(mesh, cfg)
+    key = jax.random.PRNGKey(3)
+    u = jax.random.normal(key, (16, 24, 8), jnp.float64) * 0.1
+    v = jax.random.normal(key, (16, 25, 8), jnp.float64) * 0.1
+    w = jax.random.normal(key, (16, 24, 8), jnp.float64) * 0.1
+    nu_t = jnp.abs(jax.random.normal(key, (16, 24, 8), jnp.float64)) * 0.01
+    dt, fx = 1e-3, 0.7
+    conv = ops.convective((u, v, w), geom, scheme)
+    diff = ops.diffusive((u, v, w), cfg.nu + nu_t, geom)
+    ref = (u + dt * (-conv[0] + diff[0] + fx),
+           v + dt * (-conv[1] + diff[1]),
+           w + dt * (-conv[2] + diff[2]))
+    got = fused_predictor_general(u, v, w, dt, geom=geom, scheme=scheme,
+                                  nu=cfg.nu, fx=fx, nu_t=nu_t,
+                                  interpret=True)
+    for name, a, b in zip("uvw", ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=1e-13, err_msg=name)
+
+
+def test_upwind_trajectory_matches_jnp():
+    """Full steps with upwind2 momentum: fused == operator path, and the
+    fused path actually activates (the round-3 gate rejected upwind)."""
+    from cfdnn_tpu import perturbed_channel
+    base = dict(Nx=16, Ny=24, Nz=8, stretch_y=True, z_max=1.0,
+                nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
+                dtype="float64",
+                convective_scheme=ConvectiveScheme.UPWIND2)
+    sim_off = Simulation(Config(use_pallas="off", **base))
+    sim_on = Simulation(Config(use_pallas="on", **base))
+    assert sim_on._pallas_predictor_ok == "slab"
+    s0 = perturbed_channel(sim_off.cfg, sim_off.mesh, amp=0.05)
+    s_off, s_on = s0, s0
+    for _ in range(4):
+        s_off, _ = sim_off.step(s_off)
+        s_on, d = sim_on.step(s_on)
+    np.testing.assert_allclose(np.asarray(s_on.u), np.asarray(s_off.u),
+                               rtol=0, atol=1e-12)
+    assert float(d.div_linf) < 1e-10
