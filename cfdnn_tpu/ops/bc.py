@@ -42,10 +42,21 @@ def _cat(parts, axis):
 
 
 def _flip(f, axis):
-    # size-1 flips are identities; skipping them keeps the operator library
-    # lowerable inside Pallas TPU kernels (Mosaic has no `rev` primitive)
-    if f.shape[axis] <= 1:
+    # Mosaic has no `rev` primitive, so keep the operator library
+    # lowerable inside Pallas TPU kernels: size-1 flips are identities,
+    # and the ghost-pad flips are at most ng<=2 wide — build those from
+    # unit slices + concat (lowerable) instead of jnp.flip (round 4:
+    # the ng=2 upwind2 mirror pad crashed Mosaic lowering via `rev`).
+    n = f.shape[axis]
+    if n <= 1:
         return f
+    if n <= 4:
+        idx = [slice(None)] * f.ndim
+        parts = []
+        for i in reversed(range(n)):
+            idx[axis] = slice(i, i + 1)
+            parts.append(f[tuple(idx)])
+        return jnp.concatenate(parts, axis=axis)
     return jnp.flip(f, axis=axis)
 
 

@@ -397,3 +397,51 @@ def test_safe_extract_blocks_traversal(tmp_path):
         tf.addfile(info)
     with pytest.raises(RuntimeError, match="unsupported special"):
         safe_extract(t3, tmp_path / "out5", verbose=False)
+
+
+def test_dns_preset_runs_channel(record_qoi):
+    """The mlp_channel_dns180 preset — the DNS-provenance model
+    (labels nu_t(y) = -<u'v'>/(dU/dy) from this solver's trip-forced
+    Re_tau=180 DNS, a-posteriori fine-tuned through the differentiable
+    solver; scripts/distill_dns_channel.py) — must load, run the channel
+    stably from a laminar IC, and hold a DNS-magnitude eddy viscosity.
+    The full steady closed-loop gate (Re_tau 187.7, mean-profile relL2
+    0.022 vs DNS) runs in the training script; this is its fast-tier
+    smoke. Reference provenance analogue: the McConkey-DNS presets
+    (data/models/README.md:17-23)."""
+    import json
+    import os
+
+    import jax.numpy as jnp
+
+    from cfdnn_tpu import Config, Simulation, init_poiseuille
+    from cfdnn_tpu.config import TurbulenceModel
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    preset = os.path.join(root, "data", "models", "mlp_channel_dns180")
+    meta = json.load(open(os.path.join(preset, "metadata.json")))
+    assert meta["training"]["provenance"] == "dns"
+    assert meta["training"]["holdout_r2"] > 0.95
+    assert meta["training"]["closed_loop"]["mean_profile_relL2"] < 0.15
+    ft = meta["training"]["aposteriori_finetune"]
+    assert ft["loss_end"] < ft["loss_start"]
+
+    delta = 1.0
+    cfg = Config(Nx=4, Ny=96, Nz=1,
+                 y_min=-delta, y_max=delta,
+                 stretch_y=True, stretch_beta=1.8,
+                 nu=1.0 / 180.0, nu_specified=True,
+                 dp_dx=-1.0, dp_dx_specified=True,
+                 dt=1e-3, adaptive_dt=True, CFL_max=0.5,
+                 dtype="float64", turb_model=TurbulenceModel.NN_MLP,
+                 nn_weights_path=preset)
+    sim = Simulation(cfg)
+    state = sim.initialize(init_poiseuille(cfg, sim.mesh, fraction=0.05))
+    for _ in range(10):
+        state, d = sim.run(state, 200)
+        assert np.isfinite(float(d.ke))
+    nut = sim.turb.nu_t(state, sim)
+    peak_plus = float(jnp.max(nut)) * 180.0
+    record_qoi("mlp_dns_preset_nut_peak_plus", peak_plus)
+    # DNS-label peak nu_t/nu ~ 12.9 (data/dns/channel_retau180.npz)
+    assert 4.0 < peak_plus < 40.0, peak_plus
