@@ -422,6 +422,75 @@ def fused_nu_sgs(u, v, w, *, geom, model_fn, bx=4, interpret=False):
         bx, 1, interpret, fat=True, kernel_kwargs=dict(model_fn=model_fn))
 
 
+def _sst_advance_kernel(dt_ref, *refs, slab_geom, nu, c, om_wall,
+                        skip_y, need_nu, ng=2):
+    """SST k/omega point-implicit update on an x-extended slab via the
+    shared transport algebra (turbulence/transport.py sst_advance_math —
+    single source of truth with the jnp path). The TPU measurement that
+    motivated this kernel: the SST transport advance was 87% of the
+    128^3 RANS step on the operator path
+    (artifacts/upwind_measurement.log). Reference analogue: the fused
+    sst_transport_step_gpu kernel (turbulence_transport.hpp ~:246)."""
+    from ..turbulence.transport import sst_advance_math
+
+    n_geom = 3 * len(_AXIS_ARRAY_FIELDS)
+    geom_refs = refs[:n_geom]
+    y_wall_ref = refs[n_geom]
+    rest = refs[n_geom + 1:]
+    (ul, uc, ur, vl, vc, vr, wl, wc, wr,
+     kl, kc, kr, ol, oc, orr, nl, nc, nr) = rest[:18]
+    outs = rest[18:]
+    geom_live = _rebuild_geom(slab_geom, [r[:] for r in geom_refs])
+
+    def ext(l, cen, r):
+        return jnp.concatenate([l[-ng:], cen[:], r[:ng]], axis=0)
+
+    dt = dt_ref[0]
+    comps = (ext(ul, uc, ur), ext(vl, vc, vr), ext(wl, wc, wr))
+    k = ext(kl, kc, kr)
+    om = ext(ol, oc, orr)
+    nu_t = ext(nl, nc, nr)
+    k_new, om_new, nu_k, nu_om = sst_advance_math(
+        comps, k, om, nu_t, geom_live, nu, c, y_wall_ref[:], om_wall,
+        dt, skip_y=skip_y)
+    outs[0][:] = k_new[ng:-ng]
+    outs[1][:] = om_new[ng:-ng]
+    if need_nu:
+        outs[2][:] = nu_k[ng:-ng]
+        outs[3][:] = nu_om[ng:-ng]
+
+
+def fused_sst_advance(u, v, w, k, om, nu_t, dt, *, geom, nu, c, y_wall,
+                      om_wall, skip_y=False, need_nu=False, bx=4,
+                      interpret=False):
+    """SST transport advance as ONE fused x-slab Pallas pass (upwind
+    advection, central gradients, F1 blending, limited production,
+    conservative diffusion, point-implicit destruction) instead of the
+    many-materialization jnp chain. `need_nu` additionally emits the
+    blended diffusivities nu_k/nu_om for the IMEX y-solves that run
+    outside the kernel. Returns (k_new, om_new, nu_k|None, nu_om|None)
+    PRE-clip/pin (the epilogue stays in SSTTransport.advance)."""
+    assert geom.axes[0].periodic, \
+        "the fake-periodic slab tiling requires a periodic x axis"
+    y_wall_b = jnp.asarray(jnp.broadcast_to(
+        y_wall, (1,) + k.shape[1:]), k.dtype)
+    n_out = 4 if need_nu else 2
+    shapes = [jax.ShapeDtypeStruct(k.shape, k.dtype)] * n_out
+    # ng=2: the diffusion term reads neighbor nu_eff, whose F1 blending
+    # itself reaches one cell through the k/omega gradients — a compound
+    # x-reach of 2 (caught by the interpret parity test at the slab-edge
+    # planes with ng=1)
+    out = _slab_call(
+        _sst_advance_kernel, geom, [u, v, w, k, om, nu_t], [], shapes,
+        bx, 2, interpret, dt=dt, fat=True, heavy=True,
+        kernel_kwargs=dict(nu=nu, c=c, om_wall=om_wall, skip_y=skip_y,
+                           need_nu=need_nu),
+        consts=[y_wall_b])
+    if need_nu:
+        return out
+    return out[0], out[1], None, None
+
+
 def _divergence_kernel(*refs, slab_geom, ng):
     n_geom = 3 * len(_AXIS_ARRAY_FIELDS)
     geom_refs = refs[:n_geom]
@@ -468,7 +537,7 @@ def _fat_kernel_params(ny, nz, bx):
 
 def _slab_call(kernel, geom, fields_tripled, fields_plain, out_shapes,
                bx, ng, interpret, dt=None, fat=False, heavy=False,
-               kernel_kwargs=None):
+               kernel_kwargs=None, consts=None):
     """Shared pallas_call assembly for ALL the slab-stencil kernels
     (predictor, divergence, correct, nu_sgs): slab sizing + guards, thin
     vs full halo-block specs, geometry threading, tripled operands, SMEM
@@ -505,6 +574,10 @@ def _slab_call(kernel, geom, fields_tripled, fields_plain, out_shapes,
         operands.append(jnp.reshape(jnp.asarray(dt, ref0.dtype), (1,)))
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in garrs]
     operands += garrs
+    # whole-array VMEM constants (x-broadcast fields like wall distance)
+    for arr in (consts or []):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(arr)
     for arr in fields_tripled:
         in_specs += specs_for(arr)
         operands += [arr, arr, arr]

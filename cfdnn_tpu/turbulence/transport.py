@@ -161,6 +161,63 @@ def _diffusion(f, geom, nu_eff, wall_value, skip_y=False):
     return out
 
 
+def sst_advance_math(comps, k, om, nu_t, geom, nu, c, y_wall, om_wall,
+                     dt, skip_y=False):
+    """Pure SST k/omega point-implicit update (everything in advance()
+    before the optional IMEX y-solves and the clip/pin epilogue).
+
+    Single source of truth between the jnp operator path and the fused
+    Pallas slab kernel (ops/pallas_kernels.fused_sst_advance) — the
+    reference's CPU/GPU code-sharing paradigm (sst_cell_kernel,
+    src/turbulence_transport.cpp:66-195, compiled for both targets)."""
+    k = jnp.maximum(k, c.k_min)
+    om = jnp.maximum(om, c.omega_min)
+    nu_t = jnp.maximum(nu_t, 0.0)
+    y = jnp.maximum(y_wall, 1e-10)
+
+    vel_cc = cell_center_velocity(comps, geom)
+    sr = strain_rotation(comps, geom)
+    S2 = sr.S_mag**2
+
+    adv_k, gk = _transport_terms(k, geom, vel_cc, 0.0)
+    adv_om, gom = _transport_terms(om, geom, vel_cc, om_wall)
+
+    # cross-diffusion and F1 (reference :111-123)
+    gkgo = sum(a * b for a, b in zip(gk, gom))
+    CD_omega = jnp.maximum(2.0 * c.sigma_omega2 / om * gkgo, c.CD_omega_min)
+    sqrt_k = jnp.sqrt(k)
+    arg1 = jnp.maximum(sqrt_k / (c.beta_star * om * y),
+                       500.0 * nu / (y * y * om))
+    arg1 = jnp.minimum(arg1, 4.0 * c.sigma_omega2 * k / (CD_omega * y * y))
+    F1 = safe_tanh(arg1**4)
+
+    beta = F1 * c.beta1 + (1.0 - F1) * c.beta2
+    alpha = F1 * c.alpha1 + (1.0 - F1) * c.alpha2
+    sigma_k = F1 * c.sigma_k1 + (1.0 - F1) * c.sigma_k2
+    sigma_om = F1 * c.sigma_omega1 + (1.0 - F1) * c.sigma_omega2
+
+    nu_k = nu + sigma_k * nu_t
+    nu_om = nu + sigma_om * nu_t
+
+    # limited production, standard Menter form P_k = nu_t S^2 with
+    # S^2 = 2 S_ij S_ij (= S_mag^2 here). DELIBERATE deviation from
+    # the reference, which doubles it (P_k = 2 nu_t S2 with S2 already
+    # = 2 SijSij, turbulence_transport.cpp:103,136) — a 2x
+    # overproduction of k under pure shear.
+    P_k = jnp.minimum(nu_t * S2, 10.0 * c.beta_star * k * om)
+    CD = jnp.maximum(2.0 * (1.0 - F1) * c.sigma_omega2 / om * gkgo, 0.0)
+
+    # point-implicit destruction (reference :168-186); conservative
+    # div(nu grad .) diffusion (see _diffusion)
+    diff_k = _diffusion(k, geom, nu_k, 0.0, skip_y=skip_y)
+    diff_om = _diffusion(om, geom, nu_om, om_wall, skip_y=skip_y)
+    src_k = P_k + diff_k - adv_k
+    src_om = alpha * (om / k) * P_k + diff_om - adv_om + CD
+    k_new = (k + dt * src_k) / (1.0 + dt * c.beta_star * om)
+    om_new = (om + dt * src_om) / (1.0 + dt * beta * om)
+    return k_new, om_new, nu_k, nu_om
+
+
 class SSTTransport(TurbulenceModelBase):
     """SST k-omega transport + SST strain-limited closure."""
 
@@ -211,65 +268,56 @@ class SSTTransport(TurbulenceModelBase):
 
     # -- the fused advance kernel -----------------------------------------
 
+    def _fuse_mode(self, sim):
+        """'compiled' | 'interpret' | False — whether advance() runs as
+        the fused Pallas slab kernel (single-device slab mode only; the
+        sharded transport keeps the roll-based GSPMD form, see
+        _neighbors' docstring)."""
+        if not hasattr(self, "_fuse"):
+            import jax
+            ok = sim._pallas_predictor_ok == "slab"
+            if not ok:
+                self._fuse = False
+            else:
+                try:
+                    on_cpu = jax.devices()[0].platform == "cpu"
+                except Exception:
+                    on_cpu = True
+                if on_cpu:
+                    self._fuse = ("interpret"
+                                  if sim.cfg.use_pallas == "on" else False)
+                else:
+                    self._fuse = "compiled"
+        return self._fuse
+
     def advance(self, state, sim, dt):
         c, geom = self.c, sim.geom
         comps = (state.u, state.v, state.w)
-        k = jnp.maximum(state.k, c.k_min)
-        om = jnp.maximum(state.omega, c.omega_min)
-        nu_t = state.nu_t if state.nu_t is not None else jnp.zeros_like(k)
-        nu_t = jnp.maximum(nu_t, 0.0)
-        y = jnp.maximum(self.y_wall, 1e-10)
+        nu_t = state.nu_t if state.nu_t is not None \
+            else jnp.zeros_like(state.k)
 
-        vel_cc = cell_center_velocity(comps, geom)
-        sr = strain_rotation(comps, geom)
-        S2 = sr.S_mag**2
-
-        # omega wall Dirichlet value from the local first-cell distance:
-        # broadcast y1 (min wall distance) — matches reference per-wall y1
-        y1 = jnp.min(self.y_wall) if self.has_wall else None
+        # omega wall Dirichlet value from the first-cell distance
+        # (matches reference per-wall y1) — trace-time constant
         om_wall = None
         if self.has_wall:
-            om_wall = jnp.minimum(
-                10.0 * 6.0 * self.nu / (c.beta1 * y1 * y1), c.omega_max)
+            y1 = float(np.min(np.asarray(self.y_wall)))
+            om_wall = min(10.0 * 6.0 * self.nu / (c.beta1 * y1 * y1),
+                          c.omega_max)
 
         imex = bool(getattr(sim.cfg, "implicit_y_diffusion", False)) \
             and self.has_y_wall
-        adv_k, gk = _transport_terms(k, geom, vel_cc, 0.0)
-        adv_om, gom = _transport_terms(om, geom, vel_cc, om_wall)
-
-        # cross-diffusion and F1 (reference :111-123)
-        gkgo = sum(a * b for a, b in zip(gk, gom))
-        CD_omega = jnp.maximum(2.0 * c.sigma_omega2 / om * gkgo, c.CD_omega_min)
-        sqrt_k = jnp.sqrt(k)
-        arg1 = jnp.maximum(sqrt_k / (c.beta_star * om * y),
-                           500.0 * self.nu / (y * y * om))
-        arg1 = jnp.minimum(arg1, 4.0 * c.sigma_omega2 * k / (CD_omega * y * y))
-        F1 = safe_tanh(arg1**4)
-
-        beta = F1 * c.beta1 + (1.0 - F1) * c.beta2
-        alpha = F1 * c.alpha1 + (1.0 - F1) * c.alpha2
-        sigma_k = F1 * c.sigma_k1 + (1.0 - F1) * c.sigma_k2
-        sigma_om = F1 * c.sigma_omega1 + (1.0 - F1) * c.sigma_omega2
-
-        nu_k = self.nu + sigma_k * nu_t
-        nu_om = self.nu + sigma_om * nu_t
-
-        # limited production, standard Menter form P_k = nu_t S^2 with
-        # S^2 = 2 S_ij S_ij (= S_mag^2 here). DELIBERATE deviation from
-        # the reference, which doubles it (P_k = 2 nu_t S2 with S2 already
-        # = 2 SijSij, turbulence_transport.cpp:103,136) — a 2x
-        # overproduction of k under pure shear.
-        P_k = jnp.minimum(nu_t * S2, 10.0 * c.beta_star * k * om)
-        CD = jnp.maximum(2.0 * (1.0 - F1) * c.sigma_omega2 / om * gkgo, 0.0)
-
-        # point-implicit destruction (reference :168-186); conservative
-        # div(nu grad .) diffusion (see _diffusion)
-        diff_k = _diffusion(k, geom, nu_k, 0.0, skip_y=imex)
-        diff_om = _diffusion(om, geom, nu_om, om_wall, skip_y=imex)
-        src_k = P_k + diff_k - adv_k
-        src_om = alpha * (om / k) * P_k + diff_om - adv_om + CD
-        k_new = (k + dt * src_k) / (1.0 + dt * c.beta_star * om)
-        om_new = (om + dt * src_om) / (1.0 + dt * beta * om)
+        fuse = self._fuse_mode(sim)
+        if fuse:
+            from ..ops.pallas_kernels import fused_sst_advance
+            k_new, om_new, nu_k, nu_om = fused_sst_advance(
+                state.u, state.v, state.w, state.k, state.omega, nu_t,
+                dt, geom=geom, nu=self.nu, c=c, y_wall=self.y_wall,
+                om_wall=om_wall, skip_y=imex, need_nu=imex,
+                interpret=fuse == "interpret")
+        else:
+            k_new, om_new, nu_k, nu_om = sst_advance_math(
+                comps, state.k, state.omega, nu_t, geom, self.nu, c,
+                self.y_wall, om_wall, dt, skip_y=imex)
         if imex:
             from ..forcing import implicit_scalar_y_diffusion
             k_new = implicit_scalar_y_diffusion(k_new, nu_k, dt, geom, 0.0)

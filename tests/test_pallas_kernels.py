@@ -698,3 +698,71 @@ def test_upwind_trajectory_matches_jnp():
     np.testing.assert_allclose(np.asarray(s_on.u), np.asarray(s_off.u),
                                rtol=0, atol=1e-12)
     assert float(d.div_linf) < 1e-10
+
+
+def test_fused_sst_advance_matches_math():
+    """fused_sst_advance (x-slab Pallas, interpret) == sst_advance_math
+    (jnp operator path) — the SST transport advance measured at 87% of
+    the 128^3 RANS step (artifacts/upwind_measurement.log); reference
+    analogue: the fused sst_transport_step_gpu kernel."""
+    import jax
+    from cfdnn_tpu.ops.pallas_kernels import fused_sst_advance
+    from cfdnn_tpu.turbulence.transport import (SSTConstants,
+                                                sst_advance_math)
+    from cfdnn_tpu.turbulence.base import wall_distance
+
+    cfg = Config(Nx=16, Ny=24, Nz=8, stretch_y=True, z_max=1.0,
+                 nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                 dp_dx_specified=True, dtype="float64")
+    mesh = Mesh.from_config(cfg)
+    geom = Geometry.make(mesh, cfg)
+    c = SSTConstants()
+    key = jax.random.PRNGKey(7)
+    u = jax.random.normal(key, (16, 24, 8), jnp.float64) * 0.1
+    v = jax.random.normal(key, (16, 25, 8), jnp.float64) * 0.1
+    w = jax.random.normal(key, (16, 24, 8), jnp.float64) * 0.1
+    k = jnp.abs(jax.random.normal(key, (16, 24, 8), jnp.float64)) * 0.01
+    om = 1.0 + jnp.abs(jax.random.normal(key, (16, 24, 8), jnp.float64))
+    nut = jnp.abs(jax.random.normal(key, (16, 24, 8), jnp.float64)) * 0.01
+    y_wall = wall_distance(mesh, cfg, jnp.float64)
+    y1 = float(np.min(np.asarray(y_wall)))
+    om_wall = min(60.0 * cfg.nu / (c.beta1 * y1 * y1) * 10.0 / 10.0,
+                  c.omega_max)
+    dt = 1e-3
+    for skip_y, need_nu in ((False, False), (True, True)):
+        ref = sst_advance_math((u, v, w), k, om, nut, geom, cfg.nu, c,
+                               y_wall, om_wall, dt, skip_y=skip_y)
+        got = fused_sst_advance(u, v, w, k, om, nut, dt, geom=geom,
+                                nu=cfg.nu, c=c, y_wall=y_wall,
+                                om_wall=om_wall, skip_y=skip_y,
+                                need_nu=need_nu, interpret=True)
+        n = 4 if need_nu else 2
+        for i in range(n):
+            np.testing.assert_allclose(
+                np.asarray(got[i]), np.asarray(ref[i]), rtol=1e-12,
+                atol=1e-13, err_msg=f"output {i} skip_y={skip_y}")
+
+
+def test_sst_trajectory_fused_matches_jnp():
+    """Full SST channel steps: fused transport kernel == jnp path, and
+    the fused path actually activates under use_pallas='on'."""
+    from cfdnn_tpu import perturbed_channel
+    from cfdnn_tpu.config import TurbulenceModel
+    base = dict(Nx=16, Ny=24, Nz=8, stretch_y=True, z_max=1.0,
+                nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
+                dtype="float64", turb_model=TurbulenceModel.SST)
+    sim_off = Simulation(Config(use_pallas="off", **base))
+    sim_on = Simulation(Config(use_pallas="on", **base))
+    assert sim_on.turb._fuse_mode(sim_on) == "interpret"
+    assert sim_off.turb._fuse_mode(sim_off) is False
+    s0 = sim_off.initialize(
+        perturbed_channel(sim_off.cfg, sim_off.mesh, amp=0.05))
+    s_off, s_on = s0, s0
+    for _ in range(3):
+        s_off, _ = sim_off.step(s_off)
+        s_on, d = sim_on.step(s_on)
+    for f in ("u", "k", "omega", "nu_t"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_on, f)), np.asarray(getattr(s_off, f)),
+            rtol=0, atol=1e-12, err_msg=f)
