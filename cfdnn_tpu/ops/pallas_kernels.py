@@ -422,17 +422,21 @@ def fused_nu_sgs(u, v, w, *, geom, model_fn, bx=4, interpret=False):
         bx, 1, interpret, fat=True, kernel_kwargs=dict(model_fn=model_fn))
 
 
-def _sst_advance_kernel(dt_ref, *refs, slab_geom, nu, c, om_wall,
-                        skip_y, need_nu, ng=2):
-    """SST k/omega point-implicit update on an x-extended slab via the
-    shared transport algebra (turbulence/transport.py sst_advance_math —
-    single source of truth with the jnp path). The TPU measurement that
-    motivated this kernel: the SST transport advance was 87% of the
-    128^3 RANS step on the operator path
-    (artifacts/upwind_measurement.log). Reference analogue: the fused
-    sst_transport_step_gpu kernel (turbulence_transport.hpp ~:246)."""
-    from ..turbulence.transport import sst_advance_math
+def _transport_advance_kernel(dt_ref, *refs, slab_geom, math_fn, need_nu,
+                              ng=2):
+    """k/omega point-implicit update on an x-extended slab via the
+    shared transport algebra (turbulence/transport.py
+    sst_advance_math / komega_advance_math — single source of truth
+    with the jnp path). The TPU measurement that motivated this kernel:
+    the SST transport advance was 87% of the 128^3 RANS step on the
+    operator path (artifacts/upwind_measurement.log). Reference
+    analogue: the fused sst_transport_step_gpu kernel
+    (turbulence_transport.hpp ~:246).
 
+    math_fn(comps, k, om, nu_t, geom, y_wall, dt)
+      -> (k_new, om_new, nu_k, nu_om); scalars/constants are closed
+    over by the caller (only ARRAY captures are forbidden in Pallas —
+    y_wall is threaded as a VMEM const)."""
     n_geom = 3 * len(_AXIS_ARRAY_FIELDS)
     geom_refs = refs[:n_geom]
     y_wall_ref = refs[n_geom]
@@ -450,9 +454,8 @@ def _sst_advance_kernel(dt_ref, *refs, slab_geom, nu, c, om_wall,
     k = ext(kl, kc, kr)
     om = ext(ol, oc, orr)
     nu_t = ext(nl, nc, nr)
-    k_new, om_new, nu_k, nu_om = sst_advance_math(
-        comps, k, om, nu_t, geom_live, nu, c, y_wall_ref[:], om_wall,
-        dt, skip_y=skip_y)
+    k_new, om_new, nu_k, nu_om = math_fn(comps, k, om, nu_t, geom_live,
+                                         y_wall_ref[:], dt)
     outs[0][:] = k_new[ng:-ng]
     outs[1][:] = om_new[ng:-ng]
     if need_nu:
@@ -460,31 +463,32 @@ def _sst_advance_kernel(dt_ref, *refs, slab_geom, nu, c, om_wall,
         outs[3][:] = nu_om[ng:-ng]
 
 
-def fused_sst_advance(u, v, w, k, om, nu_t, dt, *, geom, nu, c, y_wall,
-                      om_wall, skip_y=False, need_nu=False, bx=4,
-                      interpret=False):
-    """SST transport advance as ONE fused x-slab Pallas pass (upwind
-    advection, central gradients, F1 blending, limited production,
+def fused_transport_advance(u, v, w, k, om, nu_t, dt, *, geom, math_fn,
+                            y_wall, ng=2, need_nu=False, bx=4,
+                            interpret=False):
+    """Two-equation transport advance as ONE fused x-slab Pallas pass
+    (upwind advection, central gradients, blending, limited production,
     conservative diffusion, point-implicit destruction) instead of the
     many-materialization jnp chain. `need_nu` additionally emits the
     blended diffusivities nu_k/nu_om for the IMEX y-solves that run
     outside the kernel. Returns (k_new, om_new, nu_k|None, nu_om|None)
-    PRE-clip/pin (the epilogue stays in SSTTransport.advance)."""
+    PRE-clip/pin (the epilogue stays in the model's advance()).
+
+    `ng`: SST needs 2 — its diffusion term reads neighbor nu_eff, whose
+    F1 blending itself reaches one cell through the k/omega gradients
+    (caught by the interpret parity test at the slab-edge planes with
+    ng=1); Wilcox k-omega's diffusivities depend only on the INPUT
+    nu_t, so ng=1 suffices there."""
     assert geom.axes[0].periodic, \
         "the fake-periodic slab tiling requires a periodic x axis"
     y_wall_b = jnp.asarray(jnp.broadcast_to(
         y_wall, (1,) + k.shape[1:]), k.dtype)
     n_out = 4 if need_nu else 2
     shapes = [jax.ShapeDtypeStruct(k.shape, k.dtype)] * n_out
-    # ng=2: the diffusion term reads neighbor nu_eff, whose F1 blending
-    # itself reaches one cell through the k/omega gradients — a compound
-    # x-reach of 2 (caught by the interpret parity test at the slab-edge
-    # planes with ng=1)
     out = _slab_call(
-        _sst_advance_kernel, geom, [u, v, w, k, om, nu_t], [], shapes,
-        bx, 2, interpret, dt=dt, fat=True, heavy=True,
-        kernel_kwargs=dict(nu=nu, c=c, om_wall=om_wall, skip_y=skip_y,
-                           need_nu=need_nu),
+        _transport_advance_kernel, geom, [u, v, w, k, om, nu_t], [],
+        shapes, bx, ng, interpret, dt=dt, fat=True, heavy=True,
+        kernel_kwargs=dict(math_fn=math_fn, need_nu=need_nu),
         consts=[y_wall_b])
     if need_nu:
         return out

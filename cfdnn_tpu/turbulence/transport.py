@@ -218,6 +218,54 @@ def sst_advance_math(comps, k, om, nu_t, geom, nu, c, y_wall, om_wall,
     return k_new, om_new, nu_k, nu_om
 
 
+def _sst_math_kernel_form(comps, k, om, nu_t, geom, y_wall, dt, *,
+                          nu, c, om_wall, skip_y):
+    """sst_advance_math in the fused-kernel calling convention
+    (ops/pallas_kernels._transport_advance_kernel math_fn)."""
+    return sst_advance_math(comps, k, om, nu_t, geom, nu, c, y_wall,
+                            om_wall, dt, skip_y=skip_y)
+
+
+def komega_advance_math(comps, k, om, nu_t, geom, nu, c, y_wall, om_wall,
+                        dt, skip_y=False):
+    """Pure Wilcox k-omega point-implicit update (pre-IMEX, pre-clip) —
+    single source of truth between the jnp path and the fused Pallas
+    slab kernel, mirroring sst_advance_math. `y_wall` is accepted for
+    calling-convention symmetry (Wilcox needs no wall-distance
+    blending)."""
+    del y_wall
+    k = jnp.maximum(k, c.k_min)
+    om = jnp.maximum(om, c.omega_min)
+    nu_t = jnp.maximum(nu_t, 0.0)
+
+    vel_cc = cell_center_velocity(comps, geom)
+    sr = strain_rotation(comps, geom)
+    S2 = sr.S_mag**2
+
+    adv_k, _ = _transport_terms(k, geom, vel_cc, 0.0)
+    adv_om, _ = _transport_terms(om, geom, vel_cc, om_wall)
+
+    nu_k = nu + c.sigma_k * nu_t
+    nu_om = nu + c.sigma_omega * nu_t
+    # standard Wilcox production (see the SST note: the reference
+    # doubles it, turbulence_transport.cpp:1082,1085)
+    P_k = jnp.minimum(nu_t * S2, 10.0 * c.beta_star * k * om)
+
+    diff_k = _diffusion(k, geom, nu_k, 0.0, skip_y=skip_y)
+    diff_om = _diffusion(om, geom, nu_om, om_wall, skip_y=skip_y)
+    src_k = P_k + diff_k - adv_k
+    src_om = c.alpha * (om / k) * P_k + diff_om - adv_om
+    k_new = (k + dt * src_k) / (1.0 + dt * c.beta_star * om)
+    om_new = (om + dt * src_om) / (1.0 + dt * c.beta * om)
+    return k_new, om_new, nu_k, nu_om
+
+
+def _komega_math_kernel_form(comps, k, om, nu_t, geom, y_wall, dt, *,
+                             nu, c, om_wall, skip_y):
+    return komega_advance_math(comps, k, om, nu_t, geom, nu, c, y_wall,
+                               om_wall, dt, skip_y=skip_y)
+
+
 class SSTTransport(TurbulenceModelBase):
     """SST k-omega transport + SST strain-limited closure."""
 
@@ -308,12 +356,16 @@ class SSTTransport(TurbulenceModelBase):
             and self.has_y_wall
         fuse = self._fuse_mode(sim)
         if fuse:
-            from ..ops.pallas_kernels import fused_sst_advance
-            k_new, om_new, nu_k, nu_om = fused_sst_advance(
+            import functools
+
+            from ..ops.pallas_kernels import fused_transport_advance
+            math_fn = functools.partial(
+                _sst_math_kernel_form, nu=self.nu, c=c, om_wall=om_wall,
+                skip_y=imex)
+            k_new, om_new, nu_k, nu_om = fused_transport_advance(
                 state.u, state.v, state.w, state.k, state.omega, nu_t,
-                dt, geom=geom, nu=self.nu, c=c, y_wall=self.y_wall,
-                om_wall=om_wall, skip_y=imex, need_nu=imex,
-                interpret=fuse == "interpret")
+                dt, geom=geom, math_fn=math_fn, y_wall=self.y_wall,
+                ng=2, need_nu=imex, interpret=fuse == "interpret")
         else:
             k_new, om_new, nu_k, nu_om = sst_advance_math(
                 comps, state.k, state.omega, nu_t, geom, self.nu, c,
@@ -367,42 +419,41 @@ class KOmegaTransport(TurbulenceModelBase):
             C_mu=self.c.beta_star)
         return state.replace(k=k, omega=om)
 
+    _fuse_mode = SSTTransport._fuse_mode
+
     def advance(self, state, sim, dt):
         c, geom = self.c, sim.geom
         comps = (state.u, state.v, state.w)
-        k = jnp.maximum(state.k, c.k_min)
-        om = jnp.maximum(state.omega, c.omega_min)
-        nu_t = state.nu_t if state.nu_t is not None else jnp.zeros_like(k)
-        nu_t = jnp.maximum(nu_t, 0.0)
-
-        vel_cc = cell_center_velocity(comps, geom)
-        sr = strain_rotation(comps, geom)
-        S2 = sr.S_mag**2
+        nu_t = state.nu_t if state.nu_t is not None \
+            else jnp.zeros_like(state.k)
 
         om_wall = None
         if self.has_wall:
-            y1 = jnp.min(self.y_wall)
-            # Wilcox wall value shares the SST form with beta = beta1-like 0.075
-            om_wall = jnp.minimum(
-                10.0 * 6.0 * self.nu / (c.beta * y1 * y1), c.omega_max)
+            y1 = float(np.min(np.asarray(self.y_wall)))
+            # Wilcox wall value shares the SST form with beta ~ beta1
+            om_wall = min(10.0 * 6.0 * self.nu / (c.beta * y1 * y1),
+                          c.omega_max)
 
         imex = bool(getattr(sim.cfg, "implicit_y_diffusion", False)) \
             and self.has_y_wall
-        adv_k, _ = _transport_terms(k, geom, vel_cc, 0.0)
-        adv_om, _ = _transport_terms(om, geom, vel_cc, om_wall)
+        fuse = self._fuse_mode(sim)
+        if fuse:
+            import functools
 
-        nu_k = self.nu + c.sigma_k * nu_t
-        nu_om = self.nu + c.sigma_omega * nu_t
-        # standard Wilcox production (see the SST note: the reference
-        # doubles it, turbulence_transport.cpp:1082,1085)
-        P_k = jnp.minimum(nu_t * S2, 10.0 * c.beta_star * k * om)
-
-        diff_k = _diffusion(k, geom, nu_k, 0.0, skip_y=imex)
-        diff_om = _diffusion(om, geom, nu_om, om_wall, skip_y=imex)
-        src_k = P_k + diff_k - adv_k
-        src_om = c.alpha * (om / k) * P_k + diff_om - adv_om
-        k_new = (k + dt * src_k) / (1.0 + dt * c.beta_star * om)
-        om_new = (om + dt * src_om) / (1.0 + dt * c.beta * om)
+            from ..ops.pallas_kernels import fused_transport_advance
+            math_fn = functools.partial(
+                _komega_math_kernel_form, nu=self.nu, c=c,
+                om_wall=om_wall, skip_y=imex)
+            # ng=1: Wilcox diffusivities depend only on the INPUT nu_t
+            # (no F1 chain), so the compound x-reach stays 1
+            k_new, om_new, nu_k, nu_om = fused_transport_advance(
+                state.u, state.v, state.w, state.k, state.omega, nu_t,
+                dt, geom=geom, math_fn=math_fn, y_wall=self.y_wall,
+                ng=1, need_nu=imex, interpret=fuse == "interpret")
+        else:
+            k_new, om_new, nu_k, nu_om = komega_advance_math(
+                comps, state.k, state.omega, nu_t, geom, self.nu, c,
+                self.y_wall, om_wall, dt, skip_y=imex)
         if imex:
             from ..forcing import implicit_scalar_y_diffusion
             k_new = implicit_scalar_y_diffusion(k_new, nu_k, dt, geom, 0.0)

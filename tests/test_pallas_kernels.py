@@ -700,14 +700,21 @@ def test_upwind_trajectory_matches_jnp():
     assert float(d.div_linf) < 1e-10
 
 
-def test_fused_sst_advance_matches_math():
-    """fused_sst_advance (x-slab Pallas, interpret) == sst_advance_math
-    (jnp operator path) — the SST transport advance measured at 87% of
-    the 128^3 RANS step (artifacts/upwind_measurement.log); reference
-    analogue: the fused sst_transport_step_gpu kernel."""
+@pytest.mark.parametrize("model", ["sst", "komega"])
+def test_fused_transport_advance_matches_math(model):
+    """fused_transport_advance (x-slab Pallas, interpret) == the pure
+    jnp math (sst_advance_math / komega_advance_math) — the SST
+    transport advance measured at 87% of the 128^3 RANS step
+    (artifacts/upwind_measurement.log); reference analogue: the fused
+    sst_transport_step_gpu kernel."""
+    import functools
+
     import jax
-    from cfdnn_tpu.ops.pallas_kernels import fused_sst_advance
-    from cfdnn_tpu.turbulence.transport import (SSTConstants,
+    from cfdnn_tpu.ops.pallas_kernels import fused_transport_advance
+    from cfdnn_tpu.turbulence import transport as tr
+    from cfdnn_tpu.turbulence.transport import (KOmegaConstants,
+                                                SSTConstants,
+                                                komega_advance_math,
                                                 sst_advance_math)
     from cfdnn_tpu.turbulence.base import wall_distance
 
@@ -729,13 +736,21 @@ def test_fused_sst_advance_matches_math():
     om_wall = min(60.0 * cfg.nu / (c.beta1 * y1 * y1) * 10.0 / 10.0,
                   c.omega_max)
     dt = 1e-3
+    if model == "sst":
+        c, math, form, ng = (SSTConstants(), sst_advance_math,
+                             tr._sst_math_kernel_form, 2)
+    else:
+        c, math, form, ng = (KOmegaConstants(), komega_advance_math,
+                             tr._komega_math_kernel_form, 1)
     for skip_y, need_nu in ((False, False), (True, True)):
-        ref = sst_advance_math((u, v, w), k, om, nut, geom, cfg.nu, c,
-                               y_wall, om_wall, dt, skip_y=skip_y)
-        got = fused_sst_advance(u, v, w, k, om, nut, dt, geom=geom,
-                                nu=cfg.nu, c=c, y_wall=y_wall,
-                                om_wall=om_wall, skip_y=skip_y,
-                                need_nu=need_nu, interpret=True)
+        ref = math((u, v, w), k, om, nut, geom, cfg.nu, c,
+                   y_wall, om_wall, dt, skip_y=skip_y)
+        math_fn = functools.partial(form, nu=cfg.nu, c=c,
+                                    om_wall=om_wall, skip_y=skip_y)
+        got = fused_transport_advance(u, v, w, k, om, nut, dt, geom=geom,
+                                      math_fn=math_fn, y_wall=y_wall,
+                                      ng=ng, need_nu=need_nu,
+                                      interpret=True)
         n = 4 if need_nu else 2
         for i in range(n):
             np.testing.assert_allclose(
