@@ -422,8 +422,8 @@ def fused_nu_sgs(u, v, w, *, geom, model_fn, bx=4, interpret=False):
         bx, 1, interpret, fat=True, kernel_kwargs=dict(model_fn=model_fn))
 
 
-def _transport_advance_kernel(dt_ref, *refs, slab_geom, math_fn, need_nu,
-                              ng=2):
+def _transport_advance_kernel(dt_ref, *refs, slab_geom, math_fn,
+                              n_consts, ng=2):
     """k/omega point-implicit update on an x-extended slab via the
     shared transport algebra (turbulence/transport.py
     sst_advance_math / komega_advance_math — single source of truth
@@ -433,14 +433,15 @@ def _transport_advance_kernel(dt_ref, *refs, slab_geom, math_fn, need_nu,
     analogue: the fused sst_transport_step_gpu kernel
     (turbulence_transport.hpp ~:246).
 
-    math_fn(comps, k, om, nu_t, geom, y_wall, dt)
-      -> (k_new, om_new, nu_k, nu_om); scalars/constants are closed
-    over by the caller (only ARRAY captures are forbidden in Pallas —
-    y_wall is threaded as a VMEM const)."""
+    math_fn(comps, k, om, nu_t, geom, consts, dt) -> tuple of output
+    fields (as many as the wrapper declared); scalars/constants are
+    closed over by the caller (only ARRAY captures are forbidden in
+    Pallas — per-cell constants like wall distance ride in `consts`,
+    threaded as whole VMEM arrays)."""
     n_geom = 3 * len(_AXIS_ARRAY_FIELDS)
     geom_refs = refs[:n_geom]
-    y_wall_ref = refs[n_geom]
-    rest = refs[n_geom + 1:]
+    consts = refs[n_geom:n_geom + n_consts]
+    rest = refs[n_geom + n_consts:]
     (ul, uc, ur, vl, vc, vr, wl, wc, wr,
      kl, kc, kr, ol, oc, orr, nl, nc, nr) = rest[:18]
     outs = rest[18:]
@@ -454,25 +455,24 @@ def _transport_advance_kernel(dt_ref, *refs, slab_geom, math_fn, need_nu,
     k = ext(kl, kc, kr)
     om = ext(ol, oc, orr)
     nu_t = ext(nl, nc, nr)
-    k_new, om_new, nu_k, nu_om = math_fn(comps, k, om, nu_t, geom_live,
-                                         y_wall_ref[:], dt)
-    outs[0][:] = k_new[ng:-ng]
-    outs[1][:] = om_new[ng:-ng]
-    if need_nu:
-        outs[2][:] = nu_k[ng:-ng]
-        outs[3][:] = nu_om[ng:-ng]
+    fields = math_fn(comps, k, om, nu_t, geom_live,
+                     tuple(cr[:] for cr in consts), dt)
+    for o, f in zip(outs, fields):
+        o[:] = f[ng:-ng]
 
 
 def fused_transport_advance(u, v, w, k, om, nu_t, dt, *, geom, math_fn,
-                            y_wall, ng=2, need_nu=False, bx=4,
+                            consts, n_out=2, ng=2, bx=4,
                             interpret=False):
     """Two-equation transport advance as ONE fused x-slab Pallas pass
     (upwind advection, central gradients, blending, limited production,
-    conservative diffusion, point-implicit destruction) instead of the
-    many-materialization jnp chain. `need_nu` additionally emits the
-    blended diffusivities nu_k/nu_om for the IMEX y-solves that run
-    outside the kernel. Returns (k_new, om_new, nu_k|None, nu_om|None)
-    PRE-clip/pin (the epilogue stays in the model's advance()).
+    conservative diffusion, point-implicit destruction — optionally the
+    closure nu_t as a third output, reusing the in-kernel strain)
+    instead of the many-materialization jnp chain. `math_fn` (see
+    _transport_advance_kernel) returns `n_out` cell fields; `consts`
+    are per-cell constant arrays (wall distance, omega pin mask, ...)
+    broadcast to (1, Ny, Nz) and threaded as whole VMEM inputs. Returns
+    a tuple of n_out arrays.
 
     `ng`: SST needs 2 — its diffusion term reads neighbor nu_eff, whose
     F1 blending itself reaches one cell through the k/omega gradients
@@ -481,18 +481,14 @@ def fused_transport_advance(u, v, w, k, om, nu_t, dt, *, geom, math_fn,
     nu_t, so ng=1 suffices there."""
     assert geom.axes[0].periodic, \
         "the fake-periodic slab tiling requires a periodic x axis"
-    y_wall_b = jnp.asarray(jnp.broadcast_to(
-        y_wall, (1,) + k.shape[1:]), k.dtype)
-    n_out = 4 if need_nu else 2
+    consts_b = [jnp.asarray(jnp.broadcast_to(a, (1,) + k.shape[1:]),
+                            k.dtype) for a in consts]
     shapes = [jax.ShapeDtypeStruct(k.shape, k.dtype)] * n_out
-    out = _slab_call(
+    return _slab_call(
         _transport_advance_kernel, geom, [u, v, w, k, om, nu_t], [],
         shapes, bx, ng, interpret, dt=dt, fat=True, heavy=True,
-        kernel_kwargs=dict(math_fn=math_fn, need_nu=need_nu),
-        consts=[y_wall_b])
-    if need_nu:
-        return out
-    return out[0], out[1], None, None
+        kernel_kwargs=dict(math_fn=math_fn, n_consts=len(consts_b)),
+        consts=consts_b)
 
 
 def _divergence_kernel(*refs, slab_geom, ng):

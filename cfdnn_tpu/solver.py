@@ -863,9 +863,10 @@ class Simulation:
                    with_diags: bool = True) -> Tuple[State, StepDiagnostics]:
         cfg, geom = self.cfg, self.geom
         comps = (state.u, state.v, state.w)
-        # turbulence advance + update (reference solver.cpp:1251-1324)
-        state = self.turb.advance(state, self, state.dt_prev)
-        nu_t = self.turb.nu_t(state, self)
+        # turbulence advance + update (reference solver.cpp:1251-1324);
+        # models may fuse the two into one Pallas pass (SSTTransport)
+        state, nu_t = self.turb.advance_and_nu_t(state, self,
+                                                 state.dt_prev)
         if cfg.adaptive_dt:
             dt = self._adaptive_dt(comps, nu_t)
         else:

@@ -26,6 +26,9 @@ class NoModel:
     def nu_t(self, state, sim):
         return None
 
+    def advance_and_nu_t(self, state, sim, dt):
+        return state, None
+
     def reynolds_stresses(self, state, sim):
         return None
 

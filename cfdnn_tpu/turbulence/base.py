@@ -52,6 +52,14 @@ class TurbulenceModelBase:
     def nu_t(self, state, sim) -> Optional[Array]:
         raise NotImplementedError
 
+    def advance_and_nu_t(self, state, sim, dt):
+        """(advanced state, nu_t) — the per-step turbulence sequence
+        (reference solver.cpp:1251-1324 advance_turbulence + update).
+        Models may override to fuse the two (SSTTransport emits nu_t
+        from the same Pallas pass as the transport advance)."""
+        state = self.advance(state, sim, dt)
+        return state, self.nu_t(state, sim)
+
     def reynolds_stresses(self, state, sim):
         return None
 

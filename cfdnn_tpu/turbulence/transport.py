@@ -82,21 +82,21 @@ def _neighbors(f, axis, ax, wall_value):
     reshard collective-permutes per stencil application (measured 4.3
     MB/device/step of ICI for the SST transport alone at 64^3/8 shards),
     while jnp.roll lowers to one-plane neighbor permutes."""
-    f_m = jnp.roll(f, 1, axis)
-    f_p = jnp.roll(f, -1, axis)
-    if ax.bc != BCType.PERIODIC:
-        in_lo, in_hi = sl(f, axis, 0, 1), sl(f, axis, -1, None)
-        if ax.bc == BCType.WALL and wall_value is not None:
-            g_lo = 2.0 * wall_value - in_lo
-            g_hi = 2.0 * wall_value - in_hi
-        else:  # inflow/outflow or natural: zero-gradient
-            g_lo, g_hi = in_lo, in_hi
-        idx_lo = [slice(None)] * f.ndim
-        idx_lo[axis] = slice(0, 1)
-        idx_hi = [slice(None)] * f.ndim
-        idx_hi[axis] = slice(-1, None)
-        f_m = f_m.at[tuple(idx_lo)].set(g_lo)
-        f_p = f_p.at[tuple(idx_hi)].set(g_hi)
+    if ax.bc == BCType.PERIODIC:
+        return jnp.roll(f, 1, axis), jnp.roll(f, -1, axis)
+    in_lo, in_hi = sl(f, axis, 0, 1), sl(f, axis, -1, None)
+    if ax.bc == BCType.WALL and wall_value is not None:
+        g_lo = 2.0 * wall_value - in_lo
+        g_hi = 2.0 * wall_value - in_hi
+    else:  # inflow/outflow or natural: zero-gradient
+        g_lo, g_hi = in_lo, in_hi
+    # concat-built shifts (not roll + .at[].set: the slice-set lowers to
+    # `scatter`, which Mosaic lacks — this code runs inside the fused
+    # Pallas transport kernel)
+    g_lo = jnp.broadcast_to(g_lo, in_lo.shape)
+    g_hi = jnp.broadcast_to(g_hi, in_hi.shape)
+    f_m = jnp.concatenate([g_lo, sl(f, axis, 0, -1)], axis)
+    f_p = jnp.concatenate([sl(f, axis, 1, None), g_hi], axis)
     return f_m, f_p
 
 
@@ -162,7 +162,7 @@ def _diffusion(f, geom, nu_eff, wall_value, skip_y=False):
 
 
 def sst_advance_math(comps, k, om, nu_t, geom, nu, c, y_wall, om_wall,
-                     dt, skip_y=False):
+                     dt, skip_y=False, return_sr=False):
     """Pure SST k/omega point-implicit update (everything in advance()
     before the optional IMEX y-solves and the clip/pin epilogue).
 
@@ -215,15 +215,51 @@ def sst_advance_math(comps, k, om, nu_t, geom, nu, c, y_wall, om_wall,
     src_om = alpha * (om / k) * P_k + diff_om - adv_om + CD
     k_new = (k + dt * src_k) / (1.0 + dt * c.beta_star * om)
     om_new = (om + dt * src_om) / (1.0 + dt * beta * om)
+    if return_sr:
+        return k_new, om_new, nu_k, nu_om, sr
     return k_new, om_new, nu_k, nu_om
 
 
-def _sst_math_kernel_form(comps, k, om, nu_t, geom, y_wall, dt, *,
+def sst_nut_math(k, om, S_mag, y_wall, nu, c):
+    """SST strain-limited eddy viscosity (reference :244-305) — shared
+    between SSTTransport.nu_t and the fused advance+nu_t kernel."""
+    k = jnp.maximum(k, c.k_min)
+    om = jnp.maximum(om, c.omega_min)
+    y = jnp.maximum(y_wall, 1e-10)
+    arg2 = jnp.maximum(2.0 * jnp.sqrt(k) / (c.beta_star * om * y),
+                       500.0 * nu / (y * y * om))
+    F2 = safe_tanh(arg2**2)
+    nut = c.a1 * k / jnp.maximum(c.a1 * om, S_mag * F2)
+    return jnp.clip(nut, 0.0, 1000.0 * nu)
+
+
+def _sst_math_kernel_form(comps, k, om, nu_t, geom, consts, dt, *,
                           nu, c, om_wall, skip_y):
     """sst_advance_math in the fused-kernel calling convention
     (ops/pallas_kernels._transport_advance_kernel math_fn)."""
-    return sst_advance_math(comps, k, om, nu_t, geom, nu, c, y_wall,
-                            om_wall, dt, skip_y=skip_y)
+    out = sst_advance_math(comps, k, om, nu_t, geom, nu, c, consts[0],
+                           om_wall, dt, skip_y=skip_y)
+    return out[0], out[1]
+
+
+def _sst_math_with_nut_kernel_form(comps, k, om, nu_t, geom, consts, dt,
+                                   *, nu, c, om_wall, has_wall):
+    """Fused advance + closure: emits nu_t as a third output, reusing
+    the in-kernel strain tensor and replicating the clip/pin epilogue
+    on the k/omega the closure sees (the outside epilogue is
+    idempotent on the returned raw k_new/om_new)."""
+    y_wall = consts[0]
+    k_new, om_new, _, _, sr = sst_advance_math(
+        comps, k, om, nu_t, geom, nu, c, y_wall, om_wall, dt,
+        skip_y=False, return_sr=True)
+    k_c = jnp.clip(k_new, c.k_min, c.k_max)
+    om_c = jnp.clip(om_new, c.omega_min, c.omega_max)
+    if has_wall:
+        pin_f, om_visc = consts[1], consts[2]
+        om_c = jnp.where(pin_f > 0.5,
+                         jnp.broadcast_to(om_visc, om_c.shape), om_c)
+    nut = sst_nut_math(k_c, om_c, sr.S_mag, y_wall, nu, c)
+    return k_new, om_new, nut
 
 
 def komega_advance_math(comps, k, om, nu_t, geom, nu, c, y_wall, om_wall,
@@ -260,10 +296,11 @@ def komega_advance_math(comps, k, om, nu_t, geom, nu, c, y_wall, om_wall,
     return k_new, om_new, nu_k, nu_om
 
 
-def _komega_math_kernel_form(comps, k, om, nu_t, geom, y_wall, dt, *,
+def _komega_math_kernel_form(comps, k, om, nu_t, geom, consts, dt, *,
                              nu, c, om_wall, skip_y):
-    return komega_advance_math(comps, k, om, nu_t, geom, nu, c, y_wall,
-                               om_wall, dt, skip_y=skip_y)
+    out = komega_advance_math(comps, k, om, nu_t, geom, nu, c, consts[0],
+                              om_wall, dt, skip_y=skip_y)
+    return out[0], out[1]
 
 
 class SSTTransport(TurbulenceModelBase):
@@ -354,18 +391,22 @@ class SSTTransport(TurbulenceModelBase):
 
         imex = bool(getattr(sim.cfg, "implicit_y_diffusion", False)) \
             and self.has_y_wall
-        fuse = self._fuse_mode(sim)
+        # the pallas gate excludes implicit_y_diffusion entirely, so a
+        # fused advance never coexists with the IMEX solves — but guard
+        # anyway (the IMEX path needs nu_k/nu_om from the math)
+        fuse = (not imex) and self._fuse_mode(sim)
         if fuse:
             import functools
 
             from ..ops.pallas_kernels import fused_transport_advance
             math_fn = functools.partial(
                 _sst_math_kernel_form, nu=self.nu, c=c, om_wall=om_wall,
-                skip_y=imex)
-            k_new, om_new, nu_k, nu_om = fused_transport_advance(
+                skip_y=False)
+            k_new, om_new = fused_transport_advance(
                 state.u, state.v, state.w, state.k, state.omega, nu_t,
-                dt, geom=geom, math_fn=math_fn, y_wall=self.y_wall,
-                ng=2, need_nu=imex, interpret=fuse == "interpret")
+                dt, geom=geom, math_fn=math_fn, consts=[self.y_wall],
+                n_out=2, ng=2, interpret=fuse == "interpret")
+            nu_k = nu_om = None
         else:
             k_new, om_new, nu_k, nu_om = sst_advance_math(
                 comps, state.k, state.omega, nu_t, geom, self.nu, c,
@@ -387,16 +428,55 @@ class SSTTransport(TurbulenceModelBase):
     # -- closure: nu_t = a1 k / max(a1 om, S F2) (reference :244-305) -----
 
     def nu_t(self, state, sim):
-        c = self.c
-        k = jnp.maximum(state.k, c.k_min)
-        om = jnp.maximum(state.omega, c.omega_min)
-        y = jnp.maximum(self.y_wall, 1e-10)
         sr = strain_rotation((state.u, state.v, state.w), sim.geom)
-        arg2 = jnp.maximum(2.0 * jnp.sqrt(k) / (c.beta_star * om * y),
-                           500.0 * self.nu / (y * y * om))
-        F2 = safe_tanh(arg2**2)
-        nut = c.a1 * k / jnp.maximum(c.a1 * om, sr.S_mag * F2)
-        return jnp.clip(nut, 0.0, 1000.0 * self.nu)
+        return sst_nut_math(state.k, state.omega, sr.S_mag, self.y_wall,
+                            self.nu, self.c)
+
+    def advance_and_nu_t(self, state, sim, dt):
+        """Fused advance + closure: the Pallas transport kernel emits
+        nu_t as a third output, reusing the in-kernel strain tensor —
+        the separate nu_t() pass recomputed all nine velocity gradients
+        every step. Only when this model's nu_t IS the SST closure (the
+        EARSM subclasses override nu_t with anisotropy-based closures,
+        which must keep the two-pass form)."""
+        c = self.c
+        imex = bool(getattr(sim.cfg, "implicit_y_diffusion", False)) \
+            and self.has_y_wall
+        fuse = (not imex) and self._fuse_mode(sim) \
+            and type(self).nu_t is SSTTransport.nu_t
+        if not fuse:
+            state = self.advance(state, sim, dt)
+            return state, self.nu_t(state, sim)
+
+        import functools
+
+        from ..ops.pallas_kernels import fused_transport_advance
+        nu_t_in = state.nu_t if state.nu_t is not None \
+            else jnp.zeros_like(state.k)
+        om_wall = None
+        if self.has_wall:
+            y1 = float(np.min(np.asarray(self.y_wall)))
+            om_wall = min(10.0 * 6.0 * self.nu / (c.beta1 * y1 * y1),
+                          c.omega_max)
+        consts = [self.y_wall]
+        if self.has_wall:
+            consts += [self.om_pin_mask.astype(state.k.dtype),
+                       self.om_visc]
+        math_fn = functools.partial(
+            _sst_math_with_nut_kernel_form, nu=self.nu, c=c,
+            om_wall=om_wall, has_wall=self.has_wall)
+        k_new, om_new, nut = fused_transport_advance(
+            state.u, state.v, state.w, state.k, state.omega, nu_t_in,
+            dt, geom=sim.geom, math_fn=math_fn, consts=consts,
+            n_out=3, ng=2, interpret=self._fuse_mode(sim) == "interpret")
+        k_new = jnp.clip(k_new, c.k_min, c.k_max)
+        om_new = jnp.clip(om_new, c.omega_min, c.omega_max)
+        if self.has_wall:
+            om_new = jnp.where(self.om_pin_mask,
+                               jnp.broadcast_to(self.om_visc,
+                                                om_new.shape),
+                               om_new)
+        return state.replace(k=k_new, omega=om_new), nut
 
 
 class KOmegaTransport(TurbulenceModelBase):
@@ -436,20 +516,21 @@ class KOmegaTransport(TurbulenceModelBase):
 
         imex = bool(getattr(sim.cfg, "implicit_y_diffusion", False)) \
             and self.has_y_wall
-        fuse = self._fuse_mode(sim)
+        fuse = (not imex) and self._fuse_mode(sim)
         if fuse:
             import functools
 
             from ..ops.pallas_kernels import fused_transport_advance
             math_fn = functools.partial(
                 _komega_math_kernel_form, nu=self.nu, c=c,
-                om_wall=om_wall, skip_y=imex)
+                om_wall=om_wall, skip_y=False)
             # ng=1: Wilcox diffusivities depend only on the INPUT nu_t
             # (no F1 chain), so the compound x-reach stays 1
-            k_new, om_new, nu_k, nu_om = fused_transport_advance(
+            k_new, om_new = fused_transport_advance(
                 state.u, state.v, state.w, state.k, state.omega, nu_t,
-                dt, geom=geom, math_fn=math_fn, y_wall=self.y_wall,
-                ng=1, need_nu=imex, interpret=fuse == "interpret")
+                dt, geom=geom, math_fn=math_fn, consts=[self.y_wall],
+                n_out=2, ng=1, interpret=fuse == "interpret")
+            nu_k = nu_om = None
         else:
             k_new, om_new, nu_k, nu_om = komega_advance_math(
                 comps, state.k, state.omega, nu_t, geom, self.nu, c,

@@ -742,20 +742,34 @@ def test_fused_transport_advance_matches_math(model):
     else:
         c, math, form, ng = (KOmegaConstants(), komega_advance_math,
                              tr._komega_math_kernel_form, 1)
-    for skip_y, need_nu in ((False, False), (True, True)):
-        ref = math((u, v, w), k, om, nut, geom, cfg.nu, c,
-                   y_wall, om_wall, dt, skip_y=skip_y)
-        math_fn = functools.partial(form, nu=cfg.nu, c=c,
-                                    om_wall=om_wall, skip_y=skip_y)
-        got = fused_transport_advance(u, v, w, k, om, nut, dt, geom=geom,
-                                      math_fn=math_fn, y_wall=y_wall,
-                                      ng=ng, need_nu=need_nu,
-                                      interpret=True)
-        n = 4 if need_nu else 2
-        for i in range(n):
-            np.testing.assert_allclose(
-                np.asarray(got[i]), np.asarray(ref[i]), rtol=1e-12,
-                atol=1e-13, err_msg=f"output {i} skip_y={skip_y}")
+    ref = math((u, v, w), k, om, nut, geom, cfg.nu, c,
+               y_wall, om_wall, dt)
+    math_fn = functools.partial(form, nu=cfg.nu, c=c,
+                                om_wall=om_wall, skip_y=False)
+    got = fused_transport_advance(u, v, w, k, om, nut, dt, geom=geom,
+                                  math_fn=math_fn, consts=[y_wall],
+                                  n_out=2, ng=ng, interpret=True)
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(got[i]), np.asarray(ref[i]), rtol=1e-12,
+            atol=1e-13, err_msg=f"output {i}")
+    if model == "sst":
+        # fused advance+closure: the 3rd output must equal the two-pass
+        # nu_t evaluated on the clipped/pinned k/omega
+        from cfdnn_tpu.turbulence.base import strain_rotation
+        math_fn3 = functools.partial(
+            tr._sst_math_with_nut_kernel_form, nu=cfg.nu, c=c,
+            om_wall=om_wall, has_wall=False)
+        got3 = fused_transport_advance(u, v, w, k, om, nut, dt,
+                                       geom=geom, math_fn=math_fn3,
+                                       consts=[y_wall], n_out=3, ng=2,
+                                       interpret=True)
+        k_c = jnp.clip(ref[0], c.k_min, c.k_max)
+        om_c = jnp.clip(ref[1], c.omega_min, c.omega_max)
+        sr = strain_rotation((u, v, w), geom)
+        want = tr.sst_nut_math(k_c, om_c, sr.S_mag, y_wall, cfg.nu, c)
+        np.testing.assert_allclose(np.asarray(got3[2]), np.asarray(want),
+                                   rtol=1e-12, atol=1e-14)
 
 
 def test_sst_trajectory_fused_matches_jnp():
