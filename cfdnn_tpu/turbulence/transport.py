@@ -357,23 +357,22 @@ class SSTTransport(TurbulenceModelBase):
         """'compiled' | 'interpret' | False — whether advance() runs as
         the fused Pallas slab kernel (single-device slab mode only; the
         sharded transport keeps the roll-based GSPMD form, see
-        _neighbors' docstring)."""
-        if not hasattr(self, "_fuse"):
+        _neighbors' docstring). Re-checked every call against
+        sim._pallas_predictor_ok — ml/adjoint.rollout toggles it False
+        inside jax.grad regions (pallas_call has no VJP rule), and a
+        cached mode would put the kernel inside the backward trace."""
+        if sim._pallas_predictor_ok != "slab":
+            return False
+        if not hasattr(self, "_fuse_platform"):
             import jax
-            ok = sim._pallas_predictor_ok == "slab"
-            if not ok:
-                self._fuse = False
-            else:
-                try:
-                    on_cpu = jax.devices()[0].platform == "cpu"
-                except Exception:
-                    on_cpu = True
-                if on_cpu:
-                    self._fuse = ("interpret"
-                                  if sim.cfg.use_pallas == "on" else False)
-                else:
-                    self._fuse = "compiled"
-        return self._fuse
+            try:
+                on_cpu = jax.devices()[0].platform == "cpu"
+            except Exception:
+                on_cpu = True
+            self._fuse_platform = "cpu" if on_cpu else "acc"
+        if self._fuse_platform == "cpu":
+            return "interpret" if sim.cfg.use_pallas == "on" else False
+        return "compiled"
 
     def advance(self, state, sim, dt):
         c, geom = self.c, sim.geom
