@@ -127,15 +127,27 @@ def bench_production_scale(budget_s, t0):
         ("tgv512_physics", 480,
          lambda: _tgv_row(512, 60, "tgv512_physics", benchmark=False)),
     ]
+    import gc
     skipped = []
     for name, est, thunk in plan:
         if time.time() - t0 + est > budget_s:
             skipped.append(name)
             continue
-        try:
-            thunk()
-        except Exception as e:     # never lose already-measured rows
-            rows[f"{name}_error"] = str(e)[:200]
+        # drop the previous row's live buffers/executables before a
+        # 512^3 allocation (observed: a warm-cache run accumulated
+        # enough HBM across rows to RESOURCE_EXHAUSTED the 512^3 legs
+        # that a cold run — evicting as it compiled — completed fine)
+        gc.collect()
+        for attempt in (0, 1):
+            try:
+                thunk()
+                rows.pop(f"{name}_error", None)
+                break
+            except Exception as e:  # never lose already-measured rows
+                rows[f"{name}_error"] = str(e)[:200]
+                if "RESOURCE_EXHAUSTED" not in str(e) or attempt:
+                    break
+                gc.collect()
     if skipped:
         rows["production_skipped"] = skipped
     return rows
