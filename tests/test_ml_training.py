@@ -445,3 +445,48 @@ def test_dns_preset_runs_channel(record_qoi):
     record_qoi("mlp_dns_preset_nut_peak_plus", peak_plus)
     # DNS-label peak nu_t/nu ~ 12.9 (data/dns/channel_retau180.npz)
     assert 4.0 < peak_plus < 40.0, peak_plus
+
+
+def test_tbnn_dns_preset_runs_channel(record_qoi):
+    """The tbnn_channel_dns180 preset — TBNN anisotropy labels from this
+    solver's Re_tau=180 DNS Reynolds stresses (the reference's
+    tbnn_*_caseholdout McConkey provenance class;
+    scripts/distill_dns_channel.py --tbnn, labels projected onto the
+    span of the 2-D Pope basis — see build_tbnn_dataset) — must load,
+    run the channel stably, and hold a bounded eddy viscosity. Full
+    steady closed-loop gate (Re_tau 183.6, relL2 0.152) runs in the
+    training script."""
+    import json
+    import os
+
+    import jax.numpy as jnp
+
+    from cfdnn_tpu import Config, Simulation, init_poiseuille
+    from cfdnn_tpu.config import TurbulenceModel
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    preset = os.path.join(root, "data", "models", "tbnn_channel_dns180")
+    meta = json.load(open(os.path.join(preset, "metadata.json")))
+    assert meta["training"]["provenance"] == "dns"
+    assert meta["training"]["holdout_r2"] > 0.85
+    assert meta["training"]["closed_loop"]["mean_profile_relL2"] < 0.35
+
+    delta = 1.0
+    cfg = Config(Nx=4, Ny=96, Nz=1,
+                 y_min=-delta, y_max=delta,
+                 stretch_y=True, stretch_beta=1.8,
+                 nu=1.0 / 180.0, nu_specified=True,
+                 dp_dx=-1.0, dp_dx_specified=True,
+                 dt=1e-3, adaptive_dt=True, CFL_max=0.5,
+                 dtype="float64", turb_model=TurbulenceModel.NN_TBNN,
+                 nn_weights_path=preset)
+    sim = Simulation(cfg)
+    state = sim.initialize(init_poiseuille(cfg, sim.mesh, fraction=0.05))
+    for _ in range(10):
+        state, d = sim.run(state, 200)
+        assert np.isfinite(float(d.ke))
+    nut = sim.turb.nu_t(state, sim)
+    peak_plus = float(jnp.max(nut)) * 180.0
+    record_qoi("tbnn_dns_preset_nut_peak_plus", peak_plus)
+    # the TBNN nu_t extraction caps at 10 nu (reference parity)
+    assert 0.5 < peak_plus <= 10.0 + 1e-6, peak_plus
