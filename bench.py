@@ -26,6 +26,10 @@ import numpy as np
 
 BASELINE_TGV_MCELLS = 1267.0      # H200, 128^3 periodic, FFT Poisson
 BASELINE_CHANNEL_MCELLS = 452.0   # H200, 128^3 channel, MG + CUDA graph
+# reference LES rows (RTX 6000, docs/SOLVER_GUIDE.md:536-549) — round-4
+# verdict #3: these were extrapolations from 64^3 until driver-captured
+BASELINE_LES_CHANNEL_MCELLS = 47.1   # 128x64x128 Smagorinsky channel, MG
+BASELINE_LES_IBM_MCELLS = 58.6       # 256x128x256 LES+IBM cylinder
 
 
 def _time_steps(sim, state, steps=1000, reps=3):
@@ -84,6 +88,46 @@ def bench_channel(n=128, steps=1000):
     return s, n**3, float(d.div_linf)
 
 
+def bench_les_channel(steps=400):
+    """Stretched-wall LES channel, the reference's 128x64x128
+    Smagorinsky row (22.28 ms/step = 47.1 Mcells/s on RTX 6000,
+    docs/SOLVER_GUIDE.md:536-541)."""
+    from cfdnn_tpu import Config, Simulation, perturbed_channel
+    from cfdnn_tpu.config import TurbulenceModel
+
+    cfg = Config(
+        Nx=128, Ny=64, Nz=128, stretch_y=True,
+        nu=1e-4, nu_specified=True, dp_dx=-1e-3, dp_dx_specified=True,
+        dt=2e-4, adaptive_dt=False, benchmark=True, dtype="float32",
+        turb_model=TurbulenceModel.SMAGORINSKY,
+    )
+    sim = Simulation(cfg)
+    s, d = _time_steps(sim, perturbed_channel(cfg, sim.mesh, amp=0.05),
+                       steps=steps)
+    return s, cfg.Nx * cfg.Ny * cfg.Nz, float(d.div_linf)
+
+
+def bench_les_ibm(steps=150):
+    """LES + IBM cylinder at the reference's production scale
+    256x128x256 = 8.4M cells (143.06 ms/step = 58.6 Mcells/s on RTX
+    6000, docs/SOLVER_GUIDE.md:544-549; its bench_les_ibm_gpu.cpp)."""
+    from cfdnn_tpu import Config, Simulation, perturbed_channel
+    from cfdnn_tpu.config import TurbulenceModel
+    from cfdnn_tpu.ibm import CylinderBody
+
+    cfg = Config(
+        Nx=256, Ny=128, Nz=256, x_max=4.0, z_max=2.0,
+        nu=1e-4, nu_specified=True, dp_dx=-1e-3, dp_dx_specified=True,
+        dt=2e-4, adaptive_dt=False, benchmark=True, dtype="float32",
+        turb_model=TurbulenceModel.SMAGORINSKY,
+    )
+    sim = Simulation(cfg)
+    sim.set_ibm_forcing(CylinderBody(1.0, 0.0, 0.25))
+    s, d = _time_steps(sim, perturbed_channel(cfg, sim.mesh, amp=0.05),
+                       steps=steps)
+    return s, cfg.Nx * cfg.Ny * cfg.Nz, float(d.div_linf)
+
+
 def bench_production_scale(budget_s, t0):
     """256^3/512^3 rows (round-2 verdict: production scale was invisible
     to the regression net — per-cell rate drops with N because the modal
@@ -118,10 +162,26 @@ def bench_production_scale(budget_s, t0):
         rows[f"{prefix}_mcells_per_s"] = cells / s / 1e6
         rows[f"{prefix}_div_linf_f32"] = div
 
+    def _les_row(fn, prefix, baseline):
+        s, cells, div = fn()
+        rows[f"{prefix}_ms_per_step"] = s * 1e3
+        rows[f"{prefix}_mcells_per_s"] = cells / s / 1e6
+        rows[f"{prefix}_div_linf_f32"] = div
+        rows[f"{prefix}_vs_baseline"] = (
+            rows[f"{prefix}_mcells_per_s"] / baseline)
+
     # (name, cold-cost estimate in s, thunk) — estimates include the
     # worst-case Mosaic compile (~5 min at 512^3, cached afterwards).
+    # The LES rows run FIRST after tgv256: they are the round-5 asks
+    # (driver-captured LES / LES+IBM production numbers).
     plan = [
         ("tgv256", 180, lambda: _tgv_row(256, 150, "tgv256")),
+        ("les_channel", 150,
+         lambda: _les_row(bench_les_channel, "les_channel",
+                          BASELINE_LES_CHANNEL_MCELLS)),
+        ("les_ibm256", 300,
+         lambda: _les_row(bench_les_ibm, "les_ibm256",
+                          BASELINE_LES_IBM_MCELLS)),
         ("tgv512", 480, lambda: _tgv_row(512, 100, "tgv512")),
         ("channel512", 480, lambda: _channel_row(512, 100, "channel512")),
         ("tgv512_physics", 480,
@@ -162,9 +222,24 @@ def refresh_perf_baseline():
     any regression was baked into the next baseline — so it is now
     opt-in only and delegates to `perf_sentinel.py --update`, which
     refuses to worsen a row beyond its CASE_FACTOR without a
-    --rationale."""
+    --rationale.
+
+    The CPU baseline (perf_cpu.json) is CURATED for the CI host: the
+    ratchet only blocks regressions, so a faster dev CPU would silently
+    tighten it until the slower CI host breaches the 1.7x gate
+    (calibration_ms normalization does not fully cancel cross-host
+    microarchitecture differences). Refuse cpu-key updates here; use
+    perf_sentinel.py --update --rationale directly on the CI host."""
     import subprocess
     import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from perf_sentinel import device_key
+    if device_key() == "cpu":
+        print("refusing --update-baseline for the curated CPU CI-host "
+              "baseline (perf_cpu.json); run scripts/perf_sentinel.py "
+              "--update --rationale '<why>' on the CI host itself")
+        return 1
     r = subprocess.run(
         [sys.executable,
          os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -185,6 +260,11 @@ def warm_compile_cache():
                 dict(Nx=512, Ny=512, Nz=512, benchmark=False),
                 dict(Nx=128, Ny=128, Nz=128, channel=True),
                 dict(Nx=512, Ny=512, Nz=512, channel=True)]
+    for fn, tag in ((bench_les_channel, "les_channel"),
+                    (bench_les_ibm, "les_ibm256")):
+        t0 = time.time()
+        fn(steps=1)
+        print(f"warmed {tag}: {time.time() - t0:.1f}s")
     for sizes in manifest:
         sizes = dict(sizes)
         channel = sizes.pop("channel", False)

@@ -422,6 +422,85 @@ def fused_nu_sgs(u, v, w, *, geom, model_fn, bx=4, interpret=False):
         bx, 1, interpret, fat=True, kernel_kwargs=dict(model_fn=model_fn))
 
 
+def _germano_pass1_kernel(*refs, slab_geom, ng, z_crop=0):
+    """Dynamic-Smagorinsky Germano pass 1 on x-extended slabs: strain,
+    test-filtered LM/MM products, and their (x,z) plane PARTIAL sums
+    accumulated across the sequential grid (reference fused GPU pass,
+    src/turbulence_les_dynamic_germano.cpp:102 dsmag_pass1_germano —
+    round-4 verdict #4: this was the campaign outlier, a two-pass jnp
+    chain while every other closure got a fused kernel).
+
+    ng=2: the box filter reaches 1 cell and its cell-center velocity
+    operand another staggered face. `z_crop` masks that many z planes
+    off each end of the plane sums (the sharded wrapper's fake-periodic
+    z extension; 0 on a real z axis). Outputs: |S| (blocked) + LM/MM
+    y-profiles (1, Ny, 1) accumulated via the constant-index revisit."""
+    n_geom = 3 * len(_AXIS_ARRAY_FIELDS)
+    geom_refs = refs[:n_geom]
+    ul, uc, ur, vl, vc, vr, wl, wc, wr, smag_o, lm_o, mm_o = refs[n_geom:]
+    geom_live = _rebuild_geom(slab_geom, [r[:] for r in geom_refs])
+
+    def ext(l, c, r):
+        return jnp.concatenate([l[-ng:], c[:], r[:ng]], axis=0)
+
+    from ..turbulence.base import (cell_center_velocity, filter_width,
+                                   strain_rotation)
+    from ..turbulence.les import _box_filter_batch
+    comps = (ext(ul, uc, ur), ext(vl, vc, vr), ext(wl, wc, wr))
+    sr = strain_rotation(comps, geom_live)
+    ucc = cell_center_velocity(comps, geom_live)
+    delta = filter_width(geom_live)
+    fac = 3.0 * delta * delta * sr.S_mag
+    pairs = [(i, j) for i in range(3) for j in range(i, 3)]
+    filtered = _box_filter_batch(
+        list(ucc) + [ucc[i] * ucc[j] for i, j in pairs], geom_live)
+    ubar = filtered[:3]
+    uubar = dict(zip(pairs, filtered[3:]))
+    LM = jnp.zeros_like(sr.S_mag)
+    MM = jnp.zeros_like(sr.S_mag)
+    for i, j in pairs:
+        wgt = 1.0 if i == j else 2.0
+        Lij = uubar[(i, j)] - ubar[i] * ubar[j]
+        Mij = fac * sr.S[i][j]
+        LM = LM + wgt * Lij * Mij
+        MM = MM + wgt * Mij * Mij
+    smag_o[:] = sr.S_mag[ng:-ng]
+    LMi, MMi = LM[ng:-ng], MM[ng:-ng]
+    if z_crop:
+        LMi = LMi[:, :, z_crop:-z_crop]
+        MMi = MMi[:, :, z_crop:-z_crop]
+    lm_p = jnp.sum(LMi, axis=(0, 2), keepdims=True)
+    mm_p = jnp.sum(MMi, axis=(0, 2), keepdims=True)
+    i0 = pl.program_id(0)
+
+    @pl.when(i0 == 0)
+    def _zero():
+        lm_o[:] = jnp.zeros_like(lm_o)
+        mm_o[:] = jnp.zeros_like(mm_o)
+
+    lm_o[:] += lm_p
+    mm_o[:] += mm_p
+
+
+def fused_germano_pass1(u, v, w, *, geom, bx=4, z_crop=0,
+                        interpret=False):
+    """Germano identity pass 1 as ONE fused x-slab Pallas pass:
+    -> (|S| field, LM y-profile (1,Ny,1), MM y-profile) with the plane
+    sums accumulated in-kernel (no LM/MM field materialization). The
+    caller finishes with cs2 = clip(<LM>/<MM>) and
+    nu_sgs = cs2 delta^2 |S| — a trivial elementwise epilogue XLA fuses
+    into the consumer. Requires periodic uniform x."""
+    assert geom.axes[0].periodic, \
+        "the fake-periodic slab tiling requires a periodic x axis"
+    ny, nz = geom.axes[1].n, geom.axes[2].n
+    shapes = [jax.ShapeDtypeStruct((u.shape[0], ny, nz), u.dtype)]
+    accum = [jax.ShapeDtypeStruct((1, ny, 1), u.dtype)] * 2
+    return _slab_call(
+        _germano_pass1_kernel, geom, [u, v, w], [], shapes, bx, 2,
+        interpret, fat=True, heavy=True,
+        kernel_kwargs=dict(z_crop=z_crop), accum_shapes=accum)
+
+
 def _transport_advance_kernel(dt_ref, *refs, slab_geom, math_fn,
                               n_consts, ng=2):
     """k/omega point-implicit update on an x-extended slab via the
@@ -537,12 +616,18 @@ def _fat_kernel_params(ny, nz, bx):
 
 def _slab_call(kernel, geom, fields_tripled, fields_plain, out_shapes,
                bx, ng, interpret, dt=None, fat=False, heavy=False,
-               kernel_kwargs=None, consts=None):
+               kernel_kwargs=None, consts=None, accum_shapes=None):
     """Shared pallas_call assembly for ALL the slab-stencil kernels
     (predictor, divergence, correct, nu_sgs): slab sizing + guards, thin
     vs full halo-block specs, geometry threading, tripled operands, SMEM
     dt, out specs. One definition so sizing/guard fixes cannot land in
-    one kernel's copy but not another's."""
+    one kernel's copy but not another's.
+
+    `accum_shapes`: extra outputs with a CONSTANT block index map (the
+    whole array revisited by every grid step) — the TPU grid is
+    sequential, so the kernel can zero them at program_id 0 and
+    accumulate partial reductions across x-slabs (the Germano plane
+    sums). Requires out_shapes to be a list."""
     ref0 = fields_tripled[0] if fields_tripled else fields_plain[0]
     Nx = ref0.shape[0]
     bx = _auto_bx_thin(bx, Nx, geom.axes[1].n, geom.axes[2].n, ng,
@@ -589,6 +674,12 @@ def _slab_call(kernel, geom, fields_tripled, fields_plain, out_shapes,
     shapes = out_shapes if isinstance(out_shapes, list) else [out_shapes]
     out_specs = [pl.BlockSpec((bx,) + s.shape[1:], lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM) for s in shapes]
+    if accum_shapes:
+        assert isinstance(out_shapes, list)
+        out_specs += [pl.BlockSpec(s.shape, lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+                      for s in accum_shapes]
+        out_shapes = out_shapes + list(accum_shapes)
     cp = (_fat_kernel_params(geom.axes[1].n, geom.axes[2].n, bx) if fat
           else _slab_compiler_params(geom.axes[1].n, geom.axes[2].n))
     out = pl.pallas_call(

@@ -83,13 +83,28 @@ def _shard_spec(axis_name: str):
     return P(None, None, axis_name)
 
 
-def _ext_setup(geom, mesh: Mesh, axis_name: str, ng: int | None = None):
+def _halo_ng(geom, scheme=None) -> int:
+    """Halo-ring width of the sharded fast path: the O4 stencil reach
+    (2) or the convective scheme's (upwind2's biased stencil reads 2
+    cells upstream — round-5: upwind momentum joined the SHARDED fused
+    paths; reference distributed upwind hot path, solver_kernels.hpp:
+    1863-2198 under the MPI z-slab of decomposition.hpp:28-105)."""
+    from ..ops.pallas_kernels import _scheme_ng
+    ng = 2 if geom.space_order >= 4 else 1
+    if scheme is not None:
+        ng = max(ng, _scheme_ng(scheme))
+    return ng
+
+
+def _ext_setup(geom, mesh: Mesh, axis_name: str, ng: int | None = None,
+               scheme=None):
     """Shared preamble of the sharded_fused_* wrappers: halo width from
-    the space order (unless pinned), the z-extended local geometry, and
-    the slab PartitionSpec. One definition so a halo-width fix can never
-    again land in some wrappers but not others (commit dd662bf)."""
+    the space order / convective scheme (unless pinned), the z-extended
+    local geometry, and the slab PartitionSpec. One definition so a
+    halo-width fix can never again land in some wrappers but not others
+    (commit dd662bf)."""
     if ng is None:
-        ng = 2 if geom.space_order >= 4 else 1
+        ng = _halo_ng(geom, scheme)
     nz_loc = geom.axes[2].n // mesh.shape[axis_name]
     return ng, extended_z_geometry(geom, nz_loc + 2 * ng), _shard_spec(axis_name)
 
@@ -101,7 +116,7 @@ def sharded_fused_predictor(u, v, w, dt, *, geom, mesh: Mesh,
                             lid_velocity: float = 0.0):
     """z-sharded fused momentum predictor: ppermute halos + slab kernel."""
     from ..ops.pallas_kernels import fused_predictor_general
-    ng, geom_ext, spec = _ext_setup(geom, mesh, axis_name)
+    ng, geom_ext, spec = _ext_setup(geom, mesh, axis_name, scheme=scheme)
     has_nut = nu_t is not None
     in_specs = (spec, spec, spec, P()) + ((spec,) if has_nut else ())
 
@@ -203,6 +218,90 @@ def sharded_fused_nu_sgs(u, v, w, *, geom, mesh: Mesh, axis_name: str,
     return run(u, v, w)
 
 
+def sharded_fused_germano(u, v, w, *, geom, mesh: Mesh, axis_name: str,
+                          interpret=False):
+    """z-sharded fused Germano pass 1: ppermute ng=2 halos, the slab
+    kernel with z_crop=ng (the fake-extension edge planes must not enter
+    the plane sums), and a psum of the LM/MM y-profiles — the
+    reference's MPI allreduce of plane sums
+    (src/turbulence_les_dynamic_*.cpp set_decomposition)."""
+    from ..ops.pallas_kernels import fused_germano_pass1
+    ng, geom_ext, spec = _ext_setup(geom, mesh, axis_name, ng=2)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(spec, spec, spec),
+                       out_specs=(spec, P(), P()), check_vma=False)
+    def run(u, v, w):
+        ue, ve, we = _batched_z_halos([u, v, w], axis_name, ng)
+        smag, lm, mm = fused_germano_pass1(ue, ve, we, geom=geom_ext,
+                                           z_crop=ng, interpret=interpret)
+        lm = jax.lax.psum(lm, axis_name)
+        mm = jax.lax.psum(mm, axis_name)
+        return smag[..., ng:-ng], lm, mm
+
+    return run(u, v, w)
+
+
+def sharded_fused_transport(u, v, w, k, om, nu_t, dt, *, geom, mesh: Mesh,
+                            axis_name: str, math_fn, consts, n_out: int,
+                            ng: int, interpret=False):
+    """z-sharded fused two-equation transport advance: ONE batched
+    ppermute pair for all six operand fields, then the unmodified
+    fused_transport_advance slab kernel on the z-extended local block
+    (round-5: the reference's fused SST transport runs in its
+    DISTRIBUTED hot path — src/turbulence_transport.cpp:605 +
+    turbulence_transport.hpp sst_transport_step_gpu under the MPI z-slab
+    of decomposition.hpp:28-105; round 4 left ours single-device-only).
+
+    `ng` is the model's compound stencil reach (2 for SST — diffusion
+    reads neighbor nu_eff whose F1 blending itself reaches one cell;
+    1 for Wilcox k-omega), applied to BOTH the in-kernel x tiling and
+    this z halo ring. `consts` are per-cell constant arrays that are
+    z-invariant under the periodic-z shard gate (wall distance, omega
+    pin mask, omega_visc — all (1, Ny, 1)-broadcastable), so they ride
+    replicated and broadcast inside the local block."""
+    from ..ops.pallas_kernels import fused_transport_advance
+    _, geom_ext, spec = _ext_setup(geom, mesh, axis_name, ng=ng)
+    n_c = len(consts)
+    in_specs = (spec,) * 6 + (P(),) * (1 + n_c)
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=(spec,) * n_out, check_vma=False)
+    def run(u, v, w, k, om, nt, dt, *cl):
+        ue, ve, we, ke, oe, ne = _batched_z_halos(
+            [u, v, w, k, om, nt], axis_name, ng)
+        outs = fused_transport_advance(
+            ue, ve, we, ke, oe, ne, dt, geom=geom_ext, math_fn=math_fn,
+            consts=list(cl), n_out=n_out, ng=ng, interpret=interpret)
+        return tuple(o[..., ng:-ng] for o in outs)
+
+    return run(u, v, w, k, om, nu_t, jnp.asarray(dt, k.dtype), *consts)
+
+
+def sharded_transport_eligible(geom, mesh_shape, ng: int) -> bool:
+    """Whether the fused transport advance can run under this device
+    mesh: even z (and x, for 2-D meshes) splits with at least 2*ng
+    planes per shard, and the doubly-extended local block within the
+    slab kernels' VMEM budget. Assumes the caller already passed the
+    momentum-path shard gate (periodic-uniform x and z)."""
+    from ..ops.pallas_kernels import slab_fits
+    shape = tuple(int(d) for d in mesh_shape)
+    if len(shape) == 2:
+        px, pz = shape
+    else:
+        px, pz = 1, shape[0]
+    x, z = geom.axes[0], geom.axes[2]
+    if x.n % px or z.n % pz:
+        return False
+    nx_loc, nz_loc = x.n // px, z.n // pz
+    if nz_loc < 2 * ng or (px > 1 and nx_loc < max(2 * ng, 8)):
+        return False
+    local = extended_z_geometry(geom, nz_loc + 2 * ng)
+    if px > 1:
+        local = extended_x_geometry(local, nx_loc + 2 * ng)
+    return slab_fits(local)
+
+
 # ---------------------------------------------------------------------------
 # 2-D (x, z) pencil mesh variants (round-2 verdict #3: the decomposition
 # that actually maps onto the ICI torus used to run the slower GSPMD
@@ -253,9 +352,9 @@ def _pad_axis_local(f, ng: int, dim: int):
 
 
 def _ext_setup_2d(geom, mesh: Mesh, x_axis: str, z_axis: str,
-                  ng: int | None = None):
+                  ng: int | None = None, scheme=None):
     if ng is None:
-        ng = 2 if geom.space_order >= 4 else 1
+        ng = _halo_ng(geom, scheme)
     nx_loc = geom.axes[0].n // mesh.shape[x_axis]
     nz_loc = geom.axes[2].n // mesh.shape[z_axis]
     g = extended_z_geometry(geom, nz_loc + 2 * ng)
@@ -282,7 +381,8 @@ def sharded_fused_predictor_2d(u, v, w, dt, *, geom, mesh: Mesh,
     """(x, z)-sharded fused momentum predictor."""
     from ..ops.pallas_kernels import (channel_slab_eligible,
                                       fused_predictor_general)
-    ng, geom_ext, spec = _ext_setup_2d(geom, mesh, x_axis, z_axis)
+    ng, geom_ext, spec = _ext_setup_2d(geom, mesh, x_axis, z_axis,
+                                       scheme=scheme)
     has_nut = nu_t is not None
     in_specs = (spec, spec, spec, P()) + ((spec,) if has_nut else ())
 
@@ -379,6 +479,32 @@ def sharded_fused_nu_sgs_2d(u, v, w, *, geom, mesh: Mesh, x_axis: str,
     return run(u, v, w)
 
 
+def sharded_fused_transport_2d(u, v, w, k, om, nu_t, dt, *, geom,
+                               mesh: Mesh, x_axis: str, z_axis: str,
+                               math_fn, consts, n_out: int, ng: int,
+                               interpret=False):
+    """(x, z)-sharded fused transport advance: the 2-D analogue of
+    sharded_fused_transport — z halos then x halos of the z-extended
+    blocks (4 ICI messages for the whole six-field batch), then the
+    unmodified slab kernel on the doubly-extended local block."""
+    from ..ops.pallas_kernels import fused_transport_advance
+    _, geom_ext, spec = _ext_setup_2d(geom, mesh, x_axis, z_axis, ng=ng)
+    n_c = len(consts)
+    in_specs = (spec,) * 6 + (P(),) * (1 + n_c)
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=(spec,) * n_out, check_vma=False)
+    def run(u, v, w, k, om, nt, dt, *cl):
+        ue, ve, we, ke, oe, ne = _exchange_2d(
+            [u, v, w, k, om, nt], x_axis, z_axis, ng)
+        outs = fused_transport_advance(
+            ue, ve, we, ke, oe, ne, dt, geom=geom_ext, math_fn=math_fn,
+            consts=list(cl), n_out=n_out, ng=ng, interpret=interpret)
+        return tuple(_crop_2d(o, ng) for o in outs)
+
+    return run(u, v, w, k, om, nu_t, jnp.asarray(dt, k.dtype), *consts)
+
+
 def sharded_slab_2d_eligible(geom, cfg, px: int, pz: int) -> bool:
     """Structural gate for the 2-D fused path: both sharded axes must be
     globally periodic + uniform with even splits and >= 2*ng planes per
@@ -386,7 +512,7 @@ def sharded_slab_2d_eligible(geom, cfg, px: int, pz: int) -> bool:
     kernels' VMEM budget."""
     from ..ops.pallas_kernels import slab_fits
     x, z = geom.axes[0], geom.axes[2]
-    ng = 2 if cfg.space_order >= 4 else 1
+    ng = _halo_ng(geom, getattr(cfg, "convective_scheme", None))
     if not (x.periodic and x.uniform and x.n % px == 0):
         return False
     if not (z.periodic and z.uniform and z.n % pz == 0):
@@ -408,7 +534,7 @@ def sharded_slab_eligible(geom, cfg, n_dev: int) -> bool:
     contained — callers need not re-check the x axis."""
     from ..ops.pallas_kernels import slab_fits
     x, z = geom.axes[0], geom.axes[2]
-    ng = 2 if cfg.space_order >= 4 else 1
+    ng = _halo_ng(geom, getattr(cfg, "convective_scheme", None))
     if not (x.periodic and x.uniform and x.n >= 8):
         return False
     if not (z.periodic and z.uniform and z.n % n_dev == 0):

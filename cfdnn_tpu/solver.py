@@ -297,9 +297,13 @@ class Simulation:
         # round 4: upwind/upwind2 momentum joined the single-device fused
         # paths (the TPU measurement put the operator fallback at 4.0x
         # fused skew — artifacts/upwind_measurement.log; reference GPU
-        # upwind kernels: solver_kernels.hpp:1863-2198). The sharded and
-        # xpad variants keep the skew/central gate: their halo plumbing
-        # (ppermute width, bc.py ghost ring) is one-cell skew/central.
+        # upwind kernels: solver_kernels.hpp:1863-2198). Round 5: the
+        # sharded variants too — the ppermute halo ring is now scheme-
+        # dependent (parallel/fused._halo_ng; upwind2 exchanges 2
+        # planes), matching the reference's distributed upwind hot path
+        # (solver_kernels.hpp:1863-2198 under decomposition.hpp:28-105).
+        # Only xpad keeps the central gate (its bc.py ghost ring is
+        # one-cell).
         shared = (
             x.uniform and z.n > 1 and x.n >= 8
             and cfg.space_order in (2, 4)
@@ -344,8 +348,6 @@ class Simulation:
                 return False
             return _resolve("xpad")
         if n_dev > 1:
-            if not central_like:
-                return False
             # GSPMD cannot partition a Pallas custom call, so the sharded
             # fast path wraps the slab kernels in shard_map with explicit
             # ppermute halo exchange (parallel/fused.py): 1-D z-slab mesh

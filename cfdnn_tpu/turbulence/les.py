@@ -251,17 +251,24 @@ def _box_filter_batch(fs, geom):
         axis = sp + 1
 
         def smooth(x):
+            import jax as _jax
             if ax.bc == BCType.PERIODIC:
                 lo = jnp.roll(x, 1, axis)
                 hi = jnp.roll(x, -1, axis)
             else:
+                # static slices, not jnp.take: this code also runs INSIDE
+                # the fused Germano Pallas kernel, and Mosaic has no
+                # gather lowering (take with a contiguous arange is the
+                # same slice anyway)
+                n = x.shape[axis]
                 zeros_lo = jnp.zeros_like(
-                    jnp.take(x, jnp.asarray([0]), axis=axis))
+                    _jax.lax.slice_in_dim(x, 0, 1, axis=axis))
                 lo = jnp.concatenate(
-                    [zeros_lo, jnp.take(x, jnp.arange(x.shape[axis] - 1), axis=axis)],
+                    [zeros_lo,
+                     _jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)],
                     axis=axis)
                 hi = jnp.concatenate(
-                    [jnp.take(x, jnp.arange(1, x.shape[axis]), axis=axis), zeros_lo],
+                    [_jax.lax.slice_in_dim(x, 1, n, axis=axis), zeros_lo],
                     axis=axis)
             return lo + x + hi
         f = smooth(f)
@@ -289,8 +296,35 @@ class DynamicSmagorinskyModel(LESModelBase):
     name = "DynamicSmagorinsky"
 
     def nu_t(self, state, sim):
+        import jax
         geom = sim.geom
         comps = (state.u, state.v, state.w)
+        on_cpu = jax.devices()[0].platform == "cpu"
+        use_fused = self._fuse and (not on_cpu
+                                    or sim.cfg.use_pallas == "on")
+        if use_fused and self._fuse in ("slab", "shard"):
+            # Pass 1 as ONE fused slab kernel with in-kernel plane-sum
+            # accumulation (reference fused GPU pass,
+            # src/turbulence_les_dynamic_germano.cpp:102 — round-4
+            # verdict #4: the two-pass jnp chain made this the campaign
+            # outlier at 0.329 ms/64^3). Pass 2 collapses to the
+            # elementwise epilogue below, which XLA fuses into the
+            # consumer. ("shard2d"/"xz" keep the jnp chain: the plane
+            # sums would need block-dependent x-edge masking there.)
+            delta = filter_width(geom)
+            if self._fuse == "slab":
+                from ..ops.pallas_kernels import fused_germano_pass1
+                smag, lm, mm = fused_germano_pass1(*comps, geom=geom,
+                                                   interpret=on_cpu)
+            else:
+                from ..parallel.fused import sharded_fused_germano
+                smag, lm, mm = sharded_fused_germano(
+                    *comps, geom=geom, mesh=sim.device_mesh,
+                    axis_name=sim._mesh_axis, interpret=on_cpu)
+            cs2 = jnp.where(mm > 1e-30,
+                            lm / jnp.where(mm > 1e-30, mm, 1.0), 0.0)
+            cs2 = jnp.clip(cs2, 0.0, 0.5)
+            return cs2 * delta * delta * smag
         sr = strain_rotation(comps, geom)
         delta = filter_width(geom)
         S, Sm = sr.S, sr.S_mag

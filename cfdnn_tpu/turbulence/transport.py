@@ -329,10 +329,14 @@ class SSTTransport(TurbulenceModelBase):
             first = np.zeros((1, mesh.Ny, 1))
             if self.has_y_wall:
                 first[:, 0, :] = first[:, -1, :] = 1.0
-            firstz = np.zeros((1, 1, mesh.Nz))
             if cfg.bc_z == BCType.WALL and mesh.Nz > 1:
+                # only a z-wall makes the mask z-dependent; without one
+                # it stays (1, Ny, 1) so the sharded fused transport can
+                # carry it replicated (z-invariant) across the mesh
+                firstz = np.zeros((1, 1, mesh.Nz))
                 firstz[:, :, 0] = firstz[:, :, -1] = 1.0
-            pin = (first + firstz) > 0
+                first = first + firstz
+            pin = first > 0
             if cfg.dp_dx != 0:
                 # y+ < 3 sublayer mask only when u_tau is known a priori
                 # from the imposed pressure gradient; a bulk-forced run
@@ -353,16 +357,31 @@ class SSTTransport(TurbulenceModelBase):
 
     # -- the fused advance kernel -----------------------------------------
 
+    # compound x/z stencil reach of the fused advance: SST's diffusion
+    # reads neighbor nu_eff whose F1 blending itself reaches one cell
+    # through the k/omega gradients (see fused_transport_advance)
+    fuse_ng = 2
+
     def _fuse_mode(self, sim):
         """'compiled' | 'interpret' | False — whether advance() runs as
-        the fused Pallas slab kernel (single-device slab mode only; the
-        sharded transport keeps the roll-based GSPMD form, see
-        _neighbors' docstring). Re-checked every call against
-        sim._pallas_predictor_ok — ml/adjoint.rollout toggles it False
-        inside jax.grad regions (pallas_call has no VJP rule), and a
-        cached mode would put the kernel inside the backward trace."""
-        if sim._pallas_predictor_ok != "slab":
+        the fused Pallas slab kernel. Modes: single-device "slab", or
+        the multi-chip "shard"/"shard2d" wrappers (round-5:
+        parallel/fused.sharded_fused_transport — ppermute halo ring of
+        width `fuse_ng`; previously the sharded transport re-paid the
+        roll-based GSPMD jnp chain the fused kernel killed, see
+        _neighbors' docstring for why that form exists). Re-checked
+        every call against sim._pallas_predictor_ok —
+        ml/adjoint.rollout toggles it False inside jax.grad regions
+        (pallas_call has no VJP rule), and a cached mode would put the
+        kernel inside the backward trace."""
+        mode = sim._pallas_predictor_ok
+        if mode not in ("slab", "shard", "shard2d"):
             return False
+        if mode != "slab":
+            from ..parallel.fused import sharded_transport_eligible
+            if not sharded_transport_eligible(
+                    sim.geom, sim.cfg.mesh_shape or (1,), self.fuse_ng):
+                return False
         if not hasattr(self, "_fuse_platform"):
             import jax
             try:
@@ -373,6 +392,32 @@ class SSTTransport(TurbulenceModelBase):
         if self._fuse_platform == "cpu":
             return "interpret" if sim.cfg.use_pallas == "on" else False
         return "compiled"
+
+    def _run_fused(self, sim, state, nu_t, dt, math_fn, consts, n_out,
+                   ng, interpret):
+        """Dispatch the fused advance kernel by sim's tiling mode:
+        single-device slab, or the shard/shard2d wrappers (ppermute
+        halos + the same kernel on the extended local block)."""
+        args = (state.u, state.v, state.w, state.k, state.omega, nu_t,
+                dt)
+        mode = sim._pallas_predictor_ok
+        if mode == "shard":
+            from ..parallel.fused import sharded_fused_transport
+            return sharded_fused_transport(
+                *args, geom=sim.geom, mesh=sim.device_mesh,
+                axis_name=sim._mesh_axis, math_fn=math_fn, consts=consts,
+                n_out=n_out, ng=ng, interpret=interpret)
+        if mode == "shard2d":
+            from ..parallel.fused import sharded_fused_transport_2d
+            return sharded_fused_transport_2d(
+                *args, geom=sim.geom, mesh=sim.device_mesh,
+                x_axis=sim._mesh_axes[0], z_axis=sim._mesh_axes[1],
+                math_fn=math_fn, consts=consts, n_out=n_out, ng=ng,
+                interpret=interpret)
+        from ..ops.pallas_kernels import fused_transport_advance
+        return fused_transport_advance(
+            *args, geom=sim.geom, math_fn=math_fn, consts=consts,
+            n_out=n_out, ng=ng, interpret=interpret)
 
     def advance(self, state, sim, dt):
         c, geom = self.c, sim.geom
@@ -397,14 +442,12 @@ class SSTTransport(TurbulenceModelBase):
         if fuse:
             import functools
 
-            from ..ops.pallas_kernels import fused_transport_advance
             math_fn = functools.partial(
                 _sst_math_kernel_form, nu=self.nu, c=c, om_wall=om_wall,
                 skip_y=False)
-            k_new, om_new = fused_transport_advance(
-                state.u, state.v, state.w, state.k, state.omega, nu_t,
-                dt, geom=geom, math_fn=math_fn, consts=[self.y_wall],
-                n_out=2, ng=2, interpret=fuse == "interpret")
+            k_new, om_new = self._run_fused(
+                sim, state, nu_t, dt, math_fn, [self.y_wall], 2,
+                self.fuse_ng, fuse == "interpret")
             nu_k = nu_om = None
         else:
             k_new, om_new, nu_k, nu_om = sst_advance_math(
@@ -449,7 +492,6 @@ class SSTTransport(TurbulenceModelBase):
 
         import functools
 
-        from ..ops.pallas_kernels import fused_transport_advance
         nu_t_in = state.nu_t if state.nu_t is not None \
             else jnp.zeros_like(state.k)
         om_wall = None
@@ -464,10 +506,9 @@ class SSTTransport(TurbulenceModelBase):
         math_fn = functools.partial(
             _sst_math_with_nut_kernel_form, nu=self.nu, c=c,
             om_wall=om_wall, has_wall=self.has_wall)
-        k_new, om_new, nut = fused_transport_advance(
-            state.u, state.v, state.w, state.k, state.omega, nu_t_in,
-            dt, geom=sim.geom, math_fn=math_fn, consts=consts,
-            n_out=3, ng=2, interpret=self._fuse_mode(sim) == "interpret")
+        k_new, om_new, nut = self._run_fused(
+            sim, state, nu_t_in, dt, math_fn, consts, 3, self.fuse_ng,
+            self._fuse_mode(sim) == "interpret")
         k_new = jnp.clip(k_new, c.k_min, c.k_max)
         om_new = jnp.clip(om_new, c.omega_min, c.omega_max)
         if self.has_wall:
@@ -498,7 +539,11 @@ class KOmegaTransport(TurbulenceModelBase):
             C_mu=self.c.beta_star)
         return state.replace(k=k, omega=om)
 
+    # ng=1: Wilcox diffusivities depend only on the INPUT nu_t (no F1
+    # chain), so the compound stencil reach stays 1
+    fuse_ng = 1
     _fuse_mode = SSTTransport._fuse_mode
+    _run_fused = SSTTransport._run_fused
 
     def advance(self, state, sim, dt):
         c, geom = self.c, sim.geom
@@ -519,16 +564,12 @@ class KOmegaTransport(TurbulenceModelBase):
         if fuse:
             import functools
 
-            from ..ops.pallas_kernels import fused_transport_advance
             math_fn = functools.partial(
                 _komega_math_kernel_form, nu=self.nu, c=c,
                 om_wall=om_wall, skip_y=False)
-            # ng=1: Wilcox diffusivities depend only on the INPUT nu_t
-            # (no F1 chain), so the compound x-reach stays 1
-            k_new, om_new = fused_transport_advance(
-                state.u, state.v, state.w, state.k, state.omega, nu_t,
-                dt, geom=geom, math_fn=math_fn, consts=[self.y_wall],
-                n_out=2, ng=1, interpret=fuse == "interpret")
+            k_new, om_new = self._run_fused(
+                sim, state, nu_t, dt, math_fn, [self.y_wall], 2,
+                self.fuse_ng, fuse == "interpret")
             nu_k = nu_om = None
         else:
             k_new, om_new, nu_k, nu_om = komega_advance_math(

@@ -34,6 +34,28 @@ _OP_RE = re.compile(
 _SHAPE_RE = re.compile(r"((?:f|bf|s|u|c)\d+|pred)\[([\d,]*)\]")
 
 
+def _tuple_elements(t):
+    """Top-level elements of a tuple-typed HLO result string, or None if
+    `t` is not a tuple type. Paren-aware (elements may be tuples)."""
+    t = t.strip()
+    if not (t.startswith("(") and t.endswith(")")):
+        return None
+    parts, depth, cur = [], 0, []
+    for ch in t[1:-1]:
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def collective_stats(hlo_text: str):
     """op -> (count, total_bytes, example shapes) from optimized HLO.
 
@@ -47,12 +69,20 @@ def collective_stats(hlo_text: str):
     Async `-start` forms (TPU-compiled HLO) return a tuple that ALIASES
     the operand alongside the output — e.g. collective-permute-start ->
     ((in...), (out...), contexts) — so summing the full result type
-    would double-count; their tensor bytes are halved. CPU CI emits the
-    sync forms and is unaffected.
+    would double-count. Only the OUTPUT element of the result tuple is
+    counted for them (halving the total instead is only exact for the
+    size-symmetric ops; for all-gather-start/reduce-scatter-start the
+    operand and output differ by the partition factor, and context
+    scalars would be halved too). CPU CI emits the sync forms and is
+    unaffected.
     """
     stats = {}
     for m in _OP_RE.finditer(hlo_text):
         lhs, op, is_start = m.group(1), m.group(2), bool(m.group(3))
+        if is_start:
+            els = _tuple_elements(lhs)
+            if els and len(els) >= 2:
+                lhs = els[1]   # (operand alias, OUTPUT, contexts...)
         nbytes = 0
         shapes = []
         for dt, dims in _SHAPE_RE.findall(lhs):
@@ -62,8 +92,6 @@ def collective_stats(hlo_text: str):
                     n *= int(d)
             nbytes += n * _DTYPE_BYTES.get(dt, 4)
             shapes.append(f"{dt}[{dims}]")
-        if is_start:
-            nbytes //= 2   # result tuple = (operand alias, output)
         if not shapes:
             continue
         c, b, ex = stats.get(op, (0, 0, []))

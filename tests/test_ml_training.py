@@ -488,5 +488,15 @@ def test_tbnn_dns_preset_runs_channel(record_qoi):
     nut = sim.turb.nu_t(state, sim)
     peak_plus = float(jnp.max(nut)) * 180.0
     record_qoi("tbnn_dns_preset_nut_peak_plus", peak_plus)
-    # the TBNN nu_t extraction caps at 10 nu (reference parity)
-    assert 0.5 < peak_plus <= 10.0 + 1e-6, peak_plus
+    # The TBNN nu_t extraction caps at 10 nu (reference parity), so a
+    # `peak <= 10` upper bound could never fail — assert instead on the
+    # saturation FRACTION of the mean profile (advisor round 4: the
+    # preset was riding the cap and the old gate was vacuous there) and
+    # keep the physical lower bound. Near-wall cells must be far below
+    # the cap (nu_t -> 0 at the wall), so full-profile saturation means
+    # a broken extraction, not strong turbulence.
+    assert peak_plus > 0.5, peak_plus
+    nut_prof = np.asarray(nut).mean(axis=(0, 2))
+    clip_frac = float((nut_prof * 180.0 > 9.99).mean())
+    record_qoi("tbnn_dns_preset_nut_clip_frac", clip_frac)
+    assert clip_frac < 0.6, clip_frac

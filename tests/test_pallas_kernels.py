@@ -148,6 +148,34 @@ def test_fused_nu_sgs_matches_unfused():
                                    **tol)
 
 
+def test_fused_germano_pass1_matches_jnp():
+    """Fused dynamic-Smagorinsky Germano pass (in-kernel LM/MM plane-sum
+    accumulation, ops/pallas_kernels.fused_germano_pass1) == the jnp
+    two-pass chain, for wall-y channel AND walled-z duct geometries
+    (reference fused GPU pass, src/turbulence_les_dynamic_germano.cpp:
+    102 dsmag_pass1_germano)."""
+    from cfdnn_tpu import perturbed_channel
+    from cfdnn_tpu.config import TurbulenceModel
+    for extra in (dict(stretch_y=True),
+                  dict(bc_z=BCType.WALL, z_min=-1.0, z_max=1.0)):
+        base = dict(Nx=16, Ny=12, Nz=8,
+                    nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+                    dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
+                    dtype="float64",
+                    turb_model=TurbulenceModel.DYNAMIC_SMAGORINSKY,
+                    **extra)
+        sim_on = Simulation(Config(use_pallas="on", **base))
+        assert sim_on.turb._fuse == "slab"
+        sim_off = Simulation(Config(use_pallas="off", **base))
+        state = perturbed_channel(sim_on.cfg, sim_on.mesh, amp=0.1)
+        nut_on = np.asarray(sim_on.turb.nu_t(state, sim_on))
+        nut_off = np.asarray(sim_off.turb.nu_t(state, sim_off))
+        # the in-kernel per-slab partial sums reassociate the x
+        # reduction — rtol-level agreement, not bitwise
+        np.testing.assert_allclose(nut_on, nut_off, rtol=1e-12,
+                                   atol=1e-16, err_msg=str(extra))
+
+
 def test_fused_predictor_xz_matches_operators():
     """2-D (x,z)-tiled predictor == jnp operators to machine epsilon for
     wall / stretched / periodic y, skew + central, with and without nu_t.

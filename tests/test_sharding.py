@@ -70,7 +70,10 @@ def test_sharded_poisson_globally_coupled():
 
 
 def test_sharded_turbulence_step():
-    """SST closure under sharding: plane reductions become psums."""
+    """Smagorinsky closure under sharding (algebraic family): the
+    gradient stencils ride GSPMD halo collectives. (Transport-PDE
+    closures — SST/k-omega/EARSM — have their own dedicated mesh-parity
+    tests below: test_sharded_transport_*.)"""
     from cfdnn_tpu.config import TurbulenceModel
     cfg = _cfg(turb_model=TurbulenceModel.SMAGORINSKY)
     sim = Simulation(cfg)
@@ -340,6 +343,156 @@ def test_fused_shard_path_communication_volume():
     assert vol <= 20 * plane, (
         f"permute volume {vol} B exceeds the one-plane halo ledger "
         f"({20 * plane} B) — full-shard reshards crept into the fused path")
+
+
+# ---------------------------------------------------------------------------
+# Transport-PDE closures + upwind momentum under a device mesh (round-5:
+# the reference's fused SST transport and upwind kernels run in its
+# DISTRIBUTED hot path — src/turbulence_transport.cpp:605 +
+# solver_kernels.hpp:1863-2198 under the MPI z-slab of
+# decomposition.hpp:28-105; rounds 1-4 left ours single-device-only)
+# ---------------------------------------------------------------------------
+
+
+def _transport_parity(model, mesh_kw, n=3, scheme=None, atol=1e-13):
+    """f64 trajectory parity of a transport-PDE closure (or a momentum
+    scheme) between the single-device fused path and a device-mesh fused
+    path. Returns the sharded sim for extra assertions."""
+    from cfdnn_tpu.config import TurbulenceModel
+    kw = dict(Nx=32, Ny=16, Nz=32)
+    if model is not None:
+        kw["turb_model"] = model
+    if scheme is not None:
+        kw["convective_scheme"] = scheme
+    cfg1 = _cfg(use_pallas="on", **kw)
+    sim1 = Simulation(cfg1)
+    assert sim1._pallas_predictor_ok == "slab"
+    cfgN = _cfg(use_pallas="on", **kw, **mesh_kw)
+    simN = Simulation(cfgN)
+    state0 = perturbed_channel(cfg1, sim1.mesh, amp=0.05)
+    ref = sim1.initialize(state0)
+    st = simN.initialize(state0)
+    for _ in range(n):
+        ref, ref_d = sim1.step(ref)
+        st, d = simN.step(st)
+    np.testing.assert_allclose(np.asarray(st.u), np.asarray(ref.u),
+                               rtol=0, atol=atol)
+    if ref.k is not None:
+        np.testing.assert_allclose(np.asarray(st.k), np.asarray(ref.k),
+                                   rtol=0, atol=atol)
+        np.testing.assert_allclose(np.asarray(st.omega),
+                                   np.asarray(ref.omega),
+                                   rtol=0, atol=atol)
+    assert abs(float(d.ke) - float(ref_d.ke)) < 1e-13
+    return simN
+
+
+def test_sharded_transport_sst_matches_single_device():
+    """Fused SST transport advance + closure under the (8,) z-slab mesh:
+    the ng=2 ppermute halo ring (F1's compound reach) + the unmodified
+    slab kernel must reproduce the single-device fused trajectory."""
+    from cfdnn_tpu.config import TurbulenceModel
+    sim8 = _transport_parity(TurbulenceModel.SST, dict(mesh_shape=(8,)))
+    assert sim8._pallas_predictor_ok == "shard"
+    assert sim8.turb._fuse_mode(sim8) == "interpret"  # fused, not jnp
+
+
+def test_sharded_transport_sst_2d_mesh():
+    """Fused SST transport under the (2,4) (x,z) pencil mesh: both halo
+    families (x AND z rings of width 2) around the fused advance."""
+    from cfdnn_tpu.config import TurbulenceModel
+    sim2 = _transport_parity(TurbulenceModel.SST,
+                             dict(mesh_shape=(2, 4), mesh_axes=("x", "z")))
+    assert sim2._pallas_predictor_ok == "shard2d"
+    assert sim2.turb._fuse_mode(sim2) == "interpret"
+
+
+def test_sharded_transport_komega_matches_single_device():
+    """Wilcox k-omega (ng=1 ring — diffusivities read only the input
+    nu_t) under the z-slab mesh."""
+    from cfdnn_tpu.config import TurbulenceModel
+    sim8 = _transport_parity(TurbulenceModel.KOMEGA, dict(mesh_shape=(8,)))
+    assert sim8.turb.fuse_ng == 1
+    assert sim8.turb._fuse_mode(sim8) == "interpret"
+
+
+def test_sharded_transport_earsm_matches_single_device():
+    """EARSM (WJ): the fused SST advance is inherited and must run
+    sharded; the anisotropy closure keeps the two-pass GSPMD form."""
+    from cfdnn_tpu.config import TurbulenceModel
+    sim8 = _transport_parity(TurbulenceModel.EARSM_WJ,
+                             dict(mesh_shape=(8,)))
+    assert sim8.turb._fuse_mode(sim8) == "interpret"
+
+
+def test_sharded_upwind_momentum_matches_single_device():
+    """upwind/upwind2 momentum under the mesh: the halo ring follows the
+    scheme (upwind2's biased stencil reads 2 cells — parallel/fused.
+    _halo_ng), the round-4 single-device-only gate is lifted."""
+    from cfdnn_tpu.config import ConvectiveScheme
+    sim8 = _transport_parity(None, dict(mesh_shape=(8,)),
+                             scheme=ConvectiveScheme.UPWIND2)
+    assert sim8._pallas_predictor_ok == "shard"
+    _transport_parity(None, dict(mesh_shape=(2, 4), mesh_axes=("x", "z")),
+                      scheme=ConvectiveScheme.UPWIND)
+
+
+def test_sharded_fused_germano_matches_jnp():
+    """Sharded fused dynamic Smagorinsky (parallel/fused.
+    sharded_fused_germano: ng=2 halos + z_crop'd plane sums + psum'd
+    LM/MM profiles) == the single-device jnp Germano chain."""
+    from cfdnn_tpu.config import TurbulenceModel
+    kw = dict(Nx=32, Ny=16, Nz=32,
+              turb_model=TurbulenceModel.DYNAMIC_SMAGORINSKY)
+    cfg_ref = _cfg(use_pallas="off", **kw)
+    sim_ref = Simulation(cfg_ref)
+    cfg8 = _cfg(use_pallas="on", mesh_shape=(8,), **kw)
+    sim8 = Simulation(cfg8)
+    assert sim8.turb._fuse == "shard"
+    state0 = perturbed_channel(cfg_ref, sim_ref.mesh, amp=0.05)
+    nut_ref = np.asarray(sim_ref.turb.nu_t(state0, sim_ref))
+    st8 = sim8.initialize(state0)
+    nut8 = np.asarray(sim8.turb.nu_t(st8, sim8))
+    np.testing.assert_allclose(nut8, nut_ref, rtol=1e-12, atol=1e-16)
+    ref, ref_d = sim_ref.step(state0)
+    out, d = sim8.step(st8)
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               rtol=0, atol=1e-12)
+    assert abs(float(d.ke) - float(ref_d.ke)) < 1e-12
+
+
+def test_sharded_transport_comm_volume():
+    """Comm-volume gate for the sharded fused SST step: the transport
+    halo exchange must be ONE batched six-field ppermute pair of ng=2
+    rings per advance (not per-field messages, not full-shard
+    reshards), on top of the momentum path's one-plane ledger."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from analyze_collectives import collective_stats
+    from cfdnn_tpu.config import TurbulenceModel
+
+    cfg = _cfg(Nx=32, dtype="float32", mesh_shape=(8,), use_pallas="on",
+               turb_model=TurbulenceModel.SST)
+    sim = Simulation(cfg)
+    assert sim._pallas_predictor_ok == "shard"
+    assert sim.turb._fuse_mode(sim) == "interpret"
+    st = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
+    txt = jax.jit(sim._step_impl).lower(st).compile().as_text()
+    stats = collective_stats(txt)
+    assert "all-gather" not in stats or stats["all-gather"][1] == 0
+    n_perm, vol, _ = stats.get("collective-permute", (0, 0, []))
+    # ledger: the laminar fused step's <= 20 one-plane messages (see
+    # test_fused_shard_path_communication_volume) + the transport's one
+    # batched pair of ng=2 six-field rings (~6 components of ~(Ny+2)
+    # rows) + the predictor's extra nu_t plane
+    plane = cfg.Nx * (cfg.Ny + 2) * 4
+    budget = 20 * plane + 2 * 6 * 2 * plane + 4 * plane
+    assert n_perm <= 26, f"{n_perm} permutes — per-field halo messages?"
+    assert vol <= budget, (
+        f"permute volume {vol} B exceeds the transport halo ledger "
+        f"({budget} B) — full-shard reshards crept into the fused path")
 
 
 # ---------------------------------------------------------------------------
