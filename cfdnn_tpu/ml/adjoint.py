@@ -39,12 +39,18 @@ def rollout(sim, params, state, n_steps: int, remat: bool = True):
             "rollout(params=...) requires an NN closure (nn_mlp / nn_tbnn);"
             f" got {type(model).__name__}")
     saved = model.mlp
-    saved_mode = sim._pallas_predictor_ok
     model.mlp = params
-    # pallas_call has no reverse-mode AD rule, so the fused TPU fast paths
-    # cannot sit inside a jax.grad region — trace the jnp operator path
-    # (identical math; the Pallas kernels are parity-tested against it)
-    sim._pallas_predictor_ok = False
+    # Round 5: the fused Pallas fast paths STAY ACTIVE inside jax.grad
+    # regions — every fused call site (predictor, divergence, correction,
+    # transport advance, LES nu_sgs, Germano) is wrapped in
+    # solver.vjp_via, whose backward is the VJP of the parity-tested jnp
+    # equivalent. A-posteriori training therefore runs the forward at
+    # fused kernel speed (previously this function forced the ~3x-slower
+    # operator path for the whole unroll). The one fused component
+    # without a VJP is the Pallas-FHT Poisson transform (auto-selected
+    # only at >= 384^3 f32 on TPU) — a grad at that scale fails loudly
+    # with "no AD rule for pallas_call"; set poisson_transform='auto'
+    # dense or train below that size.
     try:
         def one(c, _):
             s, _d = sim._step_impl(c, with_diags=False)
@@ -54,7 +60,6 @@ def rollout(sim, params, state, n_steps: int, remat: bool = True):
         state, _ = jax.lax.scan(body, state, None, length=n_steps)
     finally:
         model.mlp = saved
-        sim._pallas_predictor_ok = saved_mode
     return state
 
 

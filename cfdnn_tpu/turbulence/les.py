@@ -75,26 +75,38 @@ class LESModelBase(TurbulenceModelBase):
         comps = (state.u, state.v, state.w)
         on_cpu = jax.devices()[0].platform == "cpu"
         if self._fuse and (not on_cpu or sim.cfg.use_pallas == "on"):
-            if self._fuse == "shard":
-                from ..parallel.fused import sharded_fused_nu_sgs
-                return sharded_fused_nu_sgs(
-                    *comps, geom=sim.geom, mesh=sim.device_mesh,
-                    axis_name=sim._mesh_axis, model_fn=self._model_fn,
-                    interpret=on_cpu)
-            if self._fuse == "shard2d":
-                from ..parallel.fused import sharded_fused_nu_sgs_2d
-                return sharded_fused_nu_sgs_2d(
-                    *comps, geom=sim.geom, mesh=sim.device_mesh,
-                    x_axis=sim._mesh_axes[0], z_axis=sim._mesh_axes[1],
-                    model_fn=self._model_fn, interpret=on_cpu)
-            if self._fuse == "xz":
-                from ..ops.pallas_kernels import fused_nu_sgs_xz
-                return fused_nu_sgs_xz(*comps, geom=sim.geom,
-                                       model_fn=self._model_fn,
-                                       interpret=on_cpu)
-            from ..ops.pallas_kernels import fused_nu_sgs
-            return fused_nu_sgs(*comps, geom=sim.geom,
-                                model_fn=self._model_fn, interpret=on_cpu)
+            def fast(u, v, w):
+                c = (u, v, w)
+                if self._fuse == "shard":
+                    from ..parallel.fused import sharded_fused_nu_sgs
+                    return sharded_fused_nu_sgs(
+                        *c, geom=sim.geom, mesh=sim.device_mesh,
+                        axis_name=sim._mesh_axis,
+                        model_fn=self._model_fn, interpret=on_cpu)
+                if self._fuse == "shard2d":
+                    from ..parallel.fused import sharded_fused_nu_sgs_2d
+                    return sharded_fused_nu_sgs_2d(
+                        *c, geom=sim.geom, mesh=sim.device_mesh,
+                        x_axis=sim._mesh_axes[0],
+                        z_axis=sim._mesh_axes[1],
+                        model_fn=self._model_fn, interpret=on_cpu)
+                if self._fuse == "xz":
+                    from ..ops.pallas_kernels import fused_nu_sgs_xz
+                    return fused_nu_sgs_xz(*c, geom=sim.geom,
+                                           model_fn=self._model_fn,
+                                           interpret=on_cpu)
+                from ..ops.pallas_kernels import fused_nu_sgs
+                return fused_nu_sgs(*c, geom=sim.geom,
+                                    model_fn=self._model_fn,
+                                    interpret=on_cpu)
+
+            # vjp_via: fused forward inside jax.grad regions, backward
+            # through the jnp model_fn (ml/adjoint a-posteriori paths)
+            from ..solver import vjp_via
+            return vjp_via(
+                fast,
+                lambda u, v, w: self._model_fn((u, v, w), sim.geom),
+            )(*comps)
         return self._model_fn(comps, sim.geom)
 
 
@@ -312,19 +324,32 @@ class DynamicSmagorinskyModel(LESModelBase):
             # consumer. ("shard2d"/"xz" keep the jnp chain: the plane
             # sums would need block-dependent x-edge masking there.)
             delta = filter_width(geom)
-            if self._fuse == "slab":
-                from ..ops.pallas_kernels import fused_germano_pass1
-                smag, lm, mm = fused_germano_pass1(*comps, geom=geom,
-                                                   interpret=on_cpu)
-            else:
-                from ..parallel.fused import sharded_fused_germano
-                smag, lm, mm = sharded_fused_germano(
-                    *comps, geom=geom, mesh=sim.device_mesh,
-                    axis_name=sim._mesh_axis, interpret=on_cpu)
-            cs2 = jnp.where(mm > 1e-30,
-                            lm / jnp.where(mm > 1e-30, mm, 1.0), 0.0)
-            cs2 = jnp.clip(cs2, 0.0, 0.5)
-            return cs2 * delta * delta * smag
+
+            def fast(u, v, w):
+                c = (u, v, w)
+                if self._fuse == "slab":
+                    from ..ops.pallas_kernels import fused_germano_pass1
+                    smag, lm, mm = fused_germano_pass1(
+                        *c, geom=geom, interpret=on_cpu)
+                else:
+                    from ..parallel.fused import sharded_fused_germano
+                    smag, lm, mm = sharded_fused_germano(
+                        *c, geom=geom, mesh=sim.device_mesh,
+                        axis_name=sim._mesh_axis, interpret=on_cpu)
+                cs2 = jnp.where(mm > 1e-30,
+                                lm / jnp.where(mm > 1e-30, mm, 1.0), 0.0)
+                cs2 = jnp.clip(cs2, 0.0, 0.5)
+                return cs2 * delta * delta * smag
+
+            from ..solver import vjp_via
+            return vjp_via(
+                fast, lambda u, v, w: self._germano_nu_t_jnp(
+                    (u, v, w), geom))(*comps)
+        return self._germano_nu_t_jnp(comps, geom)
+
+    def _germano_nu_t_jnp(self, comps, geom):
+        """The jnp two-pass Germano chain (single source of truth for
+        the fused kernel's parity tests and its vjp_via backward)."""
         sr = strain_rotation(comps, geom)
         delta = filter_width(geom)
         S, Sm = sr.S, sr.S_mag

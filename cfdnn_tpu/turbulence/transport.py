@@ -369,11 +369,9 @@ class SSTTransport(TurbulenceModelBase):
         parallel/fused.sharded_fused_transport — ppermute halo ring of
         width `fuse_ng`; previously the sharded transport re-paid the
         roll-based GSPMD jnp chain the fused kernel killed, see
-        _neighbors' docstring for why that form exists). Re-checked
-        every call against sim._pallas_predictor_ok —
-        ml/adjoint.rollout toggles it False inside jax.grad regions
-        (pallas_call has no VJP rule), and a cached mode would put the
-        kernel inside the backward trace."""
+        _neighbors' docstring for why that form exists). jax.grad
+        regions keep the fused forward: _run_fused wraps the kernel in
+        solver.vjp_via with the jnp transport math as the backward."""
         mode = sim._pallas_predictor_ok
         if mode not in ("slab", "shard", "shard2d"):
             return False
@@ -397,27 +395,46 @@ class SSTTransport(TurbulenceModelBase):
                    ng, interpret):
         """Dispatch the fused advance kernel by sim's tiling mode:
         single-device slab, or the shard/shard2d wrappers (ppermute
-        halos + the same kernel on the extended local block)."""
-        args = (state.u, state.v, state.w, state.k, state.omega, nu_t,
-                dt)
+        halos + the same kernel on the extended local block). Wrapped
+        in vjp_via so jax.grad regions (ml/adjoint a-posteriori
+        training) keep the fused forward: the backward is the VJP of
+        the SAME math_fn applied on the full arrays with the real
+        geometry — the jnp transport path, which the kernel is
+        parity-tested against."""
+        from ..solver import vjp_via
         mode = sim._pallas_predictor_ok
-        if mode == "shard":
-            from ..parallel.fused import sharded_fused_transport
-            return sharded_fused_transport(
-                *args, geom=sim.geom, mesh=sim.device_mesh,
-                axis_name=sim._mesh_axis, math_fn=math_fn, consts=consts,
+
+        def fast(u, v, w, k, om, nt, dtt):
+            args = (u, v, w, k, om, nt, dtt)
+            if mode == "shard":
+                from ..parallel.fused import sharded_fused_transport
+                return sharded_fused_transport(
+                    *args, geom=sim.geom, mesh=sim.device_mesh,
+                    axis_name=sim._mesh_axis, math_fn=math_fn,
+                    consts=consts, n_out=n_out, ng=ng,
+                    interpret=interpret)
+            if mode == "shard2d":
+                from ..parallel.fused import sharded_fused_transport_2d
+                return sharded_fused_transport_2d(
+                    *args, geom=sim.geom, mesh=sim.device_mesh,
+                    x_axis=sim._mesh_axes[0], z_axis=sim._mesh_axes[1],
+                    math_fn=math_fn, consts=consts, n_out=n_out, ng=ng,
+                    interpret=interpret)
+            from ..ops.pallas_kernels import fused_transport_advance
+            return fused_transport_advance(
+                *args, geom=sim.geom, math_fn=math_fn, consts=consts,
                 n_out=n_out, ng=ng, interpret=interpret)
-        if mode == "shard2d":
-            from ..parallel.fused import sharded_fused_transport_2d
-            return sharded_fused_transport_2d(
-                *args, geom=sim.geom, mesh=sim.device_mesh,
-                x_axis=sim._mesh_axes[0], z_axis=sim._mesh_axes[1],
-                math_fn=math_fn, consts=consts, n_out=n_out, ng=ng,
-                interpret=interpret)
-        from ..ops.pallas_kernels import fused_transport_advance
-        return fused_transport_advance(
-            *args, geom=sim.geom, math_fn=math_fn, consts=consts,
-            n_out=n_out, ng=ng, interpret=interpret)
+
+        consts_b = tuple(
+            jnp.asarray(jnp.broadcast_to(a, (1,) + state.k.shape[1:]),
+                        state.k.dtype) for a in consts)
+
+        def slow(u, v, w, k, om, nt, dtt):
+            return tuple(math_fn((u, v, w), k, om, nt, sim.geom,
+                                 consts_b, dtt))
+
+        return vjp_via(fast, slow)(state.u, state.v, state.w, state.k,
+                                   state.omega, nu_t, dt)
 
     def advance(self, state, sim, dt):
         c, geom = self.c, sim.geom

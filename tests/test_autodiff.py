@@ -115,3 +115,61 @@ def test_aposteriori_training_reduces_loss():
                                 learning_rate=3e-2, params=mlp)
     assert all(np.isfinite(h) for h in hist)
     assert hist[-1] < 0.3 * hist[0], hist
+
+
+def test_grad_through_fused_kernels_matches_jnp():
+    """vjp_via (round-5): jax.grad regions keep the fused Pallas forward
+    (predictor, divergence, correction, transport advance, LES nu_sgs),
+    with the backward defined as the VJP of the parity-tested jnp path.
+    The gradients must match the all-jnp trace to machine precision —
+    for an NN closure (wrt weights) and for SST transport (wrt state)."""
+    import tempfile
+    from cfdnn_tpu import perturbed_channel
+
+    tmp = tempfile.mkdtemp()
+    m = MLP.from_dims([6, 16, 1], key=jax.random.PRNGKey(0))
+    m.Ws[-1] = 0.01 * m.Ws[-1]
+    m.means = jnp.zeros((6,))
+    m.stds = jnp.ones((6,))
+    m.save(f"{tmp}/mlp")
+
+    kw = dict(Nx=16, Ny=16, Nz=16, stretch_y=True,
+              nu=1e-3, nu_specified=True, dp_dx=-1e-3,
+              dp_dx_specified=True, dt=1e-3, adaptive_dt=False,
+              dtype="float64", turb_model=TurbulenceModel.NN_MLP,
+              nn_weights_path=f"{tmp}/mlp")
+
+    def grads(use_pallas):
+        cfg = Config(**kw, use_pallas=use_pallas)
+        sim = Simulation(cfg)
+        state = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
+        loss = trajectory_loss(sim, lambda s: jnp.mean(s.u ** 2), 3)
+        val, g = jax.value_and_grad(loss)(sim.turb.mlp, state)
+        return float(val), jax.tree_util.tree_leaves(g)
+
+    v_on, g_on = grads("on")
+    v_off, g_off = grads("off")
+    assert abs(v_on - v_off) < 1e-14 * max(abs(v_off), 1.0)
+    for a, b in zip(g_on, g_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-18)
+
+    # SST transport advance through _run_fused's vjp_via, grad wrt state
+    kw2 = dict(kw, turb_model=TurbulenceModel.SST)
+    kw2.pop("nn_weights_path")
+
+    def sst_grad(use_pallas):
+        cfg = Config(**kw2, use_pallas=use_pallas)
+        sim = Simulation(cfg)
+        state = sim.initialize(perturbed_channel(cfg, sim.mesh, amp=0.05))
+
+        def loss(u0):
+            st = state.replace(u=u0)
+            for _ in range(2):
+                st, _ = sim._step_impl(st, with_diags=False)
+            return jnp.mean(st.u ** 2) + jnp.mean(st.k ** 2)
+
+        return np.asarray(jax.grad(loss)(state.u))
+
+    np.testing.assert_allclose(sst_grad("on"), sst_grad("off"),
+                               rtol=1e-10, atol=1e-18)

@@ -123,8 +123,15 @@ def test_endurance_dns_long_horizon():
     chunk = max(min(5_000, window // 4), 1)
 
     delta = 1.0
+    # Full-length runs use the CANONICAL all-gates grid (160x96x96,
+    # validation/RESULTS.md: every Stage-F gate incl. resolution passes
+    # — dx+ 14.1, dz+ 7.9, y+ 0.39) so the endurance artifact asserts
+    # the complete gate set with nothing waived (round-4 verdict #5:
+    # the previous 96x96x64 sentinel sat at dx+~23 by design and
+    # skipped the resolution gates). Scaled smokes keep the small grid.
+    Nx, Nz = (96, 64) if env_steps else (160, 96)
     cfg = Config(
-        Nx=96, Ny=96, Nz=64,
+        Nx=Nx, Ny=96, Nz=Nz,
         x_min=0.0, x_max=4 * np.pi * delta,
         y_min=-delta, y_max=delta,
         z_min=0.0, z_max=4.0 / 3.0 * np.pi * delta,
@@ -185,15 +192,18 @@ def test_endurance_dns_long_horizon():
     assert min(tail) > 0.1 * np.mean(kes), f"flow died: {kes}"
 
     if not env_steps:
-        # full-length run: the averaged Stage-F physics gates must hold
-        # (the y+/dx+/dz+ RESOLUTION gates are deliberately not
-        # asserted: this sentinel's 96x96x64 grid sits at dx+~23 by
-        # design to keep the 200k-step horizon ~1 min on a v5e)
+        # full-length run on the canonical grid: the COMPLETE averaged
+        # Stage-F gate set must hold, resolution gates included —
+        # all_ok with nothing waived (reference Stage-F realism suite,
+        # solver.hpp:302-655)
         rep = diag.realism_report_averaged(sim_fix, state, acc)
         print("STAGE_F_REPORT:", {k: (float(v) if hasattr(v, "item")
                                       or isinstance(v, float) else v)
                                   for k, v in rep.items()})
-        assert rep["stress_ordering_ok"], rep
-        assert rep["momentum_closure"] < 0.25, rep
-        assert rep.get("spectrum_ok", True), rep
-        assert 110.0 < rep["Re_tau"] < 280.0, rep
+        for gate in ("y_plus_ok", "dx_plus_ok", "dz_plus_ok",
+                     "stress_ordering_ok", "momentum_closure_ok",
+                     "spectrum_ok"):
+            assert rep[gate], (gate, rep)
+        assert rep.get("all_ok", True), rep
+        assert 150.0 < rep["Re_tau"] < 220.0, rep
+        print(f'QOI_JSON: {{"name": "endurance_all_ok", "value": 1.0}}')
