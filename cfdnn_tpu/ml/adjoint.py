@@ -91,7 +91,8 @@ def fit_closure(sim, state0, loss_fn: Callable, n_steps: int = 10,
                 segments: int = 1, params=None,
                 train_normalization: bool = False,
                 clip_norm: Optional[float] = None,
-                callback: Optional[Callable] = None):
+                callback: Optional[Callable] = None,
+                return_best: bool = False):
     """A-posteriori training loop: optimize the NN closure's weights so the
     simulated trajectory minimizes loss_fn (optax adam), returning
     (trained MLP, loss history).
@@ -124,8 +125,11 @@ def fit_closure(sim, state0, loss_fn: Callable, n_steps: int = 10,
                                stds=jnp.zeros_like(g.stds))
     opt_state = opt.init(params)
     history = []
+    best = (float("inf"), params)
     for it in range(iters):
         loss, grads = vg(params, state0)
+        if float(loss) < best[0]:
+            best = (float(loss), params)   # loss evaluated PRE-update
         if not train_normalization:
             grads = zero_stats(grads)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -133,4 +137,10 @@ def fit_closure(sim, state0, loss_fn: Callable, n_steps: int = 10,
         history.append(float(loss))
         if callback:
             callback(it, history[-1], params)
+    if return_best:
+        # BPTT losses through long PDE unrolls are non-monotone in adam
+        # steps (chaotic gradients); return the best EVALUATED iterate
+        # instead of wherever the last step landed (may be the initial
+        # params — a fine outcome when they were already near-optimal)
+        return best[1], history
     return params, history
