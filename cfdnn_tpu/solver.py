@@ -340,8 +340,6 @@ class Simulation:
                                           ConvectiveScheme.UPWIND,
                                           ConvectiveScheme.UPWIND2)
             and not cfg.implicit_y_diffusion)
-        central_like = cfg.convective_scheme in (ConvectiveScheme.SKEW,
-                                                 ConvectiveScheme.CENTRAL)
         # moving walls (lid_velocity) stay eligible: the operator-library
         # kernels (general/xz/shard/xpad) honor AxisGeom.tang; only the
         # specialized channel kernel hardcodes no-slip, and its own gate
@@ -367,9 +365,19 @@ class Simulation:
             # pair, outflow, wall): the ghost-padded slab predictor
             # (fused_predictor_xpad). O2 only — on a non-periodic x the
             # jnp path runs O2 x-stencils (AxisGeom.o4_ok) and the padded
-            # fake-periodic axis must match. Single device: the sharded
-            # fast path is a periodic-z slab design.
-            if (cfg.space_order != 2 or n_dev > 1 or not central_like
+            # fake-periodic axis must match. Skew/central/upwind (their
+            # stencils reach 1 cell, the width of the bc.py-equivalent
+            # ghost ring the pad carries; round 5 — parity-tested at
+            # 1e-16, test_pallas_kernels.py xpad suites; NOTE the
+            # upwind extension measured perf-NEUTRAL on the 256x128x64
+            # inflow cylinder, 0.894 fused vs 0.874 ms operator — the
+            # inflow Poisson dominates external-flow steps — and is
+            # kept for mode symmetry, not speed); upwind2's biased
+            # stencil reads 2 cells and stays on the operator path.
+            # Single device: the sharded fast path is a periodic-z
+            # slab design.
+            if (cfg.space_order != 2 or n_dev > 1
+                    or cfg.convective_scheme == ConvectiveScheme.UPWIND2
                     or x.bc not in (BCType.INFLOW, BCType.OUTFLOW,
                                     BCType.WALL)
                     or not slab_fits(self.geom)):

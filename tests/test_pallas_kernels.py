@@ -566,7 +566,8 @@ def _xpad_setup(bc_x, N=12, scheme=ConvectiveScheme.SKEW):
 @pytest.mark.parametrize("bc_x", [BCType.INFLOW, BCType.OUTFLOW, BCType.WALL])
 @pytest.mark.parametrize("with_nut", [False, True])
 @pytest.mark.parametrize("scheme", [ConvectiveScheme.SKEW,
-                                    ConvectiveScheme.CENTRAL])
+                                    ConvectiveScheme.CENTRAL,
+                                    ConvectiveScheme.UPWIND])
 def test_fused_predictor_xpad_matches_operators(bc_x, with_nut, scheme):
     """Ghost-padded slab predictor on a non-periodic x == the jnp operator
     path with the bc.py pads, for every supported x BC and both schemes
@@ -601,10 +602,14 @@ def test_fused_predictor_xpad_matches_operators(bc_x, with_nut, scheme):
                                rtol=0, atol=1e-13, err_msg="w")
 
 
-def test_xpad_step_trajectory_matches_jnp():
+@pytest.mark.parametrize("scheme", [ConvectiveScheme.SKEW,
+                                    ConvectiveScheme.UPWIND])
+def test_xpad_step_trajectory_matches_jnp(scheme):
     """Full inflow/outflow steps with use_pallas on vs off agree (the
     external-flow analogue of the periodic trajectory parity test),
-    including IBM + convective outlet."""
+    including IBM + convective outlet. Round 5: upwind joined the xpad
+    gate (its stencil reaches 1 cell, the width of the ghost ring the
+    pad carries)."""
     from cfdnn_tpu.ibm import CylinderBody
     base = dict(Nx=24, Ny=16, Nz=8, bc_x=BCType.INFLOW,
                 bc_y=BCType.PERIODIC, bc_z=BCType.PERIODIC,
@@ -612,7 +617,7 @@ def test_xpad_step_trajectory_matches_jnp():
                 nu=1e-2, nu_specified=True, dp_dx=0.0, dp_dx_specified=True,
                 dt=5e-3, adaptive_dt=False, dtype="float64",
                 convective_outflow=True,
-                convective_scheme=ConvectiveScheme.SKEW)
+                convective_scheme=scheme)
     sims = []
     for up in ("off", "on"):
         sim = Simulation(Config(use_pallas=up, **base))

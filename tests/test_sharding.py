@@ -461,6 +461,73 @@ def test_sharded_fused_germano_matches_jnp():
     assert abs(float(d.ke) - float(ref_d.ke)) < 1e-12
 
 
+def test_sharded_nn_closure_matches_single_device():
+    """NN-MLP closure under the z-slab mesh: the feature pipeline +
+    MXU-batched inference ride GSPMD (reference: the campaign's NN rows
+    are single-GPU only; here every closure distributes)."""
+    import tempfile
+
+    from cfdnn_tpu.config import TurbulenceModel
+    from cfdnn_tpu.turbulence.nn_core import MLP
+
+    tmp = tempfile.mkdtemp()
+    m = MLP.from_dims([6, 16, 1], key=jax.random.PRNGKey(0))
+    m.Ws[-1] = 0.01 * m.Ws[-1]
+    m.means = jnp.zeros((6,))
+    m.stds = jnp.ones((6,))
+    m.save(f"{tmp}/mlp")
+    kw = dict(turb_model=TurbulenceModel.NN_MLP,
+              nn_weights_path=f"{tmp}/mlp")
+    cfg1 = _cfg(**kw)
+    sim1 = Simulation(cfg1)
+    state0 = perturbed_channel(cfg1, sim1.mesh, amp=0.05)
+    ref, ref_d = sim1.step(sim1.initialize(state0))
+    sim8 = Simulation(_cfg(**kw, mesh_shape=(8,)))
+    out, d = sim8.step(sim8.initialize(state0))
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               rtol=0, atol=1e-12)
+    assert abs(float(d.ke) - float(ref_d.ke)) < 1e-12
+
+
+def test_grad_through_sharded_fused_matches_single_device():
+    """jax.grad THROUGH the sharded fused step: vjp_via's backward is
+    plain jnp, so GSPMD partitions it over the mesh — distributed
+    a-posteriori training. Gradients must match the single-device fused
+    trace to machine precision."""
+    import tempfile
+
+    from cfdnn_tpu.config import TurbulenceModel
+    from cfdnn_tpu.ml.adjoint import trajectory_loss
+    from cfdnn_tpu.turbulence.nn_core import MLP
+
+    tmp = tempfile.mkdtemp()
+    m = MLP.from_dims([6, 16, 1], key=jax.random.PRNGKey(0))
+    m.Ws[-1] = 0.01 * m.Ws[-1]
+    m.means = jnp.zeros((6,))
+    m.stds = jnp.ones((6,))
+    m.save(f"{tmp}/mlp")
+    kw = dict(use_pallas="on", turb_model=TurbulenceModel.NN_MLP,
+              nn_weights_path=f"{tmp}/mlp")
+
+    def grads(sim):
+        s0 = sim.initialize(perturbed_channel(sim.cfg, sim.mesh,
+                                              amp=0.05))
+        loss = trajectory_loss(sim, lambda s: jnp.mean(s.u ** 2), 2)
+        v, g = jax.value_and_grad(loss)(sim.turb.mlp, s0)
+        return float(v), jax.tree_util.tree_leaves(g)
+
+    sim1 = Simulation(_cfg(**kw))
+    assert sim1._pallas_predictor_ok == "slab"
+    sim8 = Simulation(_cfg(**kw, mesh_shape=(8,)))
+    assert sim8._pallas_predictor_ok == "shard"
+    v1, g1 = grads(sim1)
+    v8, g8 = grads(sim8)
+    assert abs(v1 - v8) < 1e-14 * max(abs(v1), 1.0)
+    for a, b in zip(g1, g8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-17)
+
+
 def test_sharded_transport_comm_volume():
     """Comm-volume gate for the sharded fused SST step: the transport
     halo exchange must be ONE batched six-field ppermute pair of ng=2
