@@ -77,6 +77,23 @@ def sweep_rows():
         out, d = sim.step(st)
         jax.block_until_ready(out.u)
         assert np.isfinite(float(d.ke)), f"2-D n={n}: step produced NaN"
+    # round-5: the fused SST transport path (batched six-field ng=2
+    # ring) must weak-scale like the momentum halos — ~constant
+    # permute bytes in P (reference: the distributed transport hot
+    # path under the MPI z-slab, turbulence_transport.cpp:605)
+    from cfdnn_tpu.config import TurbulenceModel
+    for n in (4, 8):
+        cfg = _cfg(n, use_pallas="on", turb_model=TurbulenceModel.SST)
+        sim, st, stats = _stats(cfg)
+        assert sim.turb._fuse_mode(sim) == "interpret"
+        get = lambda op: stats.get(op, (0, 0, []))[1]
+        rows.append(dict(n=n, path="fused-sst",
+                         cp=get("collective-permute"),
+                         ata=get("all-to-all"), ar=get("all-reduce"),
+                         ag=get("all-gather")))
+        out, d = sim.step(st)
+        jax.block_until_ready(out.u)
+        assert np.isfinite(float(d.ke)), f"SST n={n}: step produced NaN"
     return rows
 
 
@@ -90,6 +107,22 @@ def test_scaling_model_holds(sweep_rows):
     rows_1d = [r for r in sweep_rows if r["path"] == "fused"]
     problems = check_sweep(rows_1d)
     assert not problems, "\n".join(problems)
+
+
+def test_sst_transport_scaling(sweep_rows):
+    """The fused-SST step's halo permutes stay ~constant in P and its
+    all-to-alls fall ~1/P (the transport ring rides the same
+    weak-scaling ledger as the momentum halos); all-gather zero."""
+    rows = [r for r in sweep_rows if r["path"] == "fused-sst"]
+    problems = check_sweep(rows)
+    assert not problems, "\n".join(problems)
+    # absolute: the six-field ng=2 transport ring + the momentum
+    # ledger — bounded by ~3x the laminar permute volume
+    lam = {r["n"]: r["cp"] for r in sweep_rows if r["path"] == "fused"}
+    for r in rows:
+        assert r["cp"] <= 3.2 * lam[r["n"]], (
+            f"n={r['n']}: SST permute volume {r['cp']} B vs laminar "
+            f"{lam[r['n']]} B — transport halos blew the ledger")
 
 
 def test_pencil2d_sweep(sweep_rows):
